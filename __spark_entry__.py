@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()``
+registers every implemented operator from SURVEY.md §2 (+ north-star
+extensions); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
+each.  Column names/aliases are identical on both sides; double-valued
+aggregates are computed through exact DECIMAL accumulation in BOTH
+engines (see smile_spark/functions/numeric.py) so value hashes match
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -13,26 +15,128 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from smile_spark.operators import relational as R
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return R.pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- reference parity (SURVEY.md §2.1) ---
+        "scan": R.scan,
+        "scan_filter_count": R.scan_filter_count,
+        "groupby_count": R.groupby_count,
+        "groupby_count_array": R.groupby_count_array,
+        "hashjoin_agg": R.hashjoin_agg,
+        "projection": R.projection,
+        "casts_parse": R.casts_parse,
+        "datagen": R.datagen,
+        # --- capability demos licensed by SURVEY.md §2.2 ---
+        "pricing_summary": R.pricing_summary,
+        "top_customers": R.top_customers,
+        "window_rank": R.window_rank,
+        "set_ops": R.set_ops,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents, same column names."""
+    return {
+        "scan": "SELECT * FROM lineitem",
+        "scan_filter_count": (
+            "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity > 25.0"
+        ),
+        "groupby_count": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "groupby_count_array": (
+            "SELECT l_linenumber, COUNT(*) AS cnt"
+            " FROM lineitem GROUP BY l_linenumber"
+        ),
+        "hashjoin_agg": (
+            "WITH build AS ("
+            "  SELECT c_custkey AS key, MIN(c_acctbal) AS build_val"
+            "  FROM customer WHERE c_custkey % 2 = 0 GROUP BY c_custkey"
+            ") "
+            "SELECT b.key, b.build_val,"
+            " CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            "   AS sum_totalprice,"
+            " COUNT(*) AS order_cnt"
+            " FROM orders o JOIN build b ON o.o_custkey = b.key"
+            " GROUP BY b.key, b.build_val"
+        ),
+        "projection": "SELECT p_partkey, p_name FROM part",
+        "casts_parse": (
+            "SELECT event_id,"
+            " CAST(event_id AS VARCHAR) AS id_str,"
+            " CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_rt,"
+            " CAST(FLOOR(value) AS BIGINT) AS value_floor,"
+            " strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,"
+            " strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),"
+            "          '%Y-%m-%d %H:%M:%S') AS ts_rt,"
+            " CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)"
+            "   AS prop_k,"
+            " event_type = 'purchase' AS is_purchase"
+            " FROM events"
+        ),
+        "datagen": (
+            "SELECT range AS id,"
+            " CAST((range * 2654435761) % 4294967296 % 256 AS INT) AS val"
+            " FROM range(0, 100000)"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+            "   AS sum_qty,"
+            " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            "   AS sum_base_price,"
+            " CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "   * (CAST(1 AS DECIMAL(18,2))"
+            "      - CAST(l_discount AS DECIMAL(18,2)))"
+            "   AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,"
+            " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+            "   / COUNT(l_quantity) AS avg_qty,"
+            " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            "   / COUNT(l_extendedprice) AS avg_price,"
+            " COUNT(*) AS count_order"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '2025-12-01'"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_customers": (
+            "SELECT c.c_custkey, c.c_name, t.total_spent FROM ("
+            "  SELECT o_custkey,"
+            "   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            "     AS total_spent"
+            "  FROM orders GROUP BY o_custkey"
+            ") t JOIN customer c ON t.o_custkey = c.c_custkey"
+            " ORDER BY t.total_spent DESC, c.c_custkey ASC LIMIT 10"
+        ),
+        "window_rank": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+            "  SELECT o_custkey, o_orderkey, o_totalprice,"
+            "   ROW_NUMBER() OVER (PARTITION BY o_custkey"
+            "     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn"
+            "  FROM orders"
+            ") WHERE rn <= 3"
+        ),
+        "set_ops": (
+            "WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders),"
+            " b AS (SELECT c_custkey AS ck FROM customer"
+            "       WHERE c_acctbal > 5000)"
+            " SELECT"
+            "  (SELECT COUNT(*) FROM (SELECT ck FROM a UNION SELECT ck FROM b))"
+            "    AS n_union,"
+            "  (SELECT COUNT(*) FROM (SELECT ck FROM a INTERSECT"
+            "                         SELECT ck FROM b)) AS n_intersect,"
+            "  (SELECT COUNT(*) FROM (SELECT ck FROM a EXCEPT"
+            "                         SELECT ck FROM b)) AS n_except"
+        ),
+    }

@@ -1,0 +1,301 @@
+"""Relational operators — the reference's analytical query surface.
+
+Each function re-expresses one hand-written OpenMP kernel from
+/root/reference/src/regtests/ as a declarative DataFrame program.  The
+reference's physical tricks (page-range partitioning, thread-local
+partial state, padded counters, dense-array aggregation, build/probe
+barriers — SURVEY.md §4.2) are exactly what Catalyst/Tungsten generate
+from these plans: partial→final HashAggregate, whole-stage codegen,
+broadcast or shuffled hash join chosen by AQE.  We deliberately write
+NO imperative loops: at 100 TB the win comes from letting the optimizer
+see the whole plan (pushdown, pruning, join reordering are free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smile_spark.functions.numeric import davg, dsum
+from smile_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# S1 — full scan
+# ---------------------------------------------------------------------------
+
+
+def scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sequential table scan.
+
+    Reference: 4 GB page loop, memcpy per 64 KB page
+    (/root/reference/src/regtests/scan_regtest.cpp:27-34).  In Spark
+    the paged file + buffer pool collapse into a columnar parquet scan
+    split by ``spark.sql.files.maxPartitionBytes``; every executor
+    streams its splits — the same page-range parallelism, minus the
+    hand-rolled pool.
+    """
+    return table(spark, sf_dir, "lineitem")
+
+
+# ---------------------------------------------------------------------------
+# S2 — scan + filter + count
+# ---------------------------------------------------------------------------
+
+
+def scan_filter_count(
+    spark: SparkSession, sf_dir: str, threshold: float = 25.0
+) -> DataFrame:
+    """Predicate + COUNT over the fact table.
+
+    Reference: u32 values ``> threshold``, per-thread padded partial
+    counters, serial final sum
+    (/root/reference/src/regtests/scanfilter_regtest.cpp:14-57).  Spark
+    plan: parquet scan with the predicate *pushed into the reader*
+    (PushedFilters), partial count per partition, single-row final
+    agg — the padded-counter trick is Tungsten's job.  The reference's
+    threshold literal is a C++ ``2 ^ 32/2`` XOR quirk (SURVEY.md §7.3);
+    we parameterize instead.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > threshold).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1 — hash group-by + count
+# ---------------------------------------------------------------------------
+
+
+def groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash GROUP BY + COUNT (map-backed partial state).
+
+    Reference: per-thread ``unordered_map<u8,u32>`` then serial merge
+    (/root/reference/src/regtests/groupby_regtest.cpp:32-81).  The
+    partial/final split is Spark's HashAggregate(partial) → Exchange →
+    HashAggregate(final); map-side combine means the shuffle carries at
+    most (#groups × #partitions) rows — the property that keeps this
+    O(groups) not O(rows) at 100 TB.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def groupby_count_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense small-domain GROUP BY + COUNT.
+
+    Reference: ``array<u8,256>`` partial state for a bounded key domain
+    (/root/reference/src/regtests/groupby_array_regtest.cpp:30-68).
+    ``l_linenumber`` (1..7) is the bounded-domain analogue; the dense-
+    array specialization is a physical detail Tungsten's vectorized
+    hash aggregate already covers (SURVEY.md §2.1 G2).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linenumber").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# J1 — hash join (build + probe) + aggregate
+# ---------------------------------------------------------------------------
+
+
+def hashjoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build/probe hash equi-join feeding a grouped SUM.
+
+    Reference: build side = even keys from the first 1/16 of data with
+    FIRST-wins dedup per key; probe side scans the rest and atomically
+    accumulates value sums per matched key
+    (/root/reference/src/regtests/hashjoin_regtest.cpp:30-103).
+
+    Spark mapping (SURVEY.md §3.2): the merged global hash table IS a
+    broadcast exchange; the atomic probe-side update IS partial
+    aggregation.  Scan-order "first" is nondeterministic in any
+    parallel engine, so we pin the deterministic equivalent
+    ``min(value)`` (SURVEY.md §7.3) — same in the oracle.  The build
+    side (filtered customers) is small relative to orders at every SF,
+    so we hint broadcast; at 100 TB AQE would pick broadcast vs
+    shuffled-hash from real sizes, and the grouped SUM still combines
+    map-side.
+    """
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    build = (
+        customer.filter(F.col("c_custkey") % 2 == 0)
+        .groupBy(F.col("c_custkey").alias("key"))
+        .agg(F.min("c_acctbal").alias("build_val"))
+    )
+    probe = orders
+    return (
+        probe.join(F.broadcast(build), probe.o_custkey == build.key, "inner")
+        .groupBy("key", "build_val")
+        .agg(
+            dsum("o_totalprice", "sum_totalprice"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — projection
+# ---------------------------------------------------------------------------
+
+
+def projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed column access (`Table<T>::get/foreach`,
+    /root/reference/src/data/table.h:87-103,198-216).  As a plan this
+    is column pruning: the parquet ReadSchema must contain exactly the
+    two projected columns, nothing else."""
+    return table(spark, sf_dir, "part").select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# F1 — cast / parse scalar functions
+# ---------------------------------------------------------------------------
+
+
+def casts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String↔value parse round-trips.
+
+    Reference: ``parseBool/Int/.../Timestamp`` with warnings
+    (/root/reference/src/base/types_utils.cpp:12-85); timestamp parsing
+    there is stubbed to 0 — we implement the *intended* semantics
+    (SURVEY.md §7.3).  Double→int uses explicit FLOOR because engines
+    disagree on cast rounding; JSON-ish ``props`` is parsed with a
+    regexp (dialect-portable) rather than a JSON extension.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.col("event_id").cast("string").alias("id_str"),
+        F.col("event_id").cast("string").cast("bigint").alias("id_rt"),
+        F.floor("value").cast("bigint").alias("value_floor"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.to_timestamp(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts_rt"),
+        F.regexp_extract("props", r'"k": ([0-9]+)', 1)
+        .cast("bigint")
+        .alias("prop_k"),
+        (F.col("event_type") == F.lit("purchase")).alias("is_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — datagen
+# ---------------------------------------------------------------------------
+
+
+def datagen(spark: SparkSession, sf_dir: str, n: int = 100_000) -> DataFrame:
+    """Deterministic synthetic data generator.
+
+    Reference: 4 GB of pages filled with unseeded ``rand()%256``
+    (/root/reference/src/regtests/alloc_regtest.cpp:23-36).  Unseeded
+    randomness isn't semantics, so we generate with a Knuth
+    multiplicative hash — pure arithmetic, identical in any engine,
+    and embarrassingly parallel (``spark.range`` splits the id space
+    across executors with zero shuffle).
+    """
+    return spark.range(0, n).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 4294967296 % 256)
+        .cast("int")
+        .alias("val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capability demos licensed by SURVEY.md §2.2 (free in Spark)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query (entry()): TPC-H Q1-shaped pricing summary.
+
+    Exercises scan → filter (pushed down) → wide hash aggregate with
+    exact decimal accumulation — the composition of S1+S2+G1 the
+    reference can only run as separate kernels.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Top-k by aggregate: join + group + order + limit.
+
+    Sorts/limits are absent from the reference (SURVEY.md §2.2) but
+    licensed as a capability; in Spark ``orderBy().limit(k)`` compiles
+    to TakeOrderedAndProject — per-partition top-k then a k-row merge
+    on the driver, which is the only top-k that scales to 100 TB (no
+    global sort materialization).  Ties broken by key for determinism.
+    """
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    totals = (
+        orders.groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "total_spent"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spent")
+    )
+    return totals.orderBy(F.desc("total_spent"), F.asc("c_custkey")).limit(k)
+
+
+def window_rank(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Analytic window function: top-k orders per customer.
+
+    row_number over (partition by customer, order by price desc) — one
+    shuffle on the partition key, then a per-partition sort; ties
+    broken by o_orderkey so the result set is engine-independent.
+    """
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (union / intersect / except) as one summary row.
+
+    A = customers holding ≥1 order; B = customers with acctbal > 5000.
+    Distinct set semantics; each leg is a shuffle on the key — the
+    except leg is the same anti-join shape as the reference's graph
+    integrity check (SURVEY.md §2.1 L2).
+    """
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_custkey").alias("ck")).distinct()
+    b = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("ck")
+    )
+    n_union = a.union(b).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    n_intersect = a.intersect(b).agg(F.count(F.lit(1)).alias("n_intersect"))
+    n_except = a.exceptAll(b).distinct().agg(
+        F.count(F.lit(1)).alias("n_except")
+    )
+    return n_union.crossJoin(n_intersect).crossJoin(n_except)

@@ -1,0 +1,81 @@
+"""SparkSession factory tuned for the engine.
+
+Replaces the reference's session bootstrap — thread-pool startup +
+buffer-pool open (/root/reference/src/tasking/tasking.cpp:188-210,
+/root/reference/src/memory/buffer_pool.cpp:61-101).  In Spark those
+layers are the scheduler and the unified memory manager; what remains
+for us is choosing configs that scale: AQE for runtime re-planning
+(skew joins, partition coalescing), Arrow for the Python boundary, and
+a UTC session timezone so timestamp semantics are stable across
+engines and clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; on a real cluster the
+# caller passes master/shuffle-partitions suited to the executor count.
+# All scale-sensitive knobs are here, in one place.
+_DEFAULT_CONFS: dict[str, str] = {
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones, demote/promote join strategies with real stats.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow-batched transfer for pandas UDFs / toPandas: the fast Python
+    # boundary (row-at-a-time pickling is the slow path we never take).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic cross-engine timestamp semantics (DuckDB oracle reads
+    # the same parquet as naive timestamps).
+    "spark.sql.session.timeZone": "UTC",
+    # Broadcast threshold: dimension tables (region/nation/customer/
+    # supplier/part at test SFs; real dims at 100 TB) should broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # events.parquet carries TIMESTAMP(NANOS); Spark has no ns type, so
+    # read as long and convert (smile_spark.tables truncates to µs).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Keep parquet scans columnar and pruned.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Don't let tiny test files produce one-partition plans that would
+    # hide scale bugs; on a cluster this is the default 128MB anyway.
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "smile-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``; on a cluster, pass the real master / rely on
+    spark-submit.  ``shuffle_partitions`` defaults to 2× the local
+    parallelism — at 100 TB you'd size this (or leave AQE's initial
+    partition number high) so each task shuffles 100-200 MB.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(_DEFAULT_CONFS)
+    if shuffle_partitions is None:
+        try:
+            par = int(cpus) if cpus else os.cpu_count() or 8
+        except ValueError:
+            par = os.cpu_count() or 8
+        shuffle_partitions = max(8, 2 * par)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        confs.update(extra_conf)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,71 @@
+"""Fixture table access (TESTDATA.md).
+
+The reference reads raw 64 KB pages from a proprietary paged file
+(/root/reference/src/storage/file_storage.cpp:130-143) and each kernel
+reinterprets them as typed vectors.  Our storage layer is Parquet: the
+schema travels with the data, scans are columnar, and Catalyst pushes
+filters/projections into the scan — visible in the plan as
+``PushedFilters`` / ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at every realistic scale
+# (region/nation are bounded by geography; supplier/part/customer are
+# broadcastable at test SFs — at 100 TB the optimizer's size stats
+# decide, we only *hint* where cardinality is bounded by construction).
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table as a DataFrame (columnar parquet scan).
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark cannot
+    represent (SparkSQL timestamps are µs).  We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to µs with
+    integer arithmetic — truncation, not rounding, so DuckDB's
+    ``date_trunc('microseconds', ts)`` sees identical values.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # Defensive: the caller may hand us a session built without our
+        # factory; this conf is runtime-settable.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table; keys are table names."""
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so spark.sql() queries run
+    against the same fixtures the DataFrame API sees."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
