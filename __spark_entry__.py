@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from smile_spark.operators import graph as G
 from smile_spark.operators import relational as R
 
 SF0001 = "/root/testdata/sf0.001"
@@ -42,6 +43,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": R.top_customers,
         "window_rank": R.window_rank,
         "set_ops": R.set_ops,
+        # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
+        "graph_load": G.graph_load,
+        "graph_metadata": G.graph_metadata,
+        "graph_check": G.graph_check,
+        "bfs": G.bfs,
+        "connected_components": G.connected_components,
     }
     return q
 
@@ -138,5 +145,61 @@ def oracle_sql() -> dict[str, str]:
             "                         SELECT ck FROM b)) AS n_intersect,"
             "  (SELECT COUNT(*) FROM (SELECT ck FROM a EXCEPT"
             "                         SELECT ck FROM b)) AS n_except"
+        ),
+        "graph_load": (
+            "WITH e AS (SELECT o_custkey AS src, 100000 + o_orderkey AS dst"
+            "           FROM orders),"
+            " deg AS (SELECT src, COUNT(*) AS out_degree,"
+            "         MIN(dst) AS first_nbr, MAX(dst) AS last_nbr"
+            "         FROM e GROUP BY src)"
+            " SELECT src, out_degree, first_nbr, last_nbr,"
+            "  CAST(COALESCE(SUM(out_degree) OVER (ORDER BY src"
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            "    AS BIGINT) AS csr_offset"
+            " FROM deg"
+        ),
+        "graph_metadata": (
+            "SELECT"
+            " (SELECT COUNT(DISTINCT c_custkey) FROM customer)"
+            "  + (SELECT COUNT(DISTINCT o_orderkey) FROM orders)"
+            "  AS num_nodes,"
+            " (SELECT COUNT(*) FROM orders) AS num_edges,"
+            " (SELECT MIN(o_custkey) FROM orders) AS first_edge_node,"
+            " (SELECT MAX(o_custkey) FROM orders) AS last_edge_node"
+        ),
+        "graph_check": (
+            "SELECT (SELECT COUNT(*) FROM orders) AS persisted_edges,"
+            " CAST(0 AS BIGINT) AS mismatches"
+        ),
+        "bfs": (
+            "WITH RECURSIVE e AS ("
+            "  SELECT o_custkey AS src, 100000 + o_orderkey AS dst FROM orders"
+            "  UNION ALL"
+            "  SELECT 100000 + o_orderkey AS src, o_custkey AS dst FROM orders"
+            "),"
+            " walk(source, id, dist) AS ("
+            "  SELECT CAST(s.source AS BIGINT), CAST(s.source AS BIGINT), 0"
+            "  FROM (VALUES (1), (7), (42)) s(source)"
+            "  UNION"
+            "  SELECT w.source, e.dst, w.dist + 1"
+            "  FROM walk w JOIN e ON e.src = w.id WHERE w.dist < 8"
+            ") "
+            "SELECT source, id, MIN(dist) AS dist FROM walk"
+            " GROUP BY source, id"
+        ),
+        "connected_components": (
+            "WITH RECURSIVE e AS ("
+            "  SELECT o_custkey AS src, 100000 + o_orderkey AS dst FROM orders"
+            "  UNION ALL"
+            "  SELECT 100000 + o_orderkey AS src, o_custkey AS dst FROM orders"
+            "),"
+            " nodes AS (SELECT c_custkey AS id FROM customer"
+            "  UNION SELECT 100000 + o_orderkey FROM orders),"
+            " reach(id, r) AS ("
+            "  SELECT id, id FROM nodes"
+            "  UNION"
+            "  SELECT rr.id, e.dst FROM reach rr JOIN e ON e.src = rr.r"
+            ") "
+            "SELECT id, MIN(r) AS component FROM reach GROUP BY id"
         ),
     }

@@ -1,0 +1,242 @@
+"""Graph operators — load/check/traverse (SURVEY.md §2.1 L1/L2/B1).
+
+The reference stores adjacency as CSR pages: a ``firstNbr`` offset
+array plus a packed ``Nbr`` array
+(/root/reference/src/regtests/loadgraph_regtest.cpp:24-31).  CSR is a
+*physical* layout for O(1) neighbor lookup on one machine; the Spark-
+native equivalent is an ``edges(src, dst)`` DataFrame partitioned by
+``src`` — neighbor lookup becomes a co-partitioned join, and the CSR
+offset array is a prefix sum over per-source degrees (computed here,
+so the load produces the same logical artifact the reference persists).
+
+Traversals (BFS & friends) are data-dependent iteration — not one
+Catalyst plan.  We run the Pregel pattern: a frontier DataFrame joined
+against edges each round, anti-joined against the visited set, with
+``localCheckpoint()`` per iteration to cut lineage (SURVEY.md §3.3).
+Each round is a distributed join+shuffle, so a 1000-executor cluster
+expands the whole frontier in parallel — the scalable analogue of the
+reference's one-page-pin-at-a-time loop
+(/root/reference/src/regtests/bfsgraph_regtest.cpp:44-104).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from smile_spark.tables import table
+
+# Offset keeping order-node ids disjoint from customer-node ids
+# (FIXTURES.md §3: the derived deterministic edge view).
+NODE_OFFSET = 100_000
+
+BFS_SOURCES = (1, 7, 42)
+
+
+def edges(
+    spark: SparkSession, sf_dir: str, undirected: bool = False
+) -> DataFrame:
+    """The deterministic bipartite customer→order edge view.
+
+    Mirrors the reference's edge-list input contract (sorted by source,
+    /root/reference/src/regtests/loadgraph_regtest.cpp:14-23) — except
+    sort order is irrelevant to a DataFrame; what matters at scale is
+    partitioning by ``src`` so per-source operations don't shuffle.
+    """
+    o = table(spark, sf_dir, "orders")
+    e = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(NODE_OFFSET) + F.col("o_orderkey")).alias("dst"),
+    )
+    if undirected:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return e
+
+
+def graph_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: edge list → CSR-equivalent adjacency summary.
+
+    Produces per source node: out-degree, first/last neighbor, and the
+    CSR offset (prefix sum of degrees in src order) — the logical
+    content of the reference's ``firstNbr[]`` page array
+    (/root/reference/src/regtests/loadgraph_regtest.cpp:39-67).
+
+    Scale note: the prefix sum uses a global ordered window, which
+    Spark executes in a single partition.  That is fine for the
+    node-level summary (#nodes ≪ #edges after the groupBy); for a
+    100 TB edge set the degree aggregation — the expensive part — is
+    a standard partial/final hash aggregate, and the offset pass runs
+    over just the node table.
+    """
+    e = edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.min("dst").alias("first_nbr"),
+        F.max("dst").alias("last_nbr"),
+    )
+    w = Window.orderBy("src").rowsBetween(Window.unboundedPreceding, -1)
+    return deg.withColumn(
+        "csr_offset",
+        F.coalesce(F.sum("out_degree").over(w), F.lit(0)).cast("bigint"),
+    )
+
+
+def graph_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 metadata page: numNodes / numEdges / first & last edge node
+    (/root/reference/src/regtests/loadgraph_regtest.cpp:24-31,70-113).
+    Node universe = customers ∪ order-nodes; customers without orders
+    are the reference's zero-degree ``firstNbr == 0`` case."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    n_cust = customer.agg(
+        F.countDistinct("c_custkey").alias("n_cust")
+    )
+    meta = orders.agg(
+        F.countDistinct("o_orderkey").alias("n_ord"),
+        F.count(F.lit(1)).alias("num_edges"),
+        F.min("o_custkey").alias("first_edge_node"),
+        F.max("o_custkey").alias("last_edge_node"),
+    )
+    return n_cust.crossJoin(meta).select(
+        (F.col("n_cust") + F.col("n_ord")).alias("num_nodes"),
+        "num_edges",
+        "first_edge_node",
+        "last_edge_node",
+    )
+
+
+def graph_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: persist → reload → anti-join equivalence check.
+
+    The reference re-reads its CSR pages and compares element-wise
+    (/root/reference/src/regtests/loadgraph_regtest.cpp:142-233).  Our
+    persisted form is parquet; equivalence is symmetric exceptAll —
+    an order-insensitive, distributed comparison (no driver loop), the
+    same shape at 60k rows and at 100 TB.
+    """
+    e = edges(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="smile_graph_check_")
+    e.write.mode("overwrite").parquet(out_dir)
+    persisted = spark.read.parquet(out_dir)
+    mismatches = (
+        persisted.exceptAll(e)
+        .union(e.exceptAll(persisted))
+        .agg(F.count(F.lit(1)).alias("mismatches"))
+    )
+    count = persisted.agg(F.count(F.lit(1)).alias("persisted_edges"))
+    return count.crossJoin(mismatches)
+
+
+# ---------------------------------------------------------------------------
+# Iterative traversals (Pregel pattern)
+# ---------------------------------------------------------------------------
+
+
+def bfs_frontier(
+    spark: SparkSession,
+    e: DataFrame,
+    sources: Sequence[int],
+    max_iter: int = 20,
+) -> DataFrame:
+    """Multi-source BFS over an ``edges(src, dst)`` DataFrame.
+
+    All sources advance in ONE frontier (a ``source`` column tags the
+    tree), so each iteration is a single join — k sources cost one
+    traversal, unlike the reference's 100 sequential runs
+    (/root/reference/src/regtests/bfsgraph_regtest.cpp:35).
+    Per round: frontier ⋈ edges → candidate dsts → distinct →
+    anti-join visited → new frontier.  ``localCheckpoint`` cuts the
+    lineage so plan size stays O(1) in iterations.
+    Returns (source, id, dist) with the BFS (minimal) hop distance.
+    """
+    # Materialize the edge set once; every iteration re-joins against it
+    # and must not re-derive it from the source scan each round.
+    e = e.localCheckpoint()
+
+    src_df = spark.createDataFrame(
+        [(int(s),) for s in sources], "source bigint"
+    ).select("source", F.col("source").alias("id"), F.lit(0).alias("dist"))
+
+    visited = src_df.localCheckpoint()
+    frontier = visited
+    for it in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .select("source", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+            .withColumn("dist", F.lit(it))
+        ).localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def bfs(
+    spark: SparkSession,
+    sf_dir: str,
+    sources: Sequence[int] = BFS_SOURCES,
+    max_iter: int = 20,
+) -> DataFrame:
+    """B1: BFS hop distances from the fixed deterministic source set
+    (FIXTURES.md §3 — the reference's unseeded ``rand()`` sources are
+    not semantics).  Edges are traversed undirected so multi-hop paths
+    exist in the bipartite fixture graph."""
+    e = edges(spark, sf_dir, undirected=True)
+    return bfs_frontier(spark, e, sources, max_iter)
+
+
+def connected_components(
+    spark: SparkSession, sf_dir: str, max_iter: int = 30
+) -> DataFrame:
+    """Min-label propagation connected components (beyond-reference;
+    licensed by the north star's Pregel-analytics direction).
+
+    Every node starts labeled with its own id; each round a node takes
+    the min of its label and its neighbors' labels; fixpoint when no
+    label changes.  Each round = one join + one aggregate, both on the
+    ``src`` key — the canonical Pregel iteration shape.
+    Returns (id, component).
+    """
+    e = edges(spark, sf_dir, undirected=True).localCheckpoint()
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nodes = (
+        customer.select(F.col("c_custkey").alias("id"))
+        .union(
+            orders.select((F.lit(NODE_OFFSET) + F.col("o_orderkey")).alias("id"))
+        )
+        .distinct()
+    )
+    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            labels.join(e, labels.id == e.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        converged = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels
