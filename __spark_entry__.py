@@ -15,8 +15,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from smile_spark.operators import dedup as D
 from smile_spark.operators import graph as G
 from smile_spark.operators import relational as R
+from smile_spark.operators import text as T
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -49,6 +51,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_check": G.graph_check,
         "bfs": G.bfs,
         "connected_components": G.connected_components,
+        # --- north-star: dedup family ---
+        "dedup_exact": D.dedup_exact,
+        "ngram_jaccard_topk": D.ngram_jaccard_topk,
+        "minhash_signature": D.minhash_signature,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "simhash": D.simhash,
+        # --- north-star: text analysis ---
+        "text_stats": T.text_stats,
+        "token_count": T.token_count,
+        "lang_id": T.lang_id,
+        "fingerprint": T.fingerprint,
     }
     return q
 
@@ -202,4 +215,13 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT id, MIN(r) AS component FROM reach GROUP BY id"
         ),
+        "dedup_exact": D.DEDUP_EXACT_SQL,
+        "ngram_jaccard_topk": D.NGRAM_JACCARD_SQL,
+        "minhash_signature": D.minhash_signature_sql(),
+        "dedup_minhash_lsh": D.dedup_minhash_lsh_sql(),
+        "simhash": D.simhash_sql(),
+        "text_stats": T.TEXT_STATS_SQL,
+        "token_count": T.TOKEN_COUNT_SQL,
+        "lang_id": T.lang_id_sql(),
+        "fingerprint": T.FINGERPRINT_SQL,
     }

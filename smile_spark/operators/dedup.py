@@ -1,0 +1,370 @@
+"""Deduplication operators (north-star extension; no reference analogue
+— SURVEY.md §2.2 confirms the reference has no string/dedup surface).
+
+Four families over the ``documents`` table:
+
+* exact          — content-hash groupBy (the 100 TB-scale baseline:
+                   one shuffle on a 16-byte key).
+* n-gram Jaccard — exact pairwise similarity on a blocked candidate
+                   set (cross-join-free).
+* MinHash + LSH  — shingle → 16 min-hashes → 4 banded buckets →
+                   bucket-join for candidates → exact verify.  The
+                   scale path: candidate generation is an equi-join on
+                   (band, bucket-key), never a cross join.
+* SimHash        — 32-bit sign-of-sum fingerprint per document.
+
+Determinism strategy: every hash is built from ``md5`` via SQL
+expression strings shared VERBATIM between the Spark plan
+(``F.expr``) and the DuckDB oracle — min-hash comparisons happen on
+hex strings (lexicographic min == numeric min for fixed-width hex),
+so both engines agree bit-for-bit with no engine-specific hash
+function anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smile_spark.tables import table
+
+SHINGLE_K = 12          # character shingle width
+N_HASHES = 16           # minhash signature length
+N_BANDS = 4             # LSH bands (4 rows per band)
+ROWS_PER_BAND = N_HASHES // N_BANDS
+LSH_VERIFY_THRESHOLD = 0.5
+JACCARD_SUBSET_MOD = 50  # word-jaccard candidate blocking
+SIMHASH_SUBSET_MOD = 10
+SIMHASH_BITS = 32
+
+# --- shared Spark/DuckDB expression fragments (single source of truth) ---
+
+# min-hash of one shingle under seed i: 8 hex chars of md5("<i>:<sh>")
+MINHASH_EXPR = "substr(md5(concat(cast({seed} as string), ':', sh)), 1, 8)"
+
+# 4-bit nibble value of hex char at position p of an 8-char hash
+_NIBBLE = "(instr('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+# bit j of the 32-bit hash: nibble (j div 4), bit (j mod 4)
+SIMHASH_BIT_EXPR = (
+    "(cast(floor(" + _NIBBLE + " / {d}) as int) % 2)"
+)
+
+
+def _simhash_bit(j: int) -> str:
+    return SIMHASH_BIT_EXPR.format(p=j // 4 + 1, d=float(2 ** (j % 4)))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: for each distinct text, the
+    canonical (minimum) doc_id and the duplicate count.
+
+    At 100 TB this is the always-first pass: hashing reduces the
+    shuffle key to 16 bytes regardless of document size, and the
+    aggregate combines map-side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("th", F.md5("text"))
+        .groupBy("th")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = (
+    "SELECT md5(text) AS th, MIN(doc_id) AS keep_id,"
+    " COUNT(*) AS dup_count FROM documents GROUP BY md5(text)"
+)
+
+
+# ---------------------------------------------------------------------------
+# word-set n-gram Jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+
+def _word_tokens(docs: DataFrame, mod: int) -> DataFrame:
+    """Distinct (doc_id, tok) for the doc_id % mod == 0 block."""
+    return (
+        docs.filter(F.col("doc_id") % mod == 0)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_topk(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Top-k most similar document pairs by word-set Jaccard within a
+    deterministic block (doc_id % 50 == 0).
+
+    The block stands in for any real blocking key (shard, URL domain,
+    LSH bucket): all-pairs Jaccard is only ever run on candidate sets,
+    and the intersection is computed by a token equi-join — there is
+    no cross join at any scale.  Ties broken by (a, b).
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = _word_tokens(docs, JACCARD_SUBSET_MOD)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("b"), "tok")
+    inter = (
+        ta.join(tb, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jacc = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+    return (
+        jacc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a", "b", "jaccard", "rn")
+    )
+
+
+NGRAM_JACCARD_SQL = (
+    "WITH toks AS ("
+    "  SELECT DISTINCT doc_id, tok FROM documents,"
+    "  unnest(string_split(text, ' ')) t(tok)"
+    f"  WHERE doc_id % {JACCARD_SUBSET_MOD} = 0"
+    "),"
+    " sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),"
+    " inter AS ("
+    "  SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS i"
+    "  FROM toks ta JOIN toks tb ON ta.tok = tb.tok"
+    "   AND ta.doc_id < tb.doc_id GROUP BY 1, 2),"
+    " jacc AS ("
+    "  SELECT a, b,"
+    "   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard"
+    "  FROM inter JOIN sizes sa ON sa.doc_id = a"
+    "   JOIN sizes sb ON sb.doc_id = b)"
+    " SELECT a, b, jaccard, rn FROM ("
+    "  SELECT a, b, jaccard, ROW_NUMBER() OVER"
+    "   (ORDER BY jaccard DESC, a ASC, b ASC) AS rn FROM jacc)"
+    " WHERE rn <= 20"
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, sh) character-K shingles; short docs yield
+    their whole text as the single shingle."""
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("text") - (SHINGLE_K - 1), F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr(f"substr(text, i, {SHINGLE_K})").alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash MinHash signature per document over char-12 shingles.
+
+    One wide aggregate: (doc, seed, hash) → 16 conditional MINs in a
+    single shuffle.  Hex-string min == numeric min (fixed width), so
+    the signature is engine-independent.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    seeds = spark.range(N_HASHES).select(F.col("id").alias("seed"))
+    hashed = sh.crossJoin(seeds).select(
+        "doc_id", "seed", F.expr(MINHASH_EXPR.format(seed="seed")).alias("h")
+    )
+    aggs = [
+        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"m{i}")
+        for i in range(N_HASHES)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql_core() -> str:
+    """Shared CTE prefix: toks + per-doc signature columns m0..m15."""
+    mins = ", ".join(
+        f"MIN(CASE WHEN seed = {i} THEN h END) AS m{i}"
+        for i in range(N_HASHES)
+    )
+    h_expr = MINHASH_EXPR.format(seed="seed")
+    return (
+        "WITH pos AS ("
+        "  SELECT doc_id, text, unnest(generate_series(1,"
+        f"   greatest(length(text) - {SHINGLE_K - 1}, 1))) AS i"
+        "  FROM documents),"
+        " toks AS (SELECT DISTINCT doc_id,"
+        f"  substr(text, i, {SHINGLE_K}) AS sh FROM pos),"
+        " hashed AS ("
+        f"  SELECT doc_id, seed, {h_expr} AS h"
+        "  FROM toks, (SELECT range AS seed FROM range"
+        f"({N_HASHES})) s),"
+        f" sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)"
+    )
+
+
+def minhash_signature_sql() -> str:
+    return _minhash_sql_core() + " SELECT * FROM sig"
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band the 16-hash signature
+    into 4 buckets, equi-join on (band, bucket key) for candidates,
+    then verify candidates with exact shingle Jaccard ≥ 0.5.
+
+    This is the 100 TB dedup shape: candidate generation is a shuffle
+    on the band key (collisions only for plausibly-similar docs —
+    P(collision) ≈ jaccard^4 per band), and the expensive exact
+    verify runs on the candidate set only.
+    """
+    sig = minhash_signature(spark, sf_dir)
+    bands = None
+    for b in range(N_BANDS):
+        cols = ",".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.expr(f"md5(concat({cols}))").alias("bkey"),
+        )
+        bands = part if bands is None else bands.union(part)
+    ba = bands.select(F.col("doc_id").alias("a"), "band", "bkey")
+    bb = bands.select(F.col("doc_id").alias("b"), "band", "bkey")
+    cand = (
+        ba.join(bb, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sh = _shingles(table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb.withColumnRenamed("sh", "sh_b"), "b")
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a"
+        )
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+    )
+
+
+def dedup_minhash_lsh_sql() -> str:
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat({cols})) AS bkey FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return (
+        _minhash_sql_core()
+        + f", bands AS ({band_selects}),"
+        " cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b"
+        "  FROM bands ba JOIN bands bb ON ba.band = bb.band"
+        "   AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id),"
+        " sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),"
+        " inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c"
+        "  JOIN toks ta ON ta.doc_id = c.a"
+        "  JOIN toks tb ON tb.doc_id = c.b AND ta.sh = tb.sh"
+        "  GROUP BY c.a, c.b)"
+        " SELECT i.a, i.b,"
+        "  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard"
+        " FROM inter i JOIN sizes sa ON sa.doc_id = i.a"
+        "  JOIN sizes sb ON sb.doc_id = i.b"
+        f" WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)"
+        f"  >= {LSH_VERIFY_THRESHOLD}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint over the distinct word-token set of
+    each document (doc_id % 10 == 0 block).
+
+    Each token contributes ±1 per bit position from its 32-bit md5
+    prefix; the fingerprint bit is the sign of the sum (ties → 1).
+    Emitted as a 32-char bit string — portable across engines, and at
+    scale the string packs to a long for Hamming-distance bucketing.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = _word_tokens(docs, SIMHASH_SUBSET_MOD).select(
+        "doc_id", F.expr("substr(md5(tok), 1, 8)").alias("h")
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"2 * {_simhash_bit(j)} - 1")).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    bit_chars = [
+        F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(SIMHASH_BITS)
+    ]
+    return sums.select("doc_id", F.concat(*bit_chars).alias("fingerprint"))
+
+
+def simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(2 * {_simhash_bit(j)} - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    bits = ", ".join(
+        f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+    )
+    return (
+        "WITH toks AS ("
+        "  SELECT DISTINCT doc_id, tok FROM documents,"
+        "  unnest(string_split(text, ' ')) t(tok)"
+        f"  WHERE doc_id % {SIMHASH_SUBSET_MOD} = 0),"
+        " hashed AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h FROM toks),"
+        f" sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)"
+        f" SELECT doc_id, concat({bits}) AS fingerprint FROM sums"
+    )

@@ -1,0 +1,195 @@
+"""Text-analysis operators (north-star extension; the reference has no
+string functions at all — SURVEY.md §2.2).
+
+All operators are pure JVM-side column expressions (no Python UDFs):
+at 100 TB these run inside whole-stage codegen over the parquet scan,
+so throughput is bounded by I/O, not by a Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smile_spark.tables import table
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# language marker words → predicted language; the fixture texts are
+# synthetic English-vocabulary soup, so the interesting property is the
+# deterministic scoring, not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to"),
+    "de": ("der", "die", "und", "ist"),
+    "es": ("el", "la", "que", "los"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+# BPE-ish token pattern: word pieces, digit runs, single punctuation.
+# Kept to a dialect-portable subset (same semantics in Java regex and
+# RE2/DuckDB).
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+ROLLING_MOD = 1_000_000_007
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics: token counts, average token
+    length, stopword ratio, and a composite quality score.
+
+    The shape is scan → explode(tokens) → groupBy(doc) — one shuffle
+    keyed by doc_id; all scoring arithmetic is integer/exact until the
+    final ratios.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id", "n_chars_calc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("tok")).alias("tok_chars"),
+        F.sum(
+            F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)
+        ).alias("n_stopwords"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        (F.col("tok_chars").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        (F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+TEXT_STATS_SQL = (
+    "WITH toks AS ("
+    "  SELECT doc_id, length(text) AS n_chars_calc, tok"
+    "  FROM documents, unnest(string_split(text, ' ')) t(tok)),"
+    " per_doc AS ("
+    "  SELECT doc_id, n_chars_calc, COUNT(*) AS n_tokens,"
+    "   SUM(length(tok)) AS tok_chars,"
+    "   SUM(CASE WHEN tok IN ({stop}) THEN 1 ELSE 0 END) AS n_stopwords"
+    "  FROM toks GROUP BY doc_id, n_chars_calc)"
+    " SELECT doc_id, n_chars_calc, n_tokens,"
+    "  CAST(tok_chars AS DOUBLE) / n_tokens AS avg_token_len,"
+    "  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio"
+    " FROM per_doc"
+).format(stop=", ".join(f"'{s}'" for s in STOPWORDS))
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token counting (whitespace words + BPE-ish pieces) — the
+    cheap token-budget estimator a training pipeline runs over every
+    document.  Pure codegen expressions; no shuffle at all (the result
+    is row-parallel)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1)
+        .cast("bigint")
+        .alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_PATTERN}', 0)"))
+        .cast("bigint")
+        .alias("regex_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = (
+    "SELECT doc_id,"
+    " CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    "  AS ws_tokens,"
+    f" CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0)) AS BIGINT)"
+    "  AS regex_tokens"
+    " FROM documents"
+)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language over
+    the token stream, predict the max-scoring language (ties broken by
+    language code), with the score that won.
+
+    Emits (doc_id, lang_pred, lang_score).  One explode + one groupBy;
+    the per-language scores are conditional sums in a single aggregate,
+    not one pass per language.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    scores = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("tok").isin(*words), 1).otherwise(0)
+            ).alias(f"score_{lang}")
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # argmax with deterministic tie-break on language code order
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None)
+    for lang in reversed(langs):  # earlier lang wins ties
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(
+            pred
+        )
+    return scores.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        best.cast("bigint").alias("lang_score"),
+    )
+
+
+def lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        "SUM(CASE WHEN tok IN ({w}) THEN 1 ELSE 0 END) AS score_{lang}".format(
+            w=", ".join(f"'{x}'" for x in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return (
+        "WITH toks AS (SELECT doc_id, tok FROM documents,"
+        " unnest(string_split(text, ' ')) t(tok)),"
+        f" scores AS (SELECT doc_id, {score_cols} FROM toks GROUP BY doc_id)"
+        f" SELECT doc_id, {pred} AS lang_pred,"
+        f" CAST({best} AS BIGINT) AS lang_score FROM scores"
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content hash + a rolling polynomial
+    hash (Rabin-Karp-style, base 31 mod 1e9+7) computed as a fold over
+    character codes — the per-char loop stays JVM-side via the
+    higher-order ``aggregate`` expression, no Python in the path."""
+    docs = table(spark, sf_dir, "documents")
+    roll = (
+        "aggregate(sequence(1, length(text)), cast(0 as bigint),"
+        f" (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % {ROLLING_MOD})"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.expr(roll).alias("rolling_hash"),
+    )
+
+
+FINGERPRINT_SQL = (
+    "SELECT doc_id, md5(text) AS content_md5,"
+    " list_reduce("
+    "  list_prepend(CAST(0 AS BIGINT),"
+    "   list_transform(generate_series(1, length(text)),"
+    "    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),"
+    f"  (acc, c) -> (acc * 31 + c) % {ROLLING_MOD}) AS rolling_hash"
+    " FROM documents"
+)
