@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from smile_spark.operators import dedup as D
 from smile_spark.operators import graph as G
 from smile_spark.operators import relational as R
+from smile_spark.operators import similarity as S
 from smile_spark.operators import text as T
+from smile_spark.operators import windows as W
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -62,6 +64,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": T.token_count,
         "lang_id": T.lang_id,
         "fingerprint": T.fingerprint,
+        # --- north-star: similarity search ---
+        "ann_cosine_topk": S.ann_cosine_topk,
+        "ann_ivf_topk": S.ann_ivf_topk,  # approximate → rows-only check
+        "embedding_norms": S.embedding_norms,
+        # --- north-star: time windows ---
+        "window_tumbling": W.window_tumbling,
+        "window_sliding": W.window_sliding,
+        "window_session": W.window_session,
     }
     return q
 
@@ -224,4 +234,11 @@ def oracle_sql() -> dict[str, str]:
         "token_count": T.TOKEN_COUNT_SQL,
         "lang_id": T.lang_id_sql(),
         "fingerprint": T.FINGERPRINT_SQL,
+        "ann_cosine_topk": S.ANN_COSINE_SQL,
+        # ann_ivf_topk: intentionally no oracle — approximate recall by
+        # design; validated against brute force in tests/test_similarity.py
+        "embedding_norms": S.EMBEDDING_NORMS_SQL,
+        "window_tumbling": W.WINDOW_TUMBLING_SQL,
+        "window_sliding": W.WINDOW_SLIDING_SQL,
+        "window_session": W.WINDOW_SESSION_SQL,
     }

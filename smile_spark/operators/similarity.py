@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths over ``embeddings(vec_id, embedding: array<float>, label)``:
+
+* brute-force cosine top-k — the exactness baseline.  Query vectors
+  are broadcast; every partition scores its shard of the corpus and
+  per-query top-k is a rank-filter.  No shuffle touches the corpus:
+  the only exchanged data is (qid, vid, score) candidates.
+* IVF-style partitioned search — the 100 TB path.  The corpus is
+  assigned to coarse cells (nearest centroid); a query probes only
+  its ``nprobe`` closest cells, so scored vectors drop by
+  ~#cells/nprobe.  Centroids here are a deterministic subsample
+  (stand-in for a k-means fit, which would be an offline job at
+  scale); assignment/probing logic is the real thing.
+
+All arithmetic is double-precision fold expressions inside codegen
+(``zip_with`` + ``aggregate``) — no Python UDF in the scoring path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from smile_spark.tables import table
+
+N_QUERIES = 3          # query vectors: vec_id < 3
+TOP_K = 10
+CENTROID_MOD = 97      # deterministic centroid subsample
+N_PROBE = 2
+ROUND_DIGITS = 6
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " cast(0 as double), (acc, z) -> acc + z)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> x * x),"
+            " cast(0 as double), (acc, z) -> acc + z)"
+        )
+    )
+
+
+def ann_cosine_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Brute-force cosine top-k for the deterministic query set
+    (vec_id < 3).  Scores round to 6 digits before ranking so the
+    result set is stable across summation orders; ties break by
+    vec_id.  Returns (qid, vec_id, cos_r, rn)."""
+    emb = _vectors(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), ROUND_DIGITS).alias(
+            "cos_r"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cos_r", "rn")
+    )
+
+
+ANN_COSINE_SQL = (
+    "WITH e AS (SELECT vec_id,"
+    " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    " FROM embeddings),"
+    f" q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),"
+    " u AS (SELECT qid, e.vec_id, unnest(e.v) AS a, unnest(q.qv) AS b"
+    "  FROM e, q),"
+    " s AS (SELECT qid, vec_id, SUM(a * b) AS dot,"
+    "  SUM(a * a) AS na, SUM(b * b) AS nb FROM u GROUP BY qid, vec_id),"
+    " scored AS (SELECT qid, vec_id,"
+    f"  ROUND(dot / (sqrt(na) * sqrt(nb)), {ROUND_DIGITS}) AS cos_r FROM s),"
+    " ranked AS (SELECT qid, vec_id, cos_r, ROW_NUMBER() OVER"
+    "  (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn FROM scored)"
+    f" SELECT qid, vec_id, cos_r, rn FROM ranked WHERE rn <= {TOP_K}"
+)
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-style approximate top-k: assign corpus to nearest-centroid
+    cells, probe the query's ``nprobe`` nearest cells only.
+
+    Shape at 100 TB: the corpus-to-cell assignment is one broadcast
+    join against the (small) centroid set, written once and reused;
+    per-query work then touches only the probed cells — with cell
+    pruning pushed into the scan when the corpus is stored partitioned
+    by cell id.  Approximate by design, so validated by a recall test
+    against brute force, not a row-equal oracle.
+    Returns (qid, vec_id, cos_r, rn).
+    """
+    emb = _vectors(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # cell assignment: nearest centroid by cosine (rank-1 filter)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cid",
+        (_dot("v", "cv") / (_norm("v") * _norm("cv"))).alias("sim"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    # queries probe their nprobe nearest cells
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "qv",
+            "cid",
+            (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
+        )
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("prn") <= nprobe)
+        .select("qid", "qv", "cid")
+    )
+    candidates = assigned.join(qcells, "cid").select(
+        "qid",
+        "vec_id",
+        F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), ROUND_DIGITS).alias(
+            "cos_r"
+        ),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        candidates.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cos_r", "rn")
+    )
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus statistics: count and mean L2 norm — the cheap
+    sanity scan a pipeline runs before any ANN build."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    return (
+        emb.select("label", F.round(_norm("v"), ROUND_DIGITS).alias("l2_norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l2_norm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+EMBEDDING_NORMS_SQL = (
+    "WITH n AS (SELECT vec_id, label,"
+    " ROUND(sqrt(s), 6) AS l2_norm FROM ("
+    "  SELECT vec_id, label, SUM(a * a) AS s FROM ("
+    "   SELECT vec_id, label,"
+    "   unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS a"
+    "   FROM embeddings) GROUP BY vec_id, label))"
+    " SELECT label, COUNT(*) AS n, ROUND(AVG(l2_norm), 4) AS avg_norm"
+    " FROM n GROUP BY label"
+)

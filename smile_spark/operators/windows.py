@@ -1,0 +1,143 @@
+"""Time-window operators over the events table (north-star extension;
+the reference has no streaming/window surface — SURVEY.md §2.2).
+
+Batch-first implementations of the three window families using the
+same ``F.window`` / ``F.session_window`` primitives Structured
+Streaming uses — so the smile_spark.streaming wrappers run the
+IDENTICAL aggregation logic incrementally with watermarks (tested for
+batch/stream agreement in tests/test_streaming.py).
+
+Scale shape: tumbling/sliding windows are a groupBy on (window, key) —
+partial aggregation applies, and the slide factor multiplies rows
+*before* the map-side combine, not the shuffle.  Session windows are
+Spark's native session_window (at 100 TB: a shuffle on user_id then a
+per-key merge — the same plan streaming uses with state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smile_spark.functions.numeric import dsum
+from smile_spark.tables import table
+
+SESSION_GAP_MIN = 30
+
+
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling window: count + exact sum per (window, type)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+WINDOW_TUMBLING_SQL = (
+    "SELECT date_trunc('hour', ts) AS ws,"
+    " date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,"
+    " event_type, COUNT(*) AS cnt,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+    " FROM events GROUP BY 1, 2, 3"
+)
+
+
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (4 windows per event)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+WINDOW_SLIDING_SQL = (
+    # replicate F.window's epoch-aligned slide expansion: an event at t
+    # belongs to windows starting at floor(t/slide)*slide - j*slide,
+    # j = 0..(size/slide - 1); every such window contains t.  All
+    # arithmetic on exact integer microseconds (epoch() is a double
+    # whose ~0.5µs resolution could flip bucket boundaries).
+    "WITH us AS ("
+    " SELECT value, date_diff('microsecond',"
+    "  TIMESTAMP '1970-01-01 00:00:00',"
+    "  date_trunc('microseconds', ts)) AS t_us FROM events),"
+    " expanded AS ("
+    " SELECT value, make_timestamp("
+    "  ((t_us // 900000000) - j) * 900000000) AS ws"
+    " FROM us, (SELECT unnest(range(4)) AS j) s)"
+    " SELECT ws, ws + INTERVAL 1 HOUR AS we, COUNT(*) AS cnt,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+    " FROM expanded GROUP BY ws"
+)
+
+
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Native ``session_window``: window.start = first event,
+    window.end = last event + gap.  Equivalent SQL (the oracle) is
+    the classic gaps-and-islands lag/cumulative-sum — worth having
+    both: the Spark primitive is what streaming state uses, the
+    islands form is what warehouses run.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WINDOW_SESSION_SQL = (
+    # µs-truncate first: Spark timestamps are µs while the raw parquet
+    # carries ns — boundaries must be computed on identical values.
+    "WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,"
+    "  value FROM events),"
+    " marked AS (SELECT user_id, ts, value,"
+    "  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    f"   IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    f"   >= INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1 ELSE 0 END AS brk"
+    "  FROM e),"
+    " islands AS (SELECT user_id, ts, value,"
+    "  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts"
+    "   ROWS UNBOUNDED PRECEDING) AS sid FROM marked)"
+    " SELECT user_id, MIN(ts) AS session_start,"
+    f" MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,"
+    " COUNT(*) AS n_events,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+    " FROM islands GROUP BY user_id, sid"
+)
