@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from smile_spark.operators import dedup as D
+from smile_spark.operators import multimodal as M
 from smile_spark.operators import graph as G
 from smile_spark.operators import relational as R
 from smile_spark.operators import similarity as S
@@ -72,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": W.window_tumbling,
         "window_sliding": W.window_sliding,
         "window_session": W.window_session,
+        # --- north-star: multimodal columns (pandas-UDF plumbing) ---
+        "multimodal_meta": M.multimodal_meta,
     }
     return q
 
@@ -241,4 +244,5 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         "window_sliding": W.WINDOW_SLIDING_SQL,
         "window_session": W.WINDOW_SESSION_SQL,
+        "multimodal_meta": M.MULTIMODAL_META_SQL,
     }

@@ -1,0 +1,131 @@
+"""Streaming versions of the window operators.
+
+The batch operators in smile_spark.operators.windows use the exact
+``F.window`` / ``F.session_window`` primitives Structured Streaming
+executes incrementally — these wrappers run the same logic as a
+stream: parquet file source (one file per trigger simulates arrival),
+event-time watermark for late data, windowed state, memory sink.
+
+Tested for batch/stream agreement (tests/test_streaming.py): the
+complete-output streaming result of each windowed aggregation must
+equal the batch result — the property that makes a lambda-free
+architecture possible at scale (one definition, two execution modes).
+
+The custom stateful path (applyInPandasWithState) implements per-user
+running counters — the shape the reference could only express as a
+hand-written stateful loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smile_spark.functions.numeric import dsum
+from smile_spark.tables import table
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet file-source stream over the events fixture; schema comes
+    from a batch peek (streams need explicit schemas).  The nanosecond
+    ts is converted exactly as the batch reader does.
+
+    The file source requires a *directory* (it watches for arriving
+    files); the read-only fixture is a single file, so we stage a temp
+    directory with a symlink — in production this is simply the
+    landing directory files arrive into.
+    """
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="smile_stream_")
+    os.symlink(src, os.path.join(stage, "events-0000.parquet"))
+
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def streaming_tumbling(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming hourly tumbling counts with an event-time watermark —
+    identical aggregation to operators.windows.window_tumbling."""
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming DataFrame into an in-memory table and return
+    the materialized result (test/debug harness; production would use
+    a real sink with a checkpoint location)."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return df.sparkSession.table(name)
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count
+    and value total via applyInPandasWithState — the escape hatch for
+    semantics windows can't express (here: unbounded per-key
+    accumulators surviving across triggers)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    ev = read_event_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        total_cnt, total_val = (
+            state.get if state.exists else (0, 0.0)
+        )
+        for pdf in pdfs:
+            total_cnt += len(pdf)
+            total_val += float(pdf["value"].sum())
+        state.update((total_cnt, total_val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [total_cnt],
+                "total_value": [total_val],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="cnt bigint, val double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
