@@ -1,0 +1,62 @@
+"""Plan audits: fail the suite if a code change regresses the physical
+plan (pushdown, pruning, broadcast, partial aggregation)."""
+
+from smile_spark.operators import relational as R
+from smile_spark.plans import (
+    assert_broadcast_join,
+    assert_partial_aggregation,
+    assert_pushed_filters,
+    assert_read_schema_only,
+)
+from smile_spark.plans.audit import assert_no_cartesian
+
+
+def test_scan_filter_pushdown(spark, sf_dir):
+    df = R.scan_filter_count(spark, sf_dir)
+    assert_pushed_filters(df, "l_quantity")
+    assert_partial_aggregation(df)
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = R.projection(spark, sf_dir)
+    assert_read_schema_only(df, "p_partkey", "p_name")
+
+
+def test_groupby_partial_aggregation(spark, sf_dir):
+    assert_partial_aggregation(R.groupby_count(spark, sf_dir))
+    assert_partial_aggregation(R.groupby_count_array(spark, sf_dir))
+
+
+def test_hashjoin_broadcasts_build_side(spark, sf_dir):
+    df = R.hashjoin_agg(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+
+
+def test_pricing_summary_scan_prunes_unused_measures(spark, sf_dir):
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(R.pricing_summary(spark, sf_dir))
+    # l_tax, l_orderkey etc. are not referenced — they must not be read
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "l_tax" not in line and "l_orderkey" not in line
+            assert "l_quantity" in line
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(R.top_customers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_similarity_no_real_cartesian(spark, sf_dir):
+    # crossJoin against a *broadcast* 3-row query set is a
+    # BroadcastNestedLoopJoin by necessity; assert the corpus side is
+    # never shuffled into a CartesianProduct
+    from smile_spark.operators.similarity import ann_cosine_topk
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(ann_cosine_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan

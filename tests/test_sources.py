@@ -1,0 +1,38 @@
+"""Edge-list source round-trip — the reference's loadgraph file format
+(write → read → compare, like file_storage_test.cpp's golden
+round-trip)."""
+
+import os
+
+import pytest
+
+from smile_spark.operators.graph import edges
+from smile_spark.sources.edge_list import read_edge_list, write_edge_list
+
+
+def test_edge_list_roundtrip(spark, sf_dir, tmp_path):
+    e = edges(spark, sf_dir)
+    path = os.path.join(tmp_path, "graph.txt")
+    write_edge_list(e, path)
+    back = read_edge_list(spark, path)
+    assert back.count() == e.count()
+    assert back.exceptAll(e).count() == 0
+    assert e.exceptAll(back).count() == 0
+
+
+def test_edge_list_header_validation(spark, tmp_path):
+    path = os.path.join(tmp_path, "bad.txt")
+    with open(path, "w") as f:
+        f.write("3 99\n1 2\n2 3\n")  # header lies about edge count
+    with pytest.raises(ValueError, match="declares 99"):
+        read_edge_list(spark, path)
+
+
+def test_edge_list_header_collision(spark, tmp_path):
+    # a data edge identical to the header pair must survive parsing
+    path = os.path.join(tmp_path, "coll.txt")
+    with open(path, "w") as f:
+        f.write("2 3\n1 2\n2 3\n2 4\n")  # edge (2,3) == header values
+    e = read_edge_list(spark, path, validate=False)
+    rows = sorted((r.src, r.dst) for r in e.collect())
+    assert rows == [(1, 2), (2, 3), (2, 4)]
