@@ -39,8 +39,22 @@ SIMHASH_BITS = 32
 
 # --- shared Spark/DuckDB expression fragments (single source of truth) ---
 
-# min-hash of one shingle under seed i: 8 hex chars of md5("<i>:<sh>")
-MINHASH_EXPR = "substr(md5(concat(cast({seed} as string), ':', sh)), 1, 8)"
+# MinHash scheme: ONE 32-bit base hash per shingle (first 8 hex chars of
+# md5), then N_HASHES cheap linear permutations h_i = (a_i*h0 + b_i) mod
+# 2^32.  One md5 per shingle instead of N_HASHES — the md5 is the CPU
+# cost at scale.  Constants are fixed odd multipliers < 2^30 so
+# a_i*h0 + b_i < 2^63 (no BIGINT overflow in either engine).
+MINHASH_MOD = 2**32
+MINHASH_A = [((2654435761 * (i + 1)) % 2**30) | 1 for i in range(N_HASHES)]
+MINHASH_B = [(40503 * 65537 * (i + 1)) % MINHASH_MOD for i in range(N_HASHES)]
+
+# engine-specific hex→int on the md5 prefix; everything after is shared
+MINHASH_BASE_SPARK = "cast(conv(substr(md5(sh), 1, 8), 16, 10) as bigint)"
+MINHASH_BASE_DUCK = "(('0x' || substr(md5(sh), 1, 8))::BIGINT)"
+
+
+def _minhash_perm(i: int, h0: str = "h0") -> str:
+    return f"(({MINHASH_A[i]} * {h0} + {MINHASH_B[i]}) % {MINHASH_MOD})"
 
 # 4-bit nibble value of hex char at position p of an 8-char hash
 _NIBBLE = "(instr('0123456789abcdef', substr(h, {p}, 1)) - 1)"
@@ -192,30 +206,48 @@ def _shingles(docs: DataFrame) -> DataFrame:
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-hash MinHash signature per document over char-12 shingles.
 
-    One wide aggregate: (doc, seed, hash) → 16 conditional MINs in a
-    single shuffle.  Hex-string min == numeric min (fixed width), so
-    the signature is engine-independent.
+    Scale shape: ONE md5 per shingle row (the CPU cost), 16 linear
+    permutations of it as NUMERIC columns (no seed cross-join — 16×
+    less pre-shuffle data), and the signature is 16 numeric MINs in
+    ONE hash aggregate.  Numeric buffers keep Spark in
+    HashAggregateExec (string MIN buffers are immutable in UnsafeRow
+    and fall back to a spilling SortAggregate — observed OOMing at
+    sf0.1).  Hex formatting is applied after the aggregate; the DuckDB
+    oracle runs the identical arithmetic, so values match
+    bit-for-bit.
     """
     docs = table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    seeds = spark.range(N_HASHES).select(F.col("id").alias("seed"))
-    hashed = sh.crossJoin(seeds).select(
-        "doc_id", "seed", F.expr(MINHASH_EXPR.format(seed="seed")).alias("h")
+    hashed = sh.select(
+        "doc_id", F.expr(MINHASH_BASE_SPARK).alias("h0")
+    ).select(
+        "doc_id",
+        *[F.expr(_minhash_perm(i)).alias(f"h{i}") for i in range(N_HASHES)],
     )
-    aggs = [
-        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"m{i}")
-        for i in range(N_HASHES)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"n{i}") for i in range(N_HASHES)]
+    )
+    return sig.select(
+        "doc_id",
+        *[
+            F.format_string("%08x", F.col(f"n{i}")).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ],
+    )
 
 
 def _minhash_sql_core() -> str:
-    """Shared CTE prefix: toks + per-doc signature columns m0..m15."""
-    mins = ", ".join(
-        f"MIN(CASE WHEN seed = {i} THEN h END) AS m{i}"
-        for i in range(N_HASHES)
+    """Shared CTE prefix: toks + per-doc signature columns m0..m15.
+
+    Mirrors the Spark plan exactly: one md5 per shingle, 16 linear
+    permutations, numeric MIN, printf('%08x') formatting.
+    """
+    perms = ", ".join(
+        f"MIN({_minhash_perm(i)}) AS n{i}" for i in range(N_HASHES)
     )
-    h_expr = MINHASH_EXPR.format(seed="seed")
+    fmts = ", ".join(
+        f"printf('%08x', n{i}) AS m{i}" for i in range(N_HASHES)
+    )
     return (
         "WITH pos AS ("
         "  SELECT doc_id, text, unnest(generate_series(1,"
@@ -224,10 +256,9 @@ def _minhash_sql_core() -> str:
         " toks AS (SELECT DISTINCT doc_id,"
         f"  substr(text, i, {SHINGLE_K}) AS sh FROM pos),"
         " hashed AS ("
-        f"  SELECT doc_id, seed, {h_expr} AS h"
-        "  FROM toks, (SELECT range AS seed FROM range"
-        f"({N_HASHES})) s),"
-        f" sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)"
+        f"  SELECT doc_id, {MINHASH_BASE_DUCK} AS h0 FROM toks),"
+        f" nsig AS (SELECT doc_id, {perms} FROM hashed GROUP BY doc_id),"
+        f" sig AS (SELECT doc_id, {fmts} FROM nsig)"
     )
 
 

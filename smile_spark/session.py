@@ -46,6 +46,12 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.ui.enabled": "false",
 }
 
+# local[*] runs driver+executors in ONE JVM whose heap defaults to 1g —
+# 32 concurrent tasks OOM in any spilling sort/agg at sf0.1.  Size the
+# heap to the machine (cluster deployments set executor memory via
+# spark-submit instead; this only applies when WE launch the JVM).
+_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "64g")
+
 
 def get_spark(
     app_name: str = "smile-spark",
@@ -67,6 +73,11 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(_DEFAULT_CONFS)
+    if master.startswith("local"):
+        # Must be set before the JVM starts; no-op via .config on an
+        # already-running session (getOrCreate reuses it then).
+        confs["spark.driver.memory"] = _DRIVER_MEMORY
+        confs["spark.driver.maxResultSize"] = "4g"
     if shuffle_partitions is None:
         try:
             par = int(cpus) if cpus else os.cpu_count() or 8
