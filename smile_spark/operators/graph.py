@@ -222,6 +222,8 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # Carry the changed flag through the same pass so convergence is
+        # a filter over the checkpointed result, not a second join.
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -229,14 +231,13 @@ def connected_components(
                 F.least(
                     "component", F.coalesce("nbr_component", "component")
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_component", "component") < F.col("component")
+                ).alias("changed"),
             )
         ).localCheckpoint()
-        converged = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") != F.col("old"))
-            .isEmpty()
-        )
-        labels = new_labels
+        converged = new_labels.filter("changed").isEmpty()
+        labels = new_labels.select("id", "component")
         if converged:
             break
     return labels
