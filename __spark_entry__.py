@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashjoin_agg": R.hashjoin_agg,
         "projection": R.projection,
         "casts_parse": R.casts_parse,
+        "timestamp_filter": R.timestamp_filter,
         "datagen": R.datagen,
         # --- capability demos licensed by SURVEY.md §2.2 ---
         "pricing_summary": R.pricing_summary,
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": D.minhash_signature,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "simhash": D.simhash,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
         # --- north-star: text analysis ---
         "text_stats": T.text_stats,
         "token_count": T.token_count,
@@ -120,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
             " event_type = 'purchase' AS is_purchase"
             " FROM events"
         ),
+        "timestamp_filter": R.TIMESTAMP_FILTER_SQL,
         "datagen": (
             "SELECT range AS id,"
             " CAST((range * 2654435761) % 4294967296 % 256 AS INT) AS val"
@@ -233,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": D.minhash_signature_sql(),
         "dedup_minhash_lsh": D.dedup_minhash_lsh_sql(),
         "simhash": D.simhash_sql(),
+        "dedup_embedding_cosine": D.dedup_embedding_cosine_sql(),
         "text_stats": T.TEXT_STATS_SQL,
         "token_count": T.TOKEN_COUNT_SQL,
         "lang_id": T.lang_id_sql(),

@@ -184,23 +184,27 @@ NGRAM_JACCARD_SQL = (
 # ---------------------------------------------------------------------------
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, sh) character-K shingles; short docs yield
-    their whole text as the single shingle."""
-    return (
-        docs.select(
-            "doc_id",
-            "text",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("text") - (SHINGLE_K - 1), F.lit(1)),
-                )
-            ).alias("i"),
-        )
-        .select("doc_id", F.expr(f"substr(text, i, {SHINGLE_K})").alias("sh"))
-        .distinct()
-    )
+def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, sh) character-K shingles; short docs yield their whole
+    text as the single shingle.
+
+    ``distinct=True`` gives SET semantics (required for Jaccard sizes /
+    intersections) at the cost of a full shuffle of the exploded
+    corpus.  Pass ``distinct=False`` where the consumer is
+    duplicate-insensitive (MIN aggregation) — that turns the whole
+    shingle stage into a narrow map with no exchange.
+    """
+    sh = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("text") - (SHINGLE_K - 1), F.lit(1)),
+            )
+        ).alias("i"),
+    ).select("doc_id", F.expr(f"substr(text, i, {SHINGLE_K})").alias("sh"))
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,7 +221,9 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    # MIN is duplicate-insensitive → skip the distinct's shuffle; the
+    # only exchange in this plan is the final groupBy(doc_id).
+    sh = _shingles(docs, distinct=False)
     hashed = sh.select(
         "doc_id", F.expr(MINHASH_BASE_SPARK).alias("h0")
     ).select(
@@ -298,8 +304,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("a"), "sh")
     sb = sh.select(F.col("doc_id").alias("b"), "sh")
+    # LSH's whole point is that cand is tiny relative to the corpus —
+    # broadcast it so the expensive shingle table never shuffles on the
+    # pair keys; the only exchange is the (b, sh) equi-join.
     inter = (
-        cand.join(sa, "a")
+        F.broadcast(cand)
+        .join(sa, "a")
         .join(sb.withColumnRenamed("sh", "sh_b"), "b")
         .filter(F.col("sh") == F.col("sh_b"))
         .groupBy("a", "b")
@@ -349,6 +359,79 @@ def dedup_minhash_lsh_sql() -> str:
         "  JOIN sizes sb ON sb.doc_id = i.b"
         f" WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)"
         f"  >= {LSH_VERIFY_THRESHOLD}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+NEARDUP_QUANT_BITS = 8      # sign-quantization bucket width
+# Real corpora use ~0.9; the synthetic gaussian fixture's same-bucket
+# cosines top out near 0.5, so the demo threshold sits where the
+# fixture produces a non-trivial result set.
+NEARDUP_COS_THRESHOLD = 0.25
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, cross-join-free.
+
+    Blocking = sign quantization of the first 8 components (a fixed-
+    hyperplane LSH: axis-aligned hyperplanes): vectors agreeing on all
+    8 signs share a bucket, candidates are same-bucket pairs, and the
+    exact cosine verify runs on candidates only.  At 100 TB this is
+    one shuffle on an int bucket key (2^8 cells, widen bits for bigger
+    corpora) — the same candidate-then-verify shape as MinHash-LSH,
+    over vectors instead of shingles.
+    Returns (a, b, cos_r) with cosine rounded to 6 digits.
+    """
+    from smile_spark.operators.similarity import _dot, _norm, _vectors
+
+    emb = _vectors(spark, sf_dir)
+    bucket = sum(
+        F.when(F.element_at("v", j + 1) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        for j in range(NEARDUP_QUANT_BITS)
+    )
+    b = emb.select("vec_id", "v", bucket.alias("bucket"))
+    ba = b.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
+    bb = b.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
+    pairs = ba.join(bb, "bucket").filter(F.col("a") < F.col("b"))
+    return (
+        pairs.select(
+            "a",
+            "b",
+            F.round(
+                _dot("va", "vb") / (_norm("va") * _norm("vb")), 6
+            ).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= NEARDUP_COS_THRESHOLD)
+    )
+
+
+def dedup_embedding_cosine_sql() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN v[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)"
+        for j in range(NEARDUP_QUANT_BITS)
+    )
+    cos = (
+        "list_reduce(list_transform(generate_series(1, 64),"
+        " i -> ba.v[i] * bb.v[i]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(ba.v, x -> x * x),"
+        " (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(bb.v, x -> x * x),"
+        " (x, y) -> x + y)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),"
+        f" b AS (SELECT vec_id, v, {bits} AS bucket FROM e),"
+        " scored AS (SELECT ba.vec_id AS a, bb.vec_id AS b,"
+        f"  ROUND({cos}, 6) AS cos_r"
+        "  FROM b ba JOIN b bb ON ba.bucket = bb.bucket"
+        "   AND ba.vec_id < bb.vec_id)"
+        " SELECT a, b, cos_r FROM scored"
+        f" WHERE cos_r >= {NEARDUP_COS_THRESHOLD}"
     )
 
 

@@ -183,6 +183,48 @@ def casts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F2 — timestamp comparisons
+# ---------------------------------------------------------------------------
+
+
+def timestamp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp comparison semantics over a range predicate.
+
+    Reference: ``timestamp`` wraps u64 seconds with comparison
+    operators, and ``operator>=`` is buggily implemented as ``<=``
+    (/root/reference/src/base/types.h:24-46, SURVEY.md §1.2) — we
+    implement the *intended* semantics on native TimestampType.  The
+    range predicate is sargable, so it pushes into the parquet reader
+    (min/max row-group pruning — what partition pruning looks like on
+    a time-partitioned 100 TB table).
+    """
+    ev = table(spark, sf_dir, "events")
+    lo = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+TIMESTAMP_FILTER_SQL = (
+    # µs-truncate: Spark reads the ns fixture at µs resolution.
+    "WITH e AS (SELECT event_type,"
+    " date_trunc('microseconds', ts) AS ts FROM events)"
+    " SELECT event_type, COUNT(*) AS cnt,"
+    " MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM e"
+    " WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'"
+    " AND ts < TIMESTAMP '2024-01-15 00:00:00'"
+    " GROUP BY event_type"
+)
+
+
+# ---------------------------------------------------------------------------
 # A1 — datagen
 # ---------------------------------------------------------------------------
 
