@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metadata": G.graph_metadata,
         "graph_check": G.graph_check,
         "bfs": G.bfs,
+        "sssp": G.sssp,
         "connected_components": G.connected_components,
         # --- north-star: dedup family ---
         "dedup_exact": D.dedup_exact,
@@ -216,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, id, MIN(dist) AS dist FROM walk"
             " GROUP BY source, id"
         ),
+        "sssp": G.sssp_sql(),
         "connected_components": (
             "WITH RECURSIVE e AS ("
             "  SELECT o_custkey AS src, 100000 + o_orderkey AS dst FROM orders"

@@ -33,8 +33,13 @@ from smile_spark.tables import table
 # Offset keeping order-node ids disjoint from customer-node ids
 # (FIXTURES.md §3: the derived deterministic edge view).
 NODE_OFFSET = 100_000
+# nation-node ids live in a third disjoint range
+NATION_OFFSET = 200_000
 
 BFS_SOURCES = (1, 7, 42)
+# Bellman-Ford rounds for sssp — relaxation over paths of ≤ k edges;
+# mirrored exactly by the oracle's hop-capped recursion.
+SSSP_ROUNDS = 4
 
 
 def edges(
@@ -190,6 +195,100 @@ def bfs(
     exist in the bipartite fixture graph."""
     e = edges(spark, sf_dir, undirected=True)
     return bfs_frontier(spark, e, sources, max_iter)
+
+
+def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted undirected edge view for routing queries.
+
+    customer↔order edges (weight from the order key) plus
+    customer↔nation edges (weight from the customer key) — the nation
+    hubs connect customers into per-nation components so shortest
+    paths are genuinely multi-hop.  Integer weights keep distance
+    arithmetic exact across engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    co = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(NODE_OFFSET) + F.col("o_orderkey")).alias("dst"),
+        (F.col("o_orderkey") % 97 + 1).cast("bigint").alias("w"),
+    )
+    cn = c.select(
+        F.col("c_custkey").alias("src"),
+        (F.lit(NATION_OFFSET) + F.col("c_nationkey")).alias("dst"),
+        (F.col("c_custkey") % 53 + 1).cast("bigint").alias("w"),
+    )
+    e = co.union(cn)
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+
+
+def sssp(
+    spark: SparkSession,
+    sf_dir: str,
+    sources: Sequence[int] = BFS_SOURCES,
+    rounds: int = SSSP_ROUNDS,
+) -> DataFrame:
+    """Weighted single-source shortest paths (multi-source, routing).
+
+    The reference's README promises "graph database for routing" but
+    ships only BFS (SURVEY.md §2.2); this supplies the weighted
+    traversal.  Pregel/Bellman-Ford shape: each round relaxes every
+    known distance across all edges (one join), takes the per-node MIN
+    (one aggregate), and merges with the current state — after k
+    rounds distances are exact over all paths of ≤ k edges, which is
+    what the hop-capped recursive oracle computes.  Fixing the round
+    count (vs. converging) keeps cross-engine semantics exact; at
+    scale you'd iterate to fixpoint with the same per-round plan.
+    Returns (source, id, dist).
+    """
+    e = weighted_edges(spark, sf_dir).localCheckpoint()
+    dist = (
+        spark.createDataFrame([(int(s),) for s in sources], "source bigint")
+        .select("source", F.col("source").alias("id"), F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist.id == e.src)
+            .select("source", F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def sssp_sql() -> str:
+    return (
+        "WITH RECURSIVE e AS ("
+        "  SELECT o_custkey AS src, 100000 + o_orderkey AS dst,"
+        "   CAST(o_orderkey % 97 + 1 AS BIGINT) AS w FROM orders"
+        "  UNION ALL"
+        "  SELECT 100000 + o_orderkey, o_custkey,"
+        "   CAST(o_orderkey % 97 + 1 AS BIGINT) FROM orders"
+        "  UNION ALL"
+        "  SELECT c_custkey, 200000 + c_nationkey,"
+        "   CAST(c_custkey % 53 + 1 AS BIGINT) FROM customer"
+        "  UNION ALL"
+        "  SELECT 200000 + c_nationkey, c_custkey,"
+        "   CAST(c_custkey % 53 + 1 AS BIGINT) FROM customer"
+        "),"
+        " walk(source, id, dist, hops) AS ("
+        "  SELECT CAST(s.source AS BIGINT), CAST(s.source AS BIGINT),"
+        "   CAST(0 AS BIGINT), 0"
+        "  FROM (VALUES (1), (7), (42)) s(source)"
+        "  UNION"
+        "  SELECT w.source, e.dst, w.dist + e.w, w.hops + 1"
+        f"  FROM walk w JOIN e ON e.src = w.id WHERE w.hops < {SSSP_ROUNDS}"
+        ") "
+        "SELECT source, id, MIN(dist) AS dist FROM walk"
+        " GROUP BY source, id"
+    )
 
 
 def connected_components(

@@ -78,6 +78,9 @@ def get_spark(
         # already-running session (getOrCreate reuses it then).
         confs["spark.driver.memory"] = _DRIVER_MEMORY
         confs["spark.driver.maxResultSize"] = "4g"
+        # G1 keeps pause times sane on a multi-ten-GB heap; the default
+        # collector's full GCs show up as multi-second timing outliers.
+        confs["spark.driver.extraJavaOptions"] = "-XX:+UseG1GC"
     if shuffle_partitions is None:
         try:
             par = int(cpus) if cpus else os.cpu_count() or 8

@@ -60,3 +60,31 @@ def test_similarity_no_real_cartesian(spark, sf_dir):
 
     plan = formatted_plan(ann_cosine_topk(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_timestamp_filter_pushdown(spark, sf_dir):
+    df = R.timestamp_filter(spark, sf_dir)
+    assert_pushed_filters(df, "ts")
+    assert_partial_aggregation(df)
+
+
+def test_dedup_exact_partial_aggregation(spark, sf_dir):
+    from smile_spark.operators.dedup import dedup_exact
+
+    assert_partial_aggregation(dedup_exact(spark, sf_dir))
+
+
+def test_minhash_hash_aggregates_not_sort(spark, sf_dir):
+    # string MIN buffers would silently fall back to a spilling
+    # SortAggregate (the sf0.1 OOM); signatures must stay numeric
+    from smile_spark.operators.dedup import minhash_signature
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(minhash_signature(spark, sf_dir))
+    assert "SortAggregate" not in plan, plan
+
+
+def test_embedding_cosine_no_cartesian(spark, sf_dir):
+    from smile_spark.operators.dedup import dedup_embedding_cosine
+
+    assert_no_cartesian(dedup_embedding_cosine(spark, sf_dir))
