@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": R.top_customers,
         "window_rank": R.window_rank,
         "set_ops": R.set_ops,
+        "join_variants": R.join_variants,
+        "rollup_summary": R.rollup_summary,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
         "graph_load": G.graph_load,
         "graph_metadata": G.graph_metadata,
@@ -176,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
             "  (SELECT COUNT(*) FROM (SELECT ck FROM a EXCEPT"
             "                         SELECT ck FROM b)) AS n_except"
         ),
+        "join_variants": R.JOIN_VARIANTS_SQL,
+        "rollup_summary": R.ROLLUP_SQL,
         "graph_load": (
             "WITH e AS (SELECT o_custkey AS src, 100000 + o_orderkey AS dst"
             "           FROM orders),"

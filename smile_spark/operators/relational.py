@@ -321,6 +321,85 @@ def window_rank(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi / anti / outer join family in one summary row.
+
+    The reference implements exactly one join (J1's inner hash
+    equi-join); semi/anti/outer come free from the same hash-join
+    machinery in Spark (SURVEY.md §2.2), and the anti join is the
+    shape its graph integrity check hand-rolls.  Each leg broadcasts
+    the filtered customer side; counts summarize so one row proves all
+    four semantics.
+    """
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    rich = F.broadcast(
+        customer.filter(F.col("c_acctbal") > 5000).select(
+            F.col("c_custkey").alias("key")
+        )
+    )
+    o = orders.select(F.col("o_custkey").alias("key"))
+    n_semi = o.join(rich, "key", "semi").agg(F.count(F.lit(1)).alias("n_semi"))
+    n_anti = o.join(rich, "key", "anti").agg(F.count(F.lit(1)).alias("n_anti"))
+    outer = customer.select(F.col("c_custkey").alias("key")).join(
+        o.groupBy("key").agg(F.count(F.lit(1)).alias("n_ord")), "key", "left"
+    )
+    n_outer_null = outer.filter(F.col("n_ord").isNull()).agg(
+        F.count(F.lit(1)).alias("n_customers_without_orders")
+    )
+    return n_semi.crossJoin(n_anti).crossJoin(n_outer_null)
+
+
+JOIN_VARIANTS_SQL = (
+    "WITH rich AS (SELECT c_custkey AS key FROM customer"
+    " WHERE c_acctbal > 5000),"
+    " o AS (SELECT o_custkey AS key FROM orders)"
+    " SELECT"
+    " (SELECT COUNT(*) FROM o WHERE key IN (SELECT key FROM rich))"
+    "  AS n_semi,"
+    " (SELECT COUNT(*) FROM o WHERE key NOT IN (SELECT key FROM rich))"
+    "  AS n_anti,"
+    " (SELECT COUNT(*) FROM customer c LEFT JOIN"
+    "  (SELECT key, COUNT(*) AS n_ord FROM o GROUP BY key) t"
+    "  ON c.c_custkey = t.key WHERE t.n_ord IS NULL)"
+    "  AS n_customers_without_orders"
+)
+
+
+def rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (grouping-set family).
+
+    Absent from the reference (SURVEY.md §2.2 — no grouping sets/
+    cube/rollup); in Spark the rollup is a single pass whose partial
+    aggregates feed every grouping level, vs. one scan per level done
+    naively.  NULL group markers are made explicit strings so the
+    cross-engine hash is well-defined.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "cnt",
+            "sum_price",
+        )
+    )
+
+
+ROLLUP_SQL = (
+    "SELECT COALESCE(o_orderstatus, '(all)') AS status,"
+    " COALESCE(o_orderpriority, '(all)') AS priority,"
+    " COUNT(*) AS cnt,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"
+    " FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+)
+
+
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (union / intersect / except) as one summary row.
 

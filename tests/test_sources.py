@@ -36,3 +36,46 @@ def test_edge_list_header_collision(spark, tmp_path):
     e = read_edge_list(spark, path, validate=False)
     rows = sorted((r.src, r.dst) for r in e.collect())
     assert rows == [(1, 2), (2, 3), (2, 4)]
+
+
+# --- property-based round-trip (hypothesis) -------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edge_pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),
+                st.integers(min_value=0, max_value=50),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_edge_list_roundtrip_property(spark, tmp_path, edge_pairs):
+        """Any small edge multiset must survive write→read unchanged —
+        including duplicate edges, self-loops, and pairs that collide
+        with the header line."""
+        import collections
+
+        path = os.path.join(tmp_path, f"prop-{abs(hash(tuple(edge_pairs)))}.txt")
+        df = spark.createDataFrame(edge_pairs, "src bigint, dst bigint")
+        write_edge_list(df, path)
+        back = read_edge_list(spark, path)
+        got = collections.Counter((r.src, r.dst) for r in back.collect())
+        want = collections.Counter(edge_pairs)
+        assert got == want
