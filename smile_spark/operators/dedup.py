@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smile_spark.tables import table
+from smile_spark.tables import fan_out, table
 
 SHINGLE_K = 12          # character shingle width
 N_HASHES = 16           # minhash signature length
@@ -194,7 +194,7 @@ def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
     duplicate-insensitive (MIN aggregation) — that turns the whole
     shingle stage into a narrow map with no exchange.
     """
-    sh = docs.select(
+    sh = fan_out(docs).select(
         "doc_id",
         "text",
         F.explode(
@@ -283,15 +283,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify runs on the candidate set only.
     """
     sig = minhash_signature(spark, sf_dir)
-    bands = None
-    for b in range(N_BANDS):
-        cols = ",".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        part = sig.select(
-            "doc_id",
+    # All bands from ONE pass over the signature (a per-band union
+    # would recompute the signature aggregate once per band), then
+    # materialize: the band table is tiny (#docs × N_BANDS rows) and
+    # feeds both sides of the candidate self-join — at scale this is
+    # the signature table you'd persist anyway.
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
-            F.expr(f"md5(concat({cols}))").alias("bkey"),
+            F.expr(
+                "md5(concat("
+                + ",".join(
+                    f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+                )
+                + "))"
+            ).alias("bkey"),
         )
-        bands = part if bands is None else bands.union(part)
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    ).localCheckpoint()
     ba = bands.select(F.col("doc_id").alias("a"), "band", "bkey")
     bb = bands.select(F.col("doc_id").alias("b"), "band", "bkey")
     cand = (
@@ -300,7 +314,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    sh = _shingles(table(spark, sf_dir, "documents"))
+    # The distinct shingle set feeds three consumers (sizes, both join
+    # sides); checkpoint so the explode+distinct runs once, not thrice.
+    sh = _shingles(table(spark, sf_dir, "documents")).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("a"), "sh")
     sb = sh.select(F.col("doc_id").alias("b"), "sh")

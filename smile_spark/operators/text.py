@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smile_spark.tables import table
+from smile_spark.tables import fan_out, table
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
@@ -172,7 +172,8 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash (Rabin-Karp-style, base 31 mod 1e9+7) computed as a fold over
     character codes — the per-char loop stays JVM-side via the
     higher-order ``aggregate`` expression, no Python in the path."""
-    docs = table(spark, sf_dir, "documents")
+    # per-char fold = ~300× expansion in work per row; partition for it
+    docs = fan_out(table(spark, sf_dir, "documents"))
     roll = (
         "aggregate(sequence(1, length(text)), cast(0 as bigint),"
         f" (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % {ROLLING_MOD})"

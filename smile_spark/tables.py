@@ -59,6 +59,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition a compact input ahead of a high-expansion stage.
+
+    Spark sizes scan partitions by INPUT bytes (``maxPartitionBytes``),
+    so a few-MB table lands in one partition — and any explode /
+    per-char fold / per-row hashing downstream runs on ONE core no
+    matter how wide the cluster.  When a stage expands data ~100×+
+    (character shingling, token explosion, rolling hashes), partition
+    for the post-expansion volume: shuffle the small input (cheap by
+    premise) across the full parallelism first.  At 100 TB the same
+    rule holds per-file: fan-out stages need partition counts sized to
+    their OUTPUT.
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(partitions)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table; keys are table names."""
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
