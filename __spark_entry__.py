@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": R.set_ops,
         "join_variants": R.join_variants,
         "rollup_summary": R.rollup_summary,
+        "sql_order_priority": R.sql_order_priority,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
         "graph_load": G.graph_load,
         "graph_metadata": G.graph_metadata,
@@ -180,6 +181,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "join_variants": R.JOIN_VARIANTS_SQL,
         "rollup_summary": R.ROLLUP_SQL,
+        # same text runs on both engines — dialect portability IS the check
+        "sql_order_priority": R.SQL_ORDER_PRIORITY,
         "graph_load": (
             "WITH e AS (SELECT o_custkey AS src, 100000 + o_orderkey AS dst"
             "           FROM orders),"

@@ -225,6 +225,38 @@ TIMESTAMP_FILTER_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# SQL surface — the same engine through spark.sql
+# ---------------------------------------------------------------------------
+
+# One SQL text, two engines: runs verbatim under Spark SQL *and* DuckDB
+# (the portable dialect subset), over identically-named views.
+SQL_ORDER_PRIORITY = (
+    "SELECT o_orderpriority,"
+    " COUNT(*) AS n_orders,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+    "  AS sum_price"
+    " FROM orders"
+    " WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"
+    " GROUP BY o_orderpriority"
+)
+
+
+def sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textual SQL interface: catalog views + ``spark.sql``.
+
+    The reference has no SQL layer at all (SURVEY.md §0) — every query
+    is a hand-written C++ loop.  Here the engine's registered views
+    make the whole fixture schema addressable from SQL, and the SAME
+    query text runs on Spark and on the DuckDB oracle — dialect
+    portability is the correctness check.
+    """
+    from smile_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_ORDER_PRIORITY)
+
+
+# ---------------------------------------------------------------------------
 # A1 — datagen
 # ---------------------------------------------------------------------------
 
