@@ -148,11 +148,15 @@ def ngram_jaccard_topk(
             ).alias("jaccard"),
         )
     )
+    # Global top-k via orderBy+limit → TakeOrderedAndProject: every
+    # partition keeps its local k, the driver merges k rows.  A global
+    # row_number window would instead sort ALL pairs in one partition —
+    # the classic non-scalable top-k.  The rank is attached afterwards
+    # on the k-row result, where a window is free.
+    top = jacc.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(k)
     w = Window.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
-    return (
-        jacc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("a", "b", "jaccard", "rn")
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "a", "b", "jaccard", "rn"
     )
 
 
