@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_check": G.graph_check,
         "bfs": G.bfs,
         "sssp": G.sssp,
+        "pagerank": G.pagerank,
         "connected_components": G.connected_components,
         # --- north-star: dedup family ---
         "dedup_exact": D.dedup_exact,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY source, id"
         ),
         "sssp": G.sssp_sql(),
+        "pagerank": G.pagerank_sql(),
         "connected_components": (
             "WITH RECURSIVE e AS ("
             "  SELECT o_custkey AS src, 100000 + o_orderkey AS dst FROM orders"

@@ -291,6 +291,100 @@ def sssp_sql() -> str:
     )
 
 
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+PAGERANK_ROUND = 8
+
+
+def pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """PageRank over the undirected edge view (simplified: no dangling-
+    mass redistribution — nodes without out-edges absorb rank, and the
+    oracle does the same).
+
+    Pregel shape per iteration: contributions = rank/degree pushed
+    along edges (one join), summed per destination (one aggregate),
+    then the damping update.  Ranks are ROUNDED to 8 digits at every
+    iteration boundary in BOTH engines, so floating-point summation-
+    order drift can never accumulate across iterations — the technique
+    that makes an iterative float algorithm bit-comparable
+    cross-engine.  Fixed iteration count (vs. convergence) for the
+    same reason as sssp.  Returns (id, pr).
+    """
+    e = edges(spark, sf_dir, undirected=True)
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nodes = (
+        customer.select(F.col("c_custkey").alias("id"))
+        .union(
+            orders.select((F.lit(NODE_OFFSET) + F.col("o_orderkey")).alias("id"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n = float(nodes.count())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    ed = e.join(deg, "src").localCheckpoint()
+
+    pr = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iterations):
+        sums = (
+            pr.join(ed, pr.id == ed.src)
+            .select(F.col("dst").alias("id"), (F.col("pr") / F.col("d")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        pr = (
+            nodes.join(sums, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    0.15 / n + PAGERANK_DAMPING * F.coalesce("c", F.lit(0.0)),
+                    PAGERANK_ROUND,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
+def pagerank_sql() -> str:
+    """Unrolled oracle: one CTE per iteration, same rounding points."""
+    prev = "it0"
+    its = []
+    for k in range(1, PAGERANK_ITERS + 1):
+        its.append(
+            f" it{k} AS (SELECT nodes.id,"
+            f" ROUND(0.15 / n.n + {PAGERANK_DAMPING} * COALESCE(s.c, 0),"
+            f" {PAGERANK_ROUND}) AS pr"
+            " FROM nodes CROSS JOIN n LEFT JOIN ("
+            f"  SELECT ed.dst AS id, SUM({prev}.pr / ed.d) AS c"
+            f"  FROM {prev} JOIN ed ON ed.src = {prev}.id GROUP BY ed.dst"
+            " ) s ON s.id = nodes.id)"
+        )
+        prev = f"it{k}"
+    return (
+        "WITH e AS ("
+        "  SELECT o_custkey AS src, 100000 + o_orderkey AS dst FROM orders"
+        "  UNION ALL"
+        "  SELECT 100000 + o_orderkey AS src, o_custkey AS dst FROM orders"
+        "),"
+        " nodes AS (SELECT c_custkey AS id FROM customer"
+        "  UNION SELECT 100000 + o_orderkey FROM orders),"
+        " n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),"
+        " deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d"
+        "  FROM e GROUP BY src),"
+        " ed AS (SELECT e.src, e.dst, deg.d FROM e"
+        "  JOIN deg ON deg.src = e.src),"
+        " it0 AS (SELECT id, 1.0 / n.n AS pr FROM nodes CROSS JOIN n),"
+        + ",".join(its)
+        + f" SELECT id, pr FROM it{PAGERANK_ITERS}"
+    )
+
+
 def connected_components(
     spark: SparkSession, sf_dir: str, max_iter: int = 30
 ) -> DataFrame:

@@ -168,6 +168,103 @@ def ann_ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# persisted IVF index: cell-partitioned corpus + pruned probing
+# ---------------------------------------------------------------------------
+
+
+def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic centroid set (stand-in for an offline k-means)."""
+    emb = _vectors(spark, sf_dir)
+    return emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+
+def ivf_build(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Build the IVF index: assign every corpus vector to its nearest
+    centroid and persist the corpus PARTITIONED BY cell id.
+
+    This is the one-time physical investment (like bucketing for
+    joins): after it, a query probing ``nprobe`` cells reads ONLY
+    those directories — cell pruning happens in the parquet source,
+    before any vector is scored.
+    """
+    emb = _vectors(spark, sf_dir)
+    cents = _cells(spark, sf_dir)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cid",
+        (_dot("v", "cv") / (_norm("v") * _norm("cv"))).alias("sim"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(index_path)
+
+
+def ivf_search_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Probe a persisted IVF index: pick each query's ``nprobe``
+    nearest cells, scan ONLY those partitions (the cell filter is a
+    partition filter — checked in tests), score, rank.
+
+    Result-identical to the in-memory ``ann_ivf_topk`` (same centroids,
+    same probing) — asserted in tests; only the physical access path
+    differs.
+    """
+    cents = _cells(spark, sf_dir)
+    q = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "qv",
+            "cid",
+            (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
+        )
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("prn") <= nprobe)
+        .select("qid", "qv", "cid")
+    )
+    # The probed-cell set is tiny (#queries × nprobe) — collect it so
+    # the cell predicate is a LITERAL the parquet source can prune
+    # partitions with; a join would be correct but unprunable.
+    probe_cells = [r.cid for r in qcells.select("cid").distinct().collect()]
+    corpus = spark.read.parquet(index_path).filter(
+        F.col("cid").isin(probe_cells)
+    )
+    candidates = corpus.join(F.broadcast(qcells), "cid").select(
+        "qid",
+        "vec_id",
+        F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), ROUND_DIGITS).alias(
+            "cos_r"
+        ),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        candidates.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cos_r", "rn")
+    )
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label corpus statistics: count and mean L2 norm — the cheap
     sanity scan a pipeline runs before any ANN build."""

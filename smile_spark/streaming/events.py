@@ -93,6 +93,33 @@ def run_stream_to_memory(
     return df.sparkSession.table(name)
 
 
+def streaming_dedup(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` on a content hash.
+
+    The batch dedup (operators.dedup.dedup_exact) keys state by hash
+    forever; on an unbounded stream that state must be watermark-
+    bounded — duplicates arriving within the watermark window are
+    dropped, and state older than the watermark is evicted.  This is
+    the ingestion-side dedup of a training-data pipeline (the batch
+    pass remains the periodic full-corpus sweep).
+    """
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return ev.withColumn(
+        "eh",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                "event_type",
+                F.col("props"),
+            )
+        ),
+    ).dropDuplicatesWithinWatermark(["eh"])
+
+
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user running event count
     and value total via applyInPandasWithState — the escape hatch for

@@ -42,3 +42,34 @@ def test_stateful_user_totals(spark, sf_dir):
     merged = final.merge(batch, on="user_id", suffixes=("_s", "_b"))
     assert len(merged) == len(batch)
     assert (merged.n_events_s == merged.n_events_b).all()
+
+
+def test_streaming_dedup_drains_to_distinct(spark, sf_dir):
+    """All fixture data arrives within one watermark window, so the
+    drained streaming dedup must equal the batch distinct count on the
+    same content hash."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.streaming.events import streaming_dedup
+    from smile_spark.tables import table
+
+    out = run_stream_to_memory(
+        streaming_dedup(spark, sf_dir), "t_dedup", output_mode="append"
+    )
+    batch_distinct = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("user_id").cast("string"),
+                    "event_type",
+                    F.col("props"),
+                )
+            ).alias("eh")
+        )
+        .distinct()
+        .count()
+    )
+    assert out.select("eh").distinct().count() == batch_distinct
+    assert out.count() == batch_distinct
