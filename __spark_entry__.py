@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_variants": R.join_variants,
         "rollup_summary": R.rollup_summary,
         "sql_order_priority": R.sql_order_priority,
+        "agg_stats": R.agg_stats,
+        "string_functions": R.string_functions,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
         "graph_load": G.graph_load,
         "graph_metadata": G.graph_metadata,
@@ -184,6 +186,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_summary": R.ROLLUP_SQL,
         # same text runs on both engines — dialect portability IS the check
         "sql_order_priority": R.SQL_ORDER_PRIORITY,
+        "agg_stats": R.AGG_STATS_SQL,
+        "string_functions": R.STRING_FUNCTIONS_SQL,
         "graph_load": (
             "WITH e AS (SELECT o_custkey AS src, 100000 + o_orderkey AS dst"
             "           FROM orders),"

@@ -224,6 +224,75 @@ TIMESTAMP_FILTER_SQL = (
 )
 
 
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scalar-aggregate family: MIN / MAX / AVG / COUNT DISTINCT.
+
+    The reference implements only COUNT and SUM (SURVEY.md §2.2); the
+    rest come from the same partial/final hash-aggregate machinery.
+    COUNT DISTINCT is the interesting one at scale: Spark expands it
+    to a two-level aggregate (distinct (group, key) first, then count
+    per group) — shuffle bounded by distinct pairs, not rows.  MIN/MAX
+    on doubles are order-insensitive so they hash-match the oracle
+    without decimal accumulation; AVG goes through exact DECIMAL.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_extendedprice", "avg_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+AGG_STATS_SQL = (
+    "SELECT l_returnflag,"
+    " MIN(l_extendedprice) AS min_price,"
+    " MAX(l_extendedprice) AS max_price,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    "  / COUNT(l_extendedprice) AS avg_price,"
+    " COUNT(DISTINCT l_suppkey) AS n_suppliers,"
+    " COUNT(*) AS cnt"
+    " FROM lineitem GROUP BY l_returnflag"
+)
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface over part names (the reference has no
+    string functions at all, SURVEY.md §2.2).  Dialect-portable subset:
+    case mapping, length, substring, concat, trim, replace, position,
+    LIKE-style matching.  All row-parallel codegen expressions — zero
+    shuffle."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        (F.instr("p_name", "a") > 0).alias("has_a"),
+        F.col("p_name").like("%steel%").alias("is_steel"),
+    )
+
+
+STRING_FUNCTIONS_SQL = (
+    "SELECT p_partkey,"
+    " UPPER(p_name) AS name_upper,"
+    " LOWER(p_brand) AS brand_lower,"
+    " CAST(LENGTH(p_name) AS BIGINT) AS name_len,"
+    " SUBSTRING(p_name, 1, 5) AS name_head,"
+    " CONCAT_WS('-', p_brand, p_type) AS brand_type,"
+    " TRIM(p_name) AS name_trim,"
+    " REPLACE(p_type, ' ', '_') AS type_snake,"
+    " POSITION('a' IN p_name) > 0 AS has_a,"
+    " p_name LIKE '%steel%' AS is_steel"
+    " FROM part"
+)
+
+
 # ---------------------------------------------------------------------------
 # SQL surface — the same engine through spark.sql
 # ---------------------------------------------------------------------------
