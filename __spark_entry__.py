@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from smile_spark.operators import asof as A
 from smile_spark.operators import dedup as D
 from smile_spark.operators import multimodal as M
 from smile_spark.operators import graph as G
@@ -54,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_order_priority": R.sql_order_priority,
         "agg_stats": R.agg_stats,
         "string_functions": R.string_functions,
+        "asof_latest_order": A.asof_latest_order,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
         "graph_load": G.graph_load,
         "graph_metadata": G.graph_metadata,
@@ -188,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_order_priority": R.SQL_ORDER_PRIORITY,
         "agg_stats": R.AGG_STATS_SQL,
         "string_functions": R.STRING_FUNCTIONS_SQL,
+        "asof_latest_order": A.ASOF_LATEST_ORDER_SQL,
         "graph_load": (
             "WITH e AS (SELECT o_custkey AS src, 100000 + o_orderkey AS dst"
             "           FROM orders),"
