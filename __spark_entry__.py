@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats": R.agg_stats,
         "string_functions": R.string_functions,
         "asof_latest_order": A.asof_latest_order,
+        "range_join_recent_events": A.range_join_recent_events,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
         "graph_load": G.graph_load,
         "graph_metadata": G.graph_metadata,
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_stats": R.AGG_STATS_SQL,
         "string_functions": R.STRING_FUNCTIONS_SQL,
         "asof_latest_order": A.ASOF_LATEST_ORDER_SQL,
+        "range_join_recent_events": A.RANGE_JOIN_SQL,
         "graph_load": (
             "WITH e AS (SELECT o_custkey AS src, 100000 + o_orderkey AS dst"
             "           FROM orders),"

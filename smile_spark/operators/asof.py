@@ -113,3 +113,75 @@ ASOF_LATEST_ORDER_SQL = (
     " FROM e ASOF LEFT JOIN o"
     "  ON e.user_id = o.user_id AND e.ts >= o.odate"
 )
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join — bucketed equi-join, not a nested loop
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 hour lookback, exact µs
+
+
+def range_join_recent_events(spark, sf_dir: str) -> DataFrame:
+    """Per event: how many events of the same user occurred in the
+    strictly-preceding 1-hour window.
+
+    A naive range join (``r.ts < l.ts AND r.ts >= l.ts - 1h``) is a
+    per-key nested loop — quadratic in events-per-user.  The scalable
+    composition bucketizes time at the window width: a right row can
+    only qualify from the probe's own bucket or the one before, so the
+    probe side expands 2× into an EQUI-join on (user, bucket) and the
+    exact range predicate filters the residue.  Work is
+    O(pairs-within-±1-bucket), not O(pairs-per-user); the bucket width
+    knob trades expansion factor against residue selectivity.  All
+    arithmetic in exact integer µs.
+    """
+    from smile_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = F.lit(RANGE_JOIN_WINDOW_US)
+    left = ev.withColumn("b", F.floor(F.col("us") / w))
+    probe = left.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "us",
+        F.explode(F.array(F.col("b"), F.col("b") - 1)).alias("jb"),
+    )
+    right = left.select(
+        "user_id", F.col("us").alias("us_r"), F.col("b").alias("jb")
+    )
+    hits = (
+        probe.join(right, ["user_id", "jb"])
+        .filter(
+            (F.col("us_r") < F.col("us")) & (F.col("us_r") >= F.col("us") - w)
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+    return (
+        ev.join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce("n_recent", F.lit(0)).cast("bigint").alias("n_recent"),
+        )
+    )
+
+
+RANGE_JOIN_SQL = (
+    "WITH e AS (SELECT event_id, user_id,"
+    " date_trunc('microseconds', ts) AS ts FROM events)"
+    " SELECT l.event_id, l.user_id, l.ts,"
+    "  COUNT(r.ts) AS n_recent"
+    " FROM e l LEFT JOIN e r"
+    "  ON l.user_id = r.user_id AND r.ts < l.ts"
+    "  AND r.ts >= l.ts - INTERVAL 1 HOUR"
+    " GROUP BY 1, 2, 3"
+)
