@@ -21,6 +21,7 @@ from smile_spark.operators import multimodal as M
 from smile_spark.operators import graph as G
 from smile_spark.operators import relational as R
 from smile_spark.operators import similarity as S
+from smile_spark.operators import sketch as K
 from smile_spark.operators import text as T
 from smile_spark.operators import windows as W
 
@@ -77,12 +78,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": T.token_count,
         "lang_id": T.lang_id,
         "fingerprint": T.fingerprint,
+        "kmv_distinct_tokens": K.kmv_distinct_tokens,
         # --- north-star: similarity search ---
         "ann_cosine_topk": S.ann_cosine_topk,
         "ann_ivf_topk": S.ann_ivf_topk,  # approximate → rows-only check
         "embedding_norms": S.embedding_norms,
         # --- north-star: time windows ---
         "window_tumbling": W.window_tumbling,
+        "hypertable_daily": W.hypertable_daily,
         "window_sliding": W.window_sliding,
         "window_session": W.window_session,
         # --- north-star: multimodal columns (pandas-UDF plumbing) ---
@@ -261,11 +264,16 @@ def oracle_sql() -> dict[str, str]:
         "token_count": T.TOKEN_COUNT_SQL,
         "lang_id": T.lang_id_sql(),
         "fingerprint": T.FINGERPRINT_SQL,
+        # deterministic sketch: the ESTIMATE itself is oracle-verified
+        "kmv_distinct_tokens": K.KMV_SQL,
         "ann_cosine_topk": S.ANN_COSINE_SQL,
         # ann_ivf_topk: intentionally no oracle — approximate recall by
         # design; validated against brute force in tests/test_similarity.py
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
+        # answered from the persisted hourly rollup; oracle hits raw events —
+        # parity proves the continuous-aggregate hierarchy is lossless
+        "hypertable_daily": W.HYPERTABLE_DAILY_SQL,
         "window_sliding": W.WINDOW_SLIDING_SQL,
         "window_session": W.WINDOW_SESSION_SQL,
         "multimodal_meta": M.MULTIMODAL_META_SQL,

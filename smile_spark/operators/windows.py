@@ -93,6 +93,75 @@ WINDOW_SLIDING_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# hypertable rollup — continuous-aggregate hierarchy
+# ---------------------------------------------------------------------------
+
+
+def rollup_build(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the hourly rollup of events, partitioned by date —
+    the TimescaleDB-style continuous aggregate.
+
+    Only MERGEABLE state is stored (counts and exact DECIMAL sums —
+    sum-of-sums and count-of-counts re-aggregate losslessly; averages
+    are derived at query time, never stored).  At 100 TB this table is
+    ~#hours × #types rows: coarser queries scan it instead of the raw
+    events, and the date partitioning prunes time ranges.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            F.to_date(F.col("w.start")).alias("event_date"),
+            "event_type",
+            "cnt",
+            "sum_value_dec",
+        )
+    )
+    hourly.write.mode("overwrite").partitionBy("event_date").parquet(path)
+
+
+def hypertable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type summary answered FROM THE HOURLY ROLLUP, not the
+    raw events: build (or refresh) the rollup, then merge hourly
+    states up to days.  The oracle aggregates the raw table directly —
+    parity proves the rollup hierarchy is lossless.
+    """
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="smile_hypertable_")
+    rollup_build(spark, sf_dir, path)
+    hourly = spark.read.parquet(path)
+    return (
+        hourly.groupBy("event_date", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("event_date", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+HYPERTABLE_DAILY_SQL = (
+    "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
+    " event_type, COUNT(*) AS cnt,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+    " FROM events GROUP BY 1, 2"
+)
+
+
 def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap.
 
