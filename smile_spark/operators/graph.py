@@ -322,7 +322,8 @@ def pagerank(
         .union(
             orders.select((F.lit(NODE_OFFSET) + F.col("o_orderkey")).alias("id"))
         )
-        .distinct()
+        # both legs are unique primary keys in disjoint id ranges, so
+        # the union is already a set — no dedup exchange needed
         .localCheckpoint()
     )
     n = float(nodes.count())
@@ -405,7 +406,7 @@ def connected_components(
         .union(
             orders.select((F.lit(NODE_OFFSET) + F.col("o_orderkey")).alias("id"))
         )
-        .distinct()
+        # disjoint unique key ranges — already a set, no dedup exchange
     )
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
 

@@ -88,3 +88,33 @@ def test_embedding_cosine_no_cartesian(spark, sf_dir):
     from smile_spark.operators.dedup import dedup_embedding_cosine
 
     assert_no_cartesian(dedup_embedding_cosine(spark, sf_dir))
+
+
+def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
+    """Sweep every non-iterative, non-writing query: no CartesianProduct
+    may appear anywhere.  BroadcastNestedLoopJoin is tolerated only for
+    the ANN scorers, whose broadcast-crossJoin against a 3-row query
+    set is that by construction."""
+    import __spark_entry__ as entry_mod
+
+    from smile_spark.plans.audit import formatted_plan
+
+    # iterative / side-effecting queries excluded (they run jobs at
+    # plan-construction time); their shapes are audited elsewhere
+    skip = {
+        "bfs", "sssp", "pagerank", "connected_components",
+        "graph_check", "dedup_minhash_lsh", "hypertable_daily",
+    }
+    bnlj_ok = {
+        # broadcast-crossJoin against a tiny query/centroid set
+        "ann_cosine_topk", "ann_ivf_topk", "dedup_embedding_cosine",
+        # crossJoins of SINGLE-ROW aggregate legs into one summary row
+        "graph_metadata", "join_variants", "set_ops", "kmv_distinct_tokens",
+    }
+    for name, fn in sorted(entry_mod.queries().items()):
+        if name in skip:
+            continue
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        if name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
