@@ -45,16 +45,20 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.length("text").alias("n_chars_calc"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+        ).alias("n_punct"),
         F.explode(F.split("text", " ")).alias("tok"),
     )
-    per_doc = toks.groupBy("doc_id", "n_chars_calc").agg(
+    per_doc = toks.groupBy("doc_id", "n_chars_calc", "n_punct").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.length("tok")).alias("tok_chars"),
         F.sum(
             F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)
         ).alias("n_stopwords"),
     )
-    return per_doc.select(
+    stats = per_doc.select(
         "doc_id",
         "n_chars_calc",
         "n_tokens",
@@ -64,22 +68,48 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias(
             "stopword_ratio"
         ),
+        (F.col("n_punct").cast("double") / F.col("n_chars_calc")).alias(
+            "punct_ratio"
+        ),
     )
+    # Composite quality band (filter-threshold style, not a learned
+    # model): token length in a sane band, stopword ratio neither
+    # zero nor dominant, punctuation bounded.  Deterministic integer
+    # case arithmetic → identical across engines.
+    quality = (
+        F.when(F.col("avg_token_len").between(3.0, 10.0), 0.4).otherwise(0.1)
+        + F.when(F.col("stopword_ratio").between(0.05, 0.6), 0.3).otherwise(0.1)
+        + F.when(F.col("punct_ratio") < 0.2, 0.3).otherwise(0.1)
+    )
+    return stats.withColumn("quality_score", F.round(quality, 1))
 
 
 TEXT_STATS_SQL = (
     "WITH toks AS ("
-    "  SELECT doc_id, length(text) AS n_chars_calc, tok"
+    "  SELECT doc_id, length(text) AS n_chars_calc,"
+    "   length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))"
+    "    AS n_punct, tok"
     "  FROM documents, unnest(string_split(text, ' ')) t(tok)),"
     " per_doc AS ("
-    "  SELECT doc_id, n_chars_calc, COUNT(*) AS n_tokens,"
+    "  SELECT doc_id, n_chars_calc, n_punct, COUNT(*) AS n_tokens,"
     "   SUM(length(tok)) AS tok_chars,"
     "   SUM(CASE WHEN tok IN ({stop}) THEN 1 ELSE 0 END) AS n_stopwords"
-    "  FROM toks GROUP BY doc_id, n_chars_calc)"
-    " SELECT doc_id, n_chars_calc, n_tokens,"
-    "  CAST(tok_chars AS DOUBLE) / n_tokens AS avg_token_len,"
-    "  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio"
-    " FROM per_doc"
+    "  FROM toks GROUP BY doc_id, n_chars_calc, n_punct),"
+    " stats AS ("
+    "  SELECT doc_id, n_chars_calc, n_tokens,"
+    "   CAST(tok_chars AS DOUBLE) / n_tokens AS avg_token_len,"
+    "   CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,"
+    "   CAST(n_punct AS DOUBLE) / n_chars_calc AS punct_ratio"
+    "  FROM per_doc)"
+    " SELECT doc_id, n_chars_calc, n_tokens, avg_token_len,"
+    "  stopword_ratio, punct_ratio,"
+    "  ROUND("
+    "   (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.1 END)"
+    "   + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6"
+    "      THEN 0.3 ELSE 0.1 END)"
+    "   + (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.1 END), 1)"
+    "   AS quality_score"
+    " FROM stats"
 ).format(stop=", ".join(f"'{s}'" for s in STOPWORDS))
 
 
