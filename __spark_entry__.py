@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_session": W.window_session,
         # --- north-star: multimodal columns (pandas-UDF plumbing) ---
         "multimodal_meta": M.multimodal_meta,
+        "multimodal_frames": M.multimodal_frames,
     }
     return q
 
@@ -277,4 +278,5 @@ def oracle_sql() -> dict[str, str]:
         "window_sliding": W.WINDOW_SLIDING_SQL,
         "window_session": W.WINDOW_SESSION_SQL,
         "multimodal_meta": M.MULTIMODAL_META_SQL,
+        "multimodal_frames": M.MULTIMODAL_FRAMES_SQL,
     }

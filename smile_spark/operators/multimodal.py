@@ -99,6 +99,56 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(decode, META_SCHEMA)
 
 
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_off bigint, frame_len int"
+FRAME_STRIDE = 1000   # fake: one frame per 1000 payload bytes
+MAX_FRAMES = 5
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads — the one-to-MANY
+    ``mapInPandas`` shape (each input row yields several output rows,
+    the UDF-side explode).
+
+    Real codec would seek keyframes (see ``sample_video_frames``
+    stub); the deterministic fake emits one frame per 1000 payload
+    bytes (capped at 5), with byte offset/length — arithmetic the
+    oracle reproduces from the text length.  Only video-modality rows
+    are processed, and that filter happens BEFORE the UDF so Catalyst
+    prunes the other modalities out of the Python path entirely.
+    """
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "video")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = min(n // FRAME_STRIDE + 1, MAX_FRAMES)
+                for i in range(n_frames):
+                    off = i * FRAME_STRIDE
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(off)
+                    out["frame_len"].append(min(FRAME_STRIDE, n - off))
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(sample, FRAMES_SCHEMA)
+
+
+MULTIMODAL_FRAMES_SQL = (
+    "WITH v AS (SELECT doc_id, length(text) AS n FROM documents"
+    "  WHERE CAST(doc_id % 3 AS INT) = 2),"  # modality 'video'
+    " f AS (SELECT doc_id, n,"
+    f"  unnest(generate_series(0, CAST(least(n // {FRAME_STRIDE} + 1,"
+    f" {MAX_FRAMES}) AS BIGINT) - 1)) AS frame_idx FROM v)"
+    " SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,"
+    f" CAST(frame_idx * {FRAME_STRIDE} AS BIGINT) AS frame_off,"
+    f" CAST(least({FRAME_STRIDE}, n - frame_idx * {FRAME_STRIDE}) AS INT)"
+    "  AS frame_len"
+    " FROM f"
+)
+
+
 # Oracle: the fake decoder's arithmetic, expressed over the source text
 # (payload is its utf-8 encoding; fixture text is ASCII so bytes==chars
 # and the first byte is ascii of the first char).
