@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from smile_spark.operators import analytics as AN
 from smile_spark.operators import asof as A
 from smile_spark.operators import dedup as D
 from smile_spark.operators import multimodal as M
@@ -56,6 +57,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_order_priority": R.sql_order_priority,
         "agg_stats": R.agg_stats,
         "string_functions": R.string_functions,
+        "cube_summary": AN.cube_summary,
+        "pivot_wide": AN.pivot_wide,
+        "percentiles": AN.percentiles,
+        "corr_stats": AN.corr_stats,
+        "lead_lag_delta": AN.lead_lag_delta,
+        "sampling_hash": AN.sampling_hash,
+        "date_functions": AN.date_functions,
+        "array_functions": AN.array_functions,
         "asof_latest_order": A.asof_latest_order,
         "range_join_recent_events": A.range_join_recent_events,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
@@ -195,6 +204,14 @@ def oracle_sql() -> dict[str, str]:
         "sql_order_priority": R.SQL_ORDER_PRIORITY,
         "agg_stats": R.AGG_STATS_SQL,
         "string_functions": R.STRING_FUNCTIONS_SQL,
+        "cube_summary": AN.CUBE_SUMMARY_SQL,
+        "pivot_wide": AN.PIVOT_WIDE_SQL,
+        "percentiles": AN.PERCENTILES_SQL,
+        "corr_stats": AN.CORR_STATS_SQL,
+        "lead_lag_delta": AN.LEAD_LAG_DELTA_SQL,
+        "sampling_hash": AN.SAMPLING_HASH_SQL,
+        "date_functions": AN.DATE_FUNCTIONS_SQL,
+        "array_functions": AN.ARRAY_FUNCTIONS_SQL,
         "asof_latest_order": A.ASOF_LATEST_ORDER_SQL,
         "range_join_recent_events": A.RANGE_JOIN_SQL,
         "graph_load": (

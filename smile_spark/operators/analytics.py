@@ -1,0 +1,391 @@
+"""Extended analytics surface: grouping sets, pivot, exact quantiles,
+moment statistics, analytic frames, deterministic sampling, date and
+array function families.
+
+The reference has none of these (SURVEY.md §2.2 — aggregations stop at
+COUNT/SUM, there are no window/sort/string/date functions), but every
+one of them is produced by the same partial→final hash-aggregate and
+window machinery the reference hand-rolls for its five kernels, so they
+are capability demos licensed by §2.2, not inventions.
+
+Cross-engine determinism (the driver hashes values bit-for-bit):
+
+* every SUM of a double measure accumulates in DECIMAL on both engines
+  (smile_spark/functions/numeric.py);
+* moment statistics (corr/covar/stddev) are computed from EXACT decimal
+  moments (n, Σx, Σy, Σx², Σy², Σxy) with the final closed-form
+  arithmetic written as the *identical* double expression in both
+  engines — a single-pass, shuffle-bounded plan that is also the right
+  shape at 100 TB (six numeric partials per group, map-side combined);
+* quantiles interpolate identically (percentile ≡ quantile_cont) and
+  are rounded to 6 digits to absorb the last-bit division difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from smile_spark.functions.numeric import DEC, dsum
+from smile_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# CUBE — the full grouping-set lattice
+# ---------------------------------------------------------------------------
+
+
+def cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping levels in
+    one pass.  Spark expands the cube into a single aggregate whose
+    partial state feeds every level — one scan, one shuffle, vs. the
+    naive one-scan-per-level.  NULL markers become explicit strings so
+    the cross-engine hash is well-defined (same as rollup_summary)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("status"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+CUBE_SUMMARY_SQL = (
+    "SELECT COALESCE(l_returnflag, '(all)') AS flag,"
+    " COALESCE(l_linestatus, '(all)') AS status,"
+    " COUNT(*) AS cnt,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"
+    " FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+)
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — long → wide reshaping
+# ---------------------------------------------------------------------------
+
+PIVOT_FLAGS = ("A", "N", "R")
+
+
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: one row per linestatus, one column per
+    returnflag.  The value list is pinned (A/N/R) so the plan is a
+    single conditional aggregate — Spark never needs the extra
+    distinct-values job, and the oracle is plain conditional SQL.
+    At 100 TB an unpinned pivot would scan twice; always pin."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", list(PIVOT_FLAGS))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "l_linestatus",
+        *[F.coalesce(F.col(f), F.lit(0)).alias(f"cnt_{f.lower()}") for f in PIVOT_FLAGS],
+    )
+
+
+PIVOT_WIDE_SQL = (
+    "SELECT l_linestatus,"
+    + ", ".join(
+        f" SUM(CASE WHEN l_returnflag = '{f}' THEN 1 ELSE 0 END)"
+        f" AS cnt_{f.lower()}"
+        for f in PIVOT_FLAGS
+    )
+    + " FROM lineitem GROUP BY l_linestatus"
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles
+# ---------------------------------------------------------------------------
+
+
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (p25/median/p75) of quantity per
+    returnflag.  ``percentile`` in Spark and ``quantile_cont`` in DuckDB
+    both use linear interpolation; results round to 6 digits to absorb
+    last-bit division drift.  Exact percentile sorts within each group —
+    at 100 TB you'd reach for approx_percentile (t-digest) when ±ε is
+    acceptable; this operator is the exact-answer path."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"
+        ).alias("qs"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return q.select(
+        "l_returnflag",
+        F.round(F.element_at("qs", 1), 6).alias("p25"),
+        F.round(F.element_at("qs", 2), 6).alias("median"),
+        F.round(F.element_at("qs", 3), 6).alias("p75"),
+        "cnt",
+    )
+
+
+PERCENTILES_SQL = (
+    "WITH q AS (SELECT l_returnflag,"
+    " quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,"
+    " COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag)"
+    " SELECT l_returnflag, ROUND(qs[1], 6) AS p25,"
+    " ROUND(qs[2], 6) AS median, ROUND(qs[3], 6) AS p75, cnt FROM q"
+)
+
+
+# ---------------------------------------------------------------------------
+# Moment statistics from exact decimal moments
+# ---------------------------------------------------------------------------
+
+_DEC_PROD = "decimal(28,4)"
+
+
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_samp / stddev_samp via exact moment accumulation.
+
+    Naive ``F.corr`` sums doubles in partition order — nondeterministic
+    across engines AND across runs of the same engine.  Instead the six
+    moments (n, Σx, Σy, Σx², Σy², Σxy) accumulate exactly in DECIMAL
+    (associative + commutative → partitioning-independent), and the
+    closed forms are evaluated once, in double, with the identical
+    expression tree on both engines.  Single pass, six numeric partials
+    per group — the only shape that gives reproducible statistics on a
+    1000-executor cluster.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * x).cast(_DEC_PROD)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(_DEC_PROD)).cast("double").alias("syy"),
+        F.sum((x * y).cast(_DEC_PROD)).cast("double").alias("sxy"),
+    )
+    cov_num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    varx_num = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vary_num = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("cnt"),
+        F.round(cov_num / (F.col("n") - 1), 6).alias("covar_qty_price"),
+        F.round(F.sqrt(varx_num / (F.col("n") - 1)), 6).alias("stddev_qty"),
+        F.round(F.sqrt(vary_num / (F.col("n") - 1)), 6).alias("stddev_price"),
+        F.round(cov_num / F.sqrt(varx_num * vary_num), 6).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+CORR_STATS_SQL = (
+    "WITH m AS (SELECT l_returnflag,"
+    " CAST(COUNT(*) AS DOUBLE) AS n,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,"
+    " CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))"
+    "  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE)"
+    "  AS sxx,"
+    " CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    "  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4)))"
+    "  AS DOUBLE) AS syy,"
+    " CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))"
+    "  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4)))"
+    "  AS DOUBLE) AS sxy"
+    " FROM lineitem GROUP BY l_returnflag)"
+    " SELECT l_returnflag, CAST(n AS BIGINT) AS cnt,"
+    " ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,"
+    " ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,"
+    " ROUND(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price,"
+    " ROUND((sxy - sx * sy / n)"
+    "  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)"
+    "  AS corr_qty_price"
+    " FROM m"
+)
+
+
+# ---------------------------------------------------------------------------
+# Analytic frames: lag / delta / moving aggregate
+# ---------------------------------------------------------------------------
+
+
+def lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sequence analytics: previous value, delta, and a
+    3-row moving average.  One shuffle on user_id then a per-partition
+    sort — the frame never re-shuffles.  The moving average divides an
+    exact decimal frame-sum by the frame count, so it is deterministic
+    without rounding; the delta is a single IEEE subtraction (exact on
+    both engines).  Ordering ties broken by event_id."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, 0)
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        prev.alias("prev_value"),
+        (F.col("value") - prev).alias("delta"),
+        (
+            F.sum(F.col("value").cast(DEC)).over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame)
+        ).alias("mavg3"),
+    )
+
+
+LEAD_LAG_DELTA_SQL = (
+    # µs-truncate ts first: Spark reads the ns fixture at µs resolution,
+    # and the window ORDER BY must see identical instants.
+    "WITH e AS (SELECT event_id, user_id,"
+    " date_trunc('microseconds', ts) AS ts, value FROM events)"
+    " SELECT event_id, user_id, ts, value,"
+    " LAG(value) OVER w AS prev_value,"
+    " value - LAG(value) OVER w AS delta,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER ("
+    "   PARTITION BY user_id ORDER BY ts, event_id"
+    "   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    " / COUNT(*) OVER ("
+    "   PARTITION BY user_id ORDER BY ts, event_id"
+    "   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3"
+    " FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_PCT = 10
+
+
+def sampling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample of the corpus by key hash.
+
+    ``df.sample()`` seeds per-partition, so its row set changes with
+    the partitioning — useless for reproducible pipeline snapshots.
+    Hashing the key (md5 prefix mod 100) picks the SAME rows at any
+    scale, any partitioning, any engine; it is also a pure pushed-down
+    filter (no shuffle, no state).  This is how a training pipeline
+    pins a stable eval holdout at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+        " as bigint) % 100"
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("sample_bucket"))
+        .filter(F.col("sample_bucket") < SAMPLE_PCT)
+    )
+
+
+SAMPLING_HASH_SQL = (
+    "SELECT doc_id, source,"
+    " (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100"
+    "  AS sample_bucket"
+    " FROM documents"
+    " WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+    f"  % 100 < {SAMPLE_PCT}"
+)
+
+
+# ---------------------------------------------------------------------------
+# Date/time function family
+# ---------------------------------------------------------------------------
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar function surface: trunc-to-month, year/month extraction,
+    interval arithmetic, and day-difference aggregation per month.  The
+    month truncation is the partition key a 100 TB time-partitioned
+    table would prune on; everything groups in one hash aggregate."""
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+            F.datediff(
+                F.lit("1998-12-31").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("bigint")
+            .alias("days_to_eoy"),
+        )
+        .groupBy("month_start", "o_year", "o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("days_to_eoy").alias("sum_days_to_eoy"),
+        )
+    )
+    return monthly.select(
+        "month_start",
+        (F.col("month_start") + F.expr("INTERVAL 1 MONTH")).alias(
+            "next_month"
+        ),
+        "o_year",
+        "o_month",
+        "n_orders",
+        "sum_days_to_eoy",
+    )
+
+
+DATE_FUNCTIONS_SQL = (
+    "WITH m AS (SELECT"
+    " date_trunc('month', o_orderdate) AS month_start,"
+    " CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,"
+    " CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,"
+    " CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')"
+    "  AS BIGINT) AS days_to_eoy"
+    " FROM orders)"
+    " SELECT month_start, month_start + INTERVAL 1 MONTH AS next_month,"
+    " o_year, o_month, COUNT(*) AS n_orders,"
+    " SUM(days_to_eoy) AS sum_days_to_eoy"
+    " FROM m GROUP BY month_start, o_year, o_month"
+)
+
+
+# ---------------------------------------------------------------------------
+# Array / higher-order function family
+# ---------------------------------------------------------------------------
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed column surface over tokenized documents: size,
+    lambda filter, distinct, fold (aggregate), slice + join.  Every
+    lambda runs JVM-side inside whole-stage codegen (Spark higher-order
+    functions), so this is row-parallel with zero shuffle — the 100 TB
+    path for array columns, vs. explode+groupBy which would shuffle
+    every token."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr("cast(size(filter(toks, t -> length(t) > 4)) as bigint)").alias(
+            "n_long_tokens"
+        ),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t))"
+        ).alias("total_tok_chars"),
+        F.array_join(F.slice("toks", 1, 3), "_").alias("head3"),
+    )
+
+
+ARRAY_FUNCTIONS_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks"
+    " FROM documents)"
+    " SELECT doc_id,"
+    " CAST(len(toks) AS BIGINT) AS n_tokens,"
+    " CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT)"
+    "  AS n_long_tokens,"
+    " CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,"
+    " list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    "  list_transform(toks, t -> CAST(length(t) AS BIGINT))),"
+    "  (acc, c) -> acc + c) AS total_tok_chars,"
+    " array_to_string(toks[1:3], '_') AS head3"
+    " FROM t"
+)
