@@ -20,6 +20,7 @@ from smile_spark.operators import asof as A
 from smile_spark.operators import dedup as D
 from smile_spark.operators import multimodal as M
 from smile_spark.operators import graph as G
+from smile_spark.operators import pipeline as P
 from smile_spark.operators import relational as R
 from smile_spark.operators import similarity as S
 from smile_spark.operators import sketch as K
@@ -75,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": G.sssp,
         "pagerank": G.pagerank,
         "connected_components": G.connected_components,
+        "degree_distribution": G.degree_distribution,
+        "triangle_count": G.triangle_count,
         # --- north-star: dedup family ---
         "dedup_exact": D.dedup_exact,
         "ngram_jaccard_topk": D.ngram_jaccard_topk,
@@ -82,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "simhash": D.simhash,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "dedup_canonical": P.dedup_canonical,
+        "corpus_quality_filter": P.corpus_quality_filter,
         # --- north-star: text analysis ---
         "text_stats": T.text_stats,
         "token_count": T.token_count,
@@ -272,6 +277,10 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT id, MIN(r) AS component FROM reach GROUP BY id"
         ),
+        "degree_distribution": G.DEGREE_DISTRIBUTION_SQL,
+        "triangle_count": G.TRIANGLE_COUNT_SQL,
+        "dedup_canonical": P.dedup_canonical_sql(),
+        "corpus_quality_filter": P.corpus_quality_filter_sql(),
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "ngram_jaccard_topk": D.NGRAM_JACCARD_SQL,
         "minhash_signature": D.minhash_signature_sql(),

@@ -435,3 +435,78 @@ def connected_components(
         if converged:
             break
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution & triangle counting (beyond-reference graph
+# analytics licensed by the north star; the reference computes degree
+# only implicitly, as the firstNbr-delta scan inside BFS —
+# /root/reference/src/regtests/bfsgraph_regtest.cpp:56-84)
+# ---------------------------------------------------------------------------
+
+
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram of the edge view: (out_degree, n_nodes).
+
+    Two chained hash aggregates (edges→degree, degree→histogram), both
+    map-side combined; the second one's input is already #nodes rows,
+    so the expensive pass is a single shuffle over the edge set — the
+    right shape for a 100 TB edge table.
+    """
+    e = edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    return deg.groupBy("out_degree").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+DEGREE_DISTRIBUTION_SQL = (
+    "WITH deg AS (SELECT o_custkey AS src, COUNT(*) AS out_degree"
+    " FROM orders GROUP BY o_custkey)"
+    " SELECT out_degree, COUNT(*) AS n_nodes FROM deg GROUP BY out_degree"
+)
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle count over the customer–supplier–nation
+    tripartite graph: a triangle is (customer c, supplier s, nation n)
+    where c traded with s (some lineitem links them through an order)
+    and BOTH belong to n.
+
+    Scale shape: the one big join (lineitem ⋈ orders, shuffle on
+    orderkey) reduces immediately to distinct (customer, supplier)
+    pairs — the classic project-early move; both dimension joins then
+    broadcast.  No cross join anywhere; the triangle closure is an
+    equi-join predicate (s_nationkey = c_nationkey), not a filter over
+    a pair blow-up.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    cn = F.broadcast(customer.select(F.col("c_custkey").alias("ck"), "c_nationkey"))
+    sn = F.broadcast(supplier.select(F.col("s_suppkey").alias("sk"), "s_nationkey"))
+    return (
+        trade.join(cn, "ck")
+        .join(sn, "sk")
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+TRIANGLE_COUNT_SQL = (
+    "WITH trade AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"
+    " SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_triangles"
+    " FROM trade t"
+    " JOIN customer c ON t.ck = c.c_custkey"
+    " JOIN supplier s ON t.sk = s.s_suppkey"
+    "  AND s.s_nationkey = c.c_nationkey"
+    " GROUP BY c.c_nationkey"
+)

@@ -1,0 +1,179 @@
+"""Training-data pipeline compositions (north-star extension).
+
+The individual north-star operators (dedup families, text analysis —
+operators/dedup.py, operators/text.py) are the building blocks; a real
+100 TB curation pipeline CHAINS them.  These operators are the chained
+forms, oracle-verified end-to-end:
+
+* ``dedup_canonical`` — MinHash-LSH near-dup pairs → duplicate
+  clusters (min-label propagation over the pair graph) → one canonical
+  document per cluster.  This is the step that turns "similar pairs"
+  into an actionable keep/drop decision.
+* ``corpus_quality_filter`` — exact-dedup survivors ∩ language filter
+  ∩ quality-score band ∩ token-length band, aggregated per source —
+  the end-of-pipeline corpus accounting a data curation run reports.
+
+Scale notes: the pair graph is tiny relative to the corpus by LSH
+design, so the cluster iteration runs over candidate pairs only (the
+corpus-sized tables are touched once, by the upstream operators).  The
+quality filter is one pass over each upstream result joined on doc_id
+— all equi-joins, quality/token/lang scores computed in single shuffles
+keyed by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smile_spark.functions.numeric import sql_dsum
+from smile_spark.operators import dedup as D
+from smile_spark.operators import text as T
+from smile_spark.tables import table
+
+# Duplicate clusters are near-cliques by construction (members agree on
+# ≥1 LSH band), so min-label propagation converges in very few rounds;
+# the cap is a safety bound, mirrored in the oracle's recursion.
+CANONICAL_MAX_ITER = 10
+
+QUALITY_MIN = 0.8
+TOKENS_MIN, TOKENS_MAX = 5, 5000
+LANG_KEEP = "en"
+
+
+def dedup_canonical(
+    spark: SparkSession, sf_dir: str, max_iter: int = CANONICAL_MAX_ITER
+) -> DataFrame:
+    """Canonical-document assignment over MinHash-LSH duplicate pairs.
+
+    Verified near-dup pairs (operators/dedup.py::dedup_minhash_lsh)
+    form a graph; its connected components are the duplicate clusters;
+    the canonical document of a cluster is its minimum doc_id.  Emits
+    (doc_id, canonical_id, is_canonical) for every document that
+    appears in some duplicate pair.
+
+    The component computation is Pregel-style min-label propagation —
+    same loop shape as operators/graph.py::connected_components — but
+    runs over the PAIR graph only: LSH guarantees that table is a
+    vanishing fraction of the corpus, so each round is a join over a
+    small, broadcastable frame regardless of corpus size.
+    """
+    pairs = (
+        D.dedup_minhash_lsh(spark, sf_dir).select("a", "b").localCheckpoint()
+    )
+    und = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            labels.join(und, labels.id == und.a)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_component", "component")
+                    < F.col("component")
+                ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        converged = new_labels.filter("changed").isEmpty()
+        labels = new_labels.select("id", "component")
+        if converged:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def dedup_canonical_sql() -> str:
+    # The LSH pair query (its own WITH chain) nests as a derived table;
+    # min-reachability over the undirected pair graph = cluster min.
+    return (
+        "WITH RECURSIVE pairs AS ("
+        f" SELECT a, b FROM ({D.dedup_minhash_lsh_sql()}) lsh),"
+        " und AS (SELECT a, b FROM pairs"
+        "  UNION ALL SELECT b AS a, a AS b FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS id FROM und),"
+        " reach(id, r) AS ("
+        "  SELECT id, id FROM nodes"
+        "  UNION"
+        "  SELECT rr.id, u.b FROM reach rr JOIN und u ON u.a = rr.r)"
+        " SELECT id AS doc_id, MIN(r) AS canonical_id,"
+        "  id = MIN(r) AS is_canonical"
+        " FROM reach GROUP BY id"
+    )
+
+
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation accounting: per source, how many
+    documents survive exact dedup + language filter + quality band +
+    token-length band, and their token/quality totals.
+
+    Every upstream result joins on doc_id (equi-joins on the corpus
+    key); quality totals accumulate in DECIMAL so the per-source sums
+    are partitioning-independent.
+    """
+    docs = table(spark, sf_dir, "documents")
+    keep = D.dedup_exact(spark, sf_dir).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    stats = T.text_stats(spark, sf_dir).select("doc_id", "quality_score")
+    toks = T.token_count(spark, sf_dir).select("doc_id", "ws_tokens")
+    lang = T.lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    kept = (
+        docs.join(keep, "doc_id", "semi")
+        .join(stats, "doc_id")
+        .join(toks, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("quality_score") >= QUALITY_MIN)
+            & (F.col("lang_pred") == LANG_KEEP)
+            & F.col("ws_tokens").between(TOKENS_MIN, TOKENS_MAX)
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("sum_ws_tokens"),
+        F.sum(F.col("quality_score").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_quality"),
+    )
+
+
+def corpus_quality_filter_sql() -> str:
+    return (
+        "WITH stats AS (SELECT doc_id, quality_score FROM"
+        f" ({T.TEXT_STATS_SQL}) s),"
+        f" toks AS (SELECT doc_id, ws_tokens FROM ({T.TOKEN_COUNT_SQL}) t),"
+        f" lang AS (SELECT doc_id, lang_pred FROM ({T.lang_id_sql()}) l),"
+        " keep AS (SELECT MIN(doc_id) AS doc_id FROM documents"
+        "  GROUP BY md5(text))"
+        " SELECT d.source, COUNT(*) AS n_docs,"
+        " SUM(t.ws_tokens) AS sum_ws_tokens,"
+        f" {sql_dsum('s.quality_score', 'sum_quality')}"
+        " FROM documents d"
+        " JOIN keep k ON d.doc_id = k.doc_id"
+        " JOIN stats s ON d.doc_id = s.doc_id"
+        " JOIN toks t ON d.doc_id = t.doc_id"
+        " JOIN lang l ON d.doc_id = l.doc_id"
+        f" WHERE s.quality_score >= {QUALITY_MIN}"
+        f" AND l.lang_pred = '{LANG_KEEP}'"
+        f" AND t.ws_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}"
+        " GROUP BY d.source"
+    )
