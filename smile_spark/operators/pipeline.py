@@ -58,16 +58,27 @@ def dedup_canonical(
     vanishing fraction of the corpus, so each round is a join over a
     small, broadcastable frame regardless of corpus size.
     """
+    # LSH guarantees the pair graph is a vanishing fraction of the
+    # corpus, so the whole iteration state fits one partition: coalesce
+    # before checkpointing and every propagation round becomes a
+    # single-task job instead of shuffle-partition-many tiny tasks —
+    # the rounds are scheduler-overhead-bound, not data-bound.  (If a
+    # pathological corpus ever produced a huge pair graph, drop the
+    # coalesce — the loop is partitioning-agnostic.)
     pairs = (
-        D.dedup_minhash_lsh(spark, sf_dir).select("a", "b").localCheckpoint()
+        D.dedup_minhash_lsh(spark, sf_dir)
+        .select("a", "b")
+        .coalesce(1)
+        .localCheckpoint()
     )
     und = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).coalesce(1)
     labels = (
         und.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
+        .coalesce(1)
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -88,6 +99,7 @@ def dedup_canonical(
                     < F.col("component")
                 ).alias("changed"),
             )
+            .coalesce(1)
             .localCheckpoint()
         )
         converged = new_labels.filter("changed").isEmpty()

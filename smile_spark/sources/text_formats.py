@@ -1,0 +1,92 @@
+"""CSV / JSON-lines sources and sinks with explicit schemas.
+
+The reference supports exactly one external format — its text edge
+list (SURVEY.md §2.2; sources/edge_list.py) — but any real deployment
+ingests CSV and JSONL.  Two rules, both scale-motivated:
+
+* **Explicit schemas only.**  ``inferSchema`` (CSV) / schema sampling
+  (JSON) cost a full extra pass over the data before the real job
+  starts — at 100 TB that doubles ingest I/O.  Every reader here takes
+  a ``StructType`` (or a source DataFrame whose schema to reuse).
+* **Timestamps serialize at microsecond resolution** in a fixed
+  pattern, so a parquet→csv→parquet round trip is lossless at Spark's
+  native timestamp precision (the engine's comparison resolution — see
+  smile_spark/testing.py).
+
+Readers are ordinary distributed scans: a multi-TB CSV directory
+splits by file/offset exactly like parquet (minus row-group stats —
+predicates on CSV can't prune, which is why parquet stays the primary
+format and these are ingest/egress edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# Microsecond-precision pattern shared by writer and reader; Spark's
+# TimestampType is µs-exact, so this round-trips losslessly.
+TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+_CSV_OPTIONS = {
+    "header": "true",
+    "timestampFormat": TS_FORMAT,
+    # quote/escape defaults (RFC-4180-ish) — set explicitly so the
+    # written form is stable across Spark versions
+    "quote": '"',
+    "escape": '"',
+}
+
+_JSON_OPTIONS = {"timestampFormat": TS_FORMAT}
+
+
+def write_csv(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Write a DataFrame as a header-ed CSV directory.
+
+    ``partitions`` controls output file count (None keeps the upstream
+    partitioning); sizing output files is the writer's job — a 100 TB
+    egress wants a repartition to target-file-size, not one file per
+    upstream shuffle partition.
+    """
+    if partitions is not None:
+        df = df.repartition(partitions)
+    df.write.mode("overwrite").options(**_CSV_OPTIONS).csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | DataFrame
+) -> DataFrame:
+    """Read a CSV directory with an explicit schema (no inference pass).
+
+    ``schema`` may be a StructType or a DataFrame to copy the schema
+    from (the common round-trip case).
+    """
+    st = schema.schema if isinstance(schema, DataFrame) else schema
+    return (
+        spark.read.options(**_CSV_OPTIONS)
+        .schema(st)
+        .option("mode", "FAILFAST")  # malformed rows fail loudly
+        .csv(path)
+    )
+
+
+def write_jsonl(
+    df: DataFrame, path: str, partitions: int | None = None
+) -> None:
+    """Write a DataFrame as JSON-lines (one object per line)."""
+    if partitions is not None:
+        df = df.repartition(partitions)
+    df.write.mode("overwrite").options(**_JSON_OPTIONS).json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | DataFrame
+) -> DataFrame:
+    """Read JSON-lines with an explicit schema (no sampling pass)."""
+    st = schema.schema if isinstance(schema, DataFrame) else schema
+    return (
+        spark.read.options(**_JSON_OPTIONS)
+        .schema(st)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )

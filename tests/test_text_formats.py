@@ -1,0 +1,48 @@
+"""CSV / JSONL source round-trips: parquet → text format → back must be
+lossless under each table's explicit schema — the engine-side analogue
+of the reference's storage write→reopen→compare round-trip
+(/root/reference/src/tests/file_storage_test.cpp:53-76)."""
+
+import pytest
+
+from smile_spark.sources.text_formats import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+from smile_spark.tables import table
+
+
+def _assert_same_rows(a, b):
+    assert a.schema == b.schema
+    assert a.exceptAll(b).isEmpty()
+    assert b.exceptAll(a).isEmpty()
+
+
+@pytest.mark.parametrize("name", ["orders", "events", "documents"])
+def test_csv_round_trip(spark, sf_dir, tmp_path, name):
+    src = table(spark, sf_dir, name)
+    path = str(tmp_path / f"{name}_csv")
+    write_csv(src, path, partitions=4)
+    back = read_csv(spark, path, src)
+    _assert_same_rows(src, back)
+
+
+@pytest.mark.parametrize("name", ["orders", "events"])
+def test_jsonl_round_trip(spark, sf_dir, tmp_path, name):
+    src = table(spark, sf_dir, name)
+    path = str(tmp_path / f"{name}_jsonl")
+    write_jsonl(src, path, partitions=4)
+    back = read_jsonl(spark, path, src)
+    _assert_same_rows(src, back)
+
+
+def test_embeddings_jsonl_round_trip(spark, sf_dir, tmp_path):
+    """Array<float> columns survive JSONL — the multimodal/embedding
+    egress path."""
+    src = table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "emb_jsonl")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, src)
+    _assert_same_rows(src, back)
