@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- north-star: multimodal columns (pandas-UDF plumbing) ---
         "multimodal_meta": M.multimodal_meta,
         "multimodal_frames": M.multimodal_frames,
+        "multimodal_resize": M.multimodal_resize,
+        "multimodal_audio_chunks": M.multimodal_audio_chunks,
     }
     return q
 
@@ -305,4 +307,6 @@ def oracle_sql() -> dict[str, str]:
         "window_session": W.WINDOW_SESSION_SQL,
         "multimodal_meta": M.MULTIMODAL_META_SQL,
         "multimodal_frames": M.MULTIMODAL_FRAMES_SQL,
+        "multimodal_resize": M.MULTIMODAL_RESIZE_SQL,
+        "multimodal_audio_chunks": M.MULTIMODAL_AUDIO_CHUNKS_SQL,
     }

@@ -161,3 +161,111 @@ MULTIMODAL_META_SQL = (
     " CAST(ascii(substr(text, 1, 1)) % 32 + 8 AS INT) AS fake_height"
     " FROM documents"
 )
+
+
+# --- resize (image modality) ---------------------------------------------
+
+RESIZE_TARGET = 224  # longest-side target, the common vision-model input
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, orig_w int, orig_h int, out_w int, out_h int"
+)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over image payloads — the
+    decode→transform mapInPandas shape (one row in, one row out, new
+    metadata).
+
+    A real implementation decodes and rescales pixels (see
+    ``decode_image`` stub); the deterministic fake derives source
+    dimensions from the payload exactly like ``_fake_decode_batch``
+    and computes the longest-side-to-224 target in integer arithmetic
+    (portable across engines).  Only image-modality rows reach the
+    Python boundary — the modality filter sits before the UDF so
+    Catalyst prunes audio/video out of the Arrow stream.
+    """
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "image")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
+            w = (n_bytes % 64 + 16).astype("int64")
+            h = (first % 32 + 8).astype("int64")
+            longest = w.where(w >= h, h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_w": w.astype("int32"),
+                    "orig_h": h.astype("int32"),
+                    "out_w": (w * RESIZE_TARGET // longest).astype("int32"),
+                    "out_h": (h * RESIZE_TARGET // longest).astype("int32"),
+                }
+            )
+
+    return mm.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+MULTIMODAL_RESIZE_SQL = (
+    "WITH img AS (SELECT doc_id,"
+    "  length(text) % 64 + 16 AS w,"
+    "  ascii(substr(text, 1, 1)) % 32 + 8 AS h"
+    " FROM documents WHERE CAST(doc_id % 3 AS INT) = 0)"
+    " SELECT doc_id, CAST(w AS INT) AS orig_w, CAST(h AS INT) AS orig_h,"
+    f" CAST(w * {RESIZE_TARGET} // greatest(w, h) AS INT) AS out_w,"
+    f" CAST(h * {RESIZE_TARGET} // greatest(w, h) AS INT) AS out_h"
+    " FROM img"
+)
+
+
+# --- chunking (audio modality) -------------------------------------------
+
+CHUNK_LEN = 800    # fake: bytes per audio window
+CHUNK_HOP = 600    # fake: hop (overlapping windows)
+MAX_CHUNKS = 6
+
+CHUNKS_SCHEMA = (
+    "doc_id bigint, chunk_idx int, chunk_off bigint, chunk_len int"
+)
+
+
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking over audio payloads — the second
+    one-to-many mapInPandas shape (fixed-hop windows vs. the frame
+    sampler's stride).  A real pipeline emits resampled PCM windows
+    (see ``resample_audio`` stub); the fake emits (offset, length)
+    windows with hop < length so windows overlap, capped at
+    MAX_CHUNKS."""
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "audio")
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "chunk_off": [], "chunk_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_chunks = min((max(n - 1, 0)) // CHUNK_HOP + 1, MAX_CHUNKS)
+                for i in range(n_chunks):
+                    off = i * CHUNK_HOP
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i)
+                    out["chunk_off"].append(off)
+                    out["chunk_len"].append(min(CHUNK_LEN, n - off))
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(chunk, CHUNKS_SCHEMA)
+
+
+MULTIMODAL_AUDIO_CHUNKS_SQL = (
+    "WITH a AS (SELECT doc_id, length(text) AS n FROM documents"
+    "  WHERE CAST(doc_id % 3 AS INT) = 1),"
+    " c AS (SELECT doc_id, n,"
+    f"  unnest(generate_series(0, CAST(least(greatest(n - 1, 0) //"
+    f" {CHUNK_HOP} + 1, {MAX_CHUNKS}) AS BIGINT) - 1)) AS chunk_idx"
+    "  FROM a)"
+    " SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,"
+    f" CAST(chunk_idx * {CHUNK_HOP} AS BIGINT) AS chunk_off,"
+    f" CAST(least({CHUNK_LEN}, n - chunk_idx * {CHUNK_HOP}) AS INT)"
+    "  AS chunk_len"
+    " FROM c"
+)

@@ -104,6 +104,7 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
     skip = {
         "bfs", "sssp", "pagerank", "connected_components",
         "graph_check", "dedup_minhash_lsh", "hypertable_daily",
+        "dedup_canonical",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set
@@ -118,3 +119,54 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
         if name not in bnlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
+
+
+def test_triangle_count_broadcasts_dimensions(spark, sf_dir):
+    """The tripartite closure must broadcast customer/supplier sides;
+    the only shuffle is the lineitem ⋈ orders equi-join + distinct."""
+    from smile_spark.operators.graph import triangle_count
+
+    df = triangle_count(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_degree_distribution_partial_aggregation(spark, sf_dir):
+    from smile_spark.operators.graph import degree_distribution
+
+    assert_partial_aggregation(degree_distribution(spark, sf_dir))
+
+
+def test_sampling_hash_no_shuffle(spark, sf_dir):
+    """Hash sampling is a pure filter: the plan must contain no
+    Exchange at all — it runs entirely inside the scan stage."""
+    from smile_spark.operators.analytics import sampling_hash
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(sampling_hash(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_array_functions_no_shuffle(spark, sf_dir):
+    """Higher-order-function lambdas are row-parallel codegen — no
+    Exchange, no generator explosion."""
+    from smile_spark.operators.analytics import array_functions
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(array_functions(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode fallback
+
+
+def test_cube_single_scan(spark, sf_dir):
+    """CUBE computes all four grouping levels from ONE scan of the
+    fact table (Expand feeding a single partial/final aggregate)."""
+    from smile_spark.operators.analytics import cube_summary
+    from smile_spark.plans.audit import formatted_plan
+
+    df = cube_summary(spark, sf_dir)
+    plan = formatted_plan(df)
+    # one scan node total (each scan detail block lists its file index)
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "Expand" in plan, plan
+    assert_partial_aggregation(df)
