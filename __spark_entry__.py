@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_hash": AN.sampling_hash,
         "date_functions": AN.date_functions,
         "array_functions": AN.array_functions,
+        "json_functions": AN.json_functions,
         "asof_latest_order": A.asof_latest_order,
         "range_join_recent_events": A.range_join_recent_events,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
@@ -219,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "sampling_hash": AN.SAMPLING_HASH_SQL,
         "date_functions": AN.DATE_FUNCTIONS_SQL,
         "array_functions": AN.ARRAY_FUNCTIONS_SQL,
+        "json_functions": AN.JSON_FUNCTIONS_SQL,
         "asof_latest_order": A.ASOF_LATEST_ORDER_SQL,
         "range_join_recent_events": A.RANGE_JOIN_SQL,
         "graph_load": (

@@ -389,3 +389,51 @@ ARRAY_FUNCTIONS_SQL = (
     " array_to_string(toks[1:3], '_') AS head3"
     " FROM t"
 )
+
+
+# ---------------------------------------------------------------------------
+# JSON function family
+# ---------------------------------------------------------------------------
+
+
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction and construction over the semi-structured
+    ``props`` column: path extraction with typed cast, existence
+    check, and a construct→re-extract round trip (build a JSON object
+    from columns, then pull the fields back out).
+
+    All JSON work is JVM-side codegen (Jackson under Spark's
+    ``get_json_object``/``to_json``), row-parallel, zero shuffle —
+    semi-structured columns at 100 TB are only viable when parsing
+    stays off the Python path.  The round-trip is compared field-wise
+    (never on the serialized text, whose whitespace is dialect-
+    specific).
+    """
+    ev = table(spark, sf_dir, "events")
+    constructed = F.to_json(F.struct("event_id", "event_type"))
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.get_json_object("props", "$.missing").isNull().alias("no_missing"),
+        F.get_json_object(constructed, "$.event_id")
+        .cast("bigint")
+        .alias("rt_id"),
+        F.get_json_object(constructed, "$.event_type").alias("rt_type"),
+    )
+
+
+JSON_FUNCTIONS_SQL = (
+    "WITH j AS (SELECT event_id, event_type, props,"
+    " to_json(struct_pack(event_id := event_id,"
+    "  event_type := event_type)) AS constructed"
+    " FROM events)"
+    " SELECT event_id,"
+    " CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,"
+    " json_extract_string(props, '$.k') IS NOT NULL AS has_k,"
+    " json_extract_string(props, '$.missing') IS NULL AS no_missing,"
+    " CAST(json_extract_string(constructed, '$.event_id') AS BIGINT)"
+    "  AS rt_id,"
+    " json_extract_string(constructed, '$.event_type') AS rt_type"
+    " FROM j"
+)

@@ -156,3 +156,34 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_enriched_tumbling(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream–static enrichment join feeding a windowed aggregate —
+    the production shape for joining an event stream against a
+    dimension table (here: events.user_id → customer, aggregated per
+    market segment per day).
+
+    The static side broadcasts, so each micro-batch joins map-side
+    with NO stream-side shuffle before the windowed aggregation; the
+    dimension is re-resolvable between triggers (Spark re-plans the
+    static side per micro-batch), which is how slowly-changing
+    dimensions stay fresh without restarting the query.
+    """
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            "c_mktsegment",
+            "cnt",
+            "sum_value",
+        )
+    )

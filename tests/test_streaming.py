@@ -73,3 +73,34 @@ def test_streaming_dedup_drains_to_distinct(spark, sf_dir):
     )
     assert out.select("eh").distinct().count() == batch_distinct
     assert out.count() == batch_distinct
+
+
+def test_streaming_enriched_equals_batch(spark, sf_dir):
+    """Stream–static join + window agg must equal the same computation
+    done in batch."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.functions.numeric import dsum
+    from smile_spark.streaming.events import (
+        run_stream_to_memory,
+        streaming_enriched_tumbling,
+    )
+    from smile_spark.tables import table
+
+    got = run_stream_to_memory(
+        streaming_enriched_tumbling(spark, sf_dir), "enriched_tumbling"
+    )
+    ev = table(spark, sf_dir, "events")
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = (
+        ev.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("ws"), "c_mktsegment", "cnt", "sum_value"
+        )
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    assert got.count() > 0
