@@ -50,12 +50,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datagen": R.datagen,
         # --- capability demos licensed by SURVEY.md §2.2 ---
         "pricing_summary": R.pricing_summary,
+        "regional_revenue": R.regional_revenue,
         "top_customers": R.top_customers,
         "window_rank": R.window_rank,
         "set_ops": R.set_ops,
         "join_variants": R.join_variants,
         "rollup_summary": R.rollup_summary,
         "sql_order_priority": R.sql_order_priority,
+        "sql_subqueries": R.sql_subqueries,
         "agg_stats": R.agg_stats,
         "string_functions": R.string_functions,
         "cube_summary": AN.cube_summary,
@@ -67,6 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_functions": AN.date_functions,
         "array_functions": AN.array_functions,
         "json_functions": AN.json_functions,
+        "regex_functions": AN.regex_functions,
+        "map_functions": AN.map_functions,
+        "math_functions": AN.math_functions,
         "asof_latest_order": A.asof_latest_order,
         "range_join_recent_events": A.range_join_recent_events,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
@@ -177,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM lineitem WHERE l_shipdate <= TIMESTAMP '2025-12-01'"
             " GROUP BY l_returnflag, l_linestatus"
         ),
+        "regional_revenue": R.REGIONAL_REVENUE_SQL,
         "top_customers": (
             "SELECT c.c_custkey, c.c_name, t.total_spent FROM ("
             "  SELECT o_custkey,"
@@ -210,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_summary": R.ROLLUP_SQL,
         # same text runs on both engines — dialect portability IS the check
         "sql_order_priority": R.SQL_ORDER_PRIORITY,
+        "sql_subqueries": R.SQL_SUBQUERIES,
         "agg_stats": R.AGG_STATS_SQL,
         "string_functions": R.STRING_FUNCTIONS_SQL,
         "cube_summary": AN.CUBE_SUMMARY_SQL,
@@ -221,6 +228,9 @@ def oracle_sql() -> dict[str, str]:
         "date_functions": AN.DATE_FUNCTIONS_SQL,
         "array_functions": AN.ARRAY_FUNCTIONS_SQL,
         "json_functions": AN.JSON_FUNCTIONS_SQL,
+        "regex_functions": AN.REGEX_FUNCTIONS_SQL,
+        "map_functions": AN.MAP_FUNCTIONS_SQL,
+        "math_functions": AN.MATH_FUNCTIONS_SQL,
         "asof_latest_order": A.ASOF_LATEST_ORDER_SQL,
         "range_join_recent_events": A.RANGE_JOIN_SQL,
         "graph_load": (

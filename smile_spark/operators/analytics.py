@@ -437,3 +437,122 @@ JSON_FUNCTIONS_SQL = (
     " json_extract_string(constructed, '$.event_type') AS rt_type"
     " FROM j"
 )
+
+
+# ---------------------------------------------------------------------------
+# Regex function family
+# ---------------------------------------------------------------------------
+
+# dialect-portable pattern subset (Java regex ≡ RE2/DuckDB for these)
+_WORD_PAT = "([a-z]+)"
+_VOWEL_PAT = "[aeiou]"
+_DIGIT_PAT = "[0-9]"
+
+
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface over part names: group extraction, global
+    replacement, boolean match, and match counting.  All row-parallel
+    codegen (Spark compiles Java regex into the generated code) — zero
+    shuffle; the pattern subset is chosen to behave identically in
+    Java regex and DuckDB's RE2."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", _WORD_PAT, 1).alias("first_word"),
+        F.regexp_replace("p_name", _VOWEL_PAT, "").alias("no_vowels"),
+        F.col("p_name").rlike(_DIGIT_PAT).alias("has_digit"),
+        F.size(F.expr(f"regexp_extract_all(p_name, '{_WORD_PAT}', 1)"))
+        .cast("bigint")
+        .alias("n_words"),
+    )
+
+
+REGEX_FUNCTIONS_SQL = (
+    "SELECT p_partkey,"
+    f" regexp_extract(p_name, '{_WORD_PAT}', 1) AS first_word,"
+    f" regexp_replace(p_name, '{_VOWEL_PAT}', '', 'g') AS no_vowels,"
+    f" regexp_matches(p_name, '{_DIGIT_PAT}') AS has_digit,"
+    f" CAST(len(regexp_extract_all(p_name, '{_WORD_PAT}', 1)) AS BIGINT)"
+    "  AS n_words"
+    " FROM part"
+)
+
+
+# ---------------------------------------------------------------------------
+# Map function family
+# ---------------------------------------------------------------------------
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: construct a map from columns, extract
+    by key, enumerate keys/values, cardinality.  Row-parallel codegen,
+    zero shuffle; outputs are flattened to scalar/string columns so the
+    cross-engine comparison never hashes an engine-specific map
+    rendering (Spark and DuckDB disagree on map literal syntax, not on
+    map semantics)."""
+    p = table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.element_at(m, "type").alias("type_val"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+        F.array_join(F.map_values(m), ",").alias("values_joined"),
+        F.size(m).cast("bigint").alias("n_entries"),
+    )
+
+
+MAP_FUNCTIONS_SQL = (
+    "WITH m AS (SELECT p_partkey,"
+    " MAP(['brand','type'], [p_brand, p_type]) AS mp FROM part)"
+    " SELECT p_partkey,"
+    " mp['brand'][1] AS brand_val,"
+    " mp['type'][1] AS type_val,"
+    " array_to_string(map_keys(mp), ',') AS keys_joined,"
+    " array_to_string(map_values(mp), ',') AS values_joined,"
+    " CAST(cardinality(mp) AS BIGINT) AS n_entries"
+    " FROM m"
+)
+
+
+# ---------------------------------------------------------------------------
+# Math function family
+# ---------------------------------------------------------------------------
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math surface: abs/sign/mod (exact), sqrt (IEEE-exact),
+    and exp/ln/pow (libm-dependent — rounded to 6 digits, since the
+    last bit is not guaranteed identical across math libraries).  All
+    codegen expressions, zero shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("abs_dev"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("exp_disc"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.pow(F.col("l_quantity"), F.lit(1.5)), 6).alias("qty_pow"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_tax" ).cast("bigint").alias("tax_floor"),
+    )
+
+
+MATH_FUNCTIONS_SQL = (
+    "SELECT l_orderkey, l_linenumber,"
+    " ABS(l_quantity - 25.0) AS abs_dev,"
+    " CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,"
+    " l_orderkey % 7 AS key_mod7,"
+    " ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,"
+    " ROUND(EXP(l_discount), 6) AS exp_disc,"
+    " ROUND(LN(l_extendedprice), 6) AS ln_price,"
+    " ROUND(POW(l_quantity, 1.5), 6) AS qty_pow,"
+    " CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,"
+    " CAST(FLOOR(l_tax) AS BIGINT) AS tax_floor"
+    " FROM lineitem"
+)

@@ -521,3 +521,112 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_except")
     )
     return n_union.crossJoin(n_intersect).crossJoin(n_except)
+
+
+# Correlated / scalar subquery surface — one portable SQL text per
+# shape, run verbatim on Spark SQL and on the DuckDB oracle (the
+# dialect-portability check, same as SQL_ORDER_PRIORITY).  The
+# reference has no subquery concept at all (SURVEY.md §0: no SQL
+# layer); Catalyst rewrites EXISTS/IN into semi joins and scalar
+# subqueries into a broadcast single-row join — these are plan
+# capabilities, not parser sugar.
+SQL_SUBQUERIES = (
+    "SELECT c_custkey, c_acctbal FROM customer c"
+    " WHERE EXISTS (SELECT 1 FROM orders o"
+    "   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+    " AND c_custkey NOT IN ("
+    "   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+    "   AND o_custkey IS NOT NULL)"
+    " AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)"
+)
+
+
+def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT IN + scalar subquery in one statement.
+
+    Catalyst compiles the EXISTS to a left-semi join, the NOT IN to a
+    null-aware anti join, and the scalar AVG to a single-row broadcast
+    — all shuffle-bounded by key columns.  The identical text runs on
+    the oracle, so the check covers both semantics and dialect
+    portability.
+    """
+    from smile_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_SUBQUERIES)
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue per nation within a
+    region and date range, where the supplier and customer share the
+    nation.
+
+    The scale shape: the two fact tables (lineitem ⋈ orders) meet in
+    the single big shuffle on orderkey; every dimension
+    (customer/supplier/nation/region) broadcasts, so the fact data is
+    exchanged exactly once end-to-end; the date filter pushes into the
+    orders scan and the region filter prunes the dimension BEFORE the
+    broadcast.  Catalyst's join reordering gets the dimension chain
+    right from the declarative form — the hand-scheduling the
+    reference would need (SURVEY.md §4.1) simply doesn't exist here.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01"))
+        )
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == dims.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+REGIONAL_REVENUE_SQL = (
+    "SELECT n_name,"
+    " CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    "  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    "  AS DECIMAL(18,4))) AS DOUBLE) AS revenue,"
+    " COUNT(*) AS n_items"
+    " FROM lineitem"
+    " JOIN orders ON l_orderkey = o_orderkey"
+    " JOIN customer ON o_custkey = c_custkey"
+    " JOIN supplier ON l_suppkey = s_suppkey"
+    "  AND s_nationkey = c_nationkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA'"
+    " AND o_orderdate >= TIMESTAMP '1997-01-01'"
+    " AND o_orderdate < TIMESTAMP '1999-01-01'"
+    " GROUP BY n_name"
+)
