@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": AN.percentiles,
         "corr_stats": AN.corr_stats,
         "lead_lag_delta": AN.lead_lag_delta,
+        "window_ranking": AN.window_ranking,
         "sampling_hash": AN.sampling_hash,
         "date_functions": AN.date_functions,
         "array_functions": AN.array_functions,
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "percentiles": AN.PERCENTILES_SQL,
         "corr_stats": AN.CORR_STATS_SQL,
         "lead_lag_delta": AN.LEAD_LAG_DELTA_SQL,
+        "window_ranking": AN.WINDOW_RANKING_SQL,
         "sampling_hash": AN.SAMPLING_HASH_SQL,
         "date_functions": AN.DATE_FUNCTIONS_SQL,
         "array_functions": AN.ARRAY_FUNCTIONS_SQL,

@@ -556,3 +556,42 @@ MATH_FUNCTIONS_SQL = (
     " CAST(FLOOR(l_tax) AS BIGINT) AS tax_floor"
     " FROM lineitem"
 )
+
+
+# ---------------------------------------------------------------------------
+# Ranking function suite
+# ---------------------------------------------------------------------------
+
+
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions: percent_rank, cume_dist, ntile,
+    dense_rank over a fully tie-broken ordering.  The total order
+    (price, then key) makes every rank — and therefore the
+    (rank-1)/(n-1) style ratios — a deterministic integer computation,
+    identical across engines.  One shuffle on the partition key; the
+    frame never re-shuffles (same argument as lead_lag_delta)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+    )
+
+
+WINDOW_RANKING_SQL = (
+    "SELECT o_orderkey, o_orderstatus, o_totalprice,"
+    " percent_rank() OVER w AS pr,"
+    " cume_dist() OVER w AS cd,"
+    " ntile(4) OVER w AS quartile,"
+    " CAST(dense_rank() OVER w AS BIGINT) AS drank"
+    " FROM orders"
+    " WINDOW w AS (PARTITION BY o_orderstatus"
+    "  ORDER BY o_totalprice, o_orderkey)"
+)
