@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": D.minhash_signature,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "simhash": D.simhash,
+        "simhash_pairs": D.simhash_pairs,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_canonical": P.dedup_canonical,
         "corpus_quality_filter": P.corpus_quality_filter,
@@ -302,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": D.minhash_signature_sql(),
         "dedup_minhash_lsh": D.dedup_minhash_lsh_sql(),
         "simhash": D.simhash_sql(),
+        "simhash_pairs": D.simhash_pairs_sql(),
         "dedup_embedding_cosine": D.dedup_embedding_cosine_sql(),
         "text_stats": T.TEXT_STATS_SQL,
         "token_count": T.TOKEN_COUNT_SQL,

@@ -519,3 +519,100 @@ def simhash_sql() -> str:
         f" sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)"
         f" SELECT doc_id, concat({bits}) AS fingerprint FROM sums"
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-banded near-dup pair search
+# ---------------------------------------------------------------------------
+
+SIMHASH_MAX_DISTANCE = 3
+SIMHASH_N_BANDS = 4
+_SIMHASH_BAND_W = SIMHASH_BITS // SIMHASH_N_BANDS
+
+
+def _hamming_expr(fa: str, fb: str) -> str:
+    """32-term exact hamming distance between two bit-string columns —
+    shared verbatim between the Spark plan and the DuckDB oracle."""
+    terms = " + ".join(
+        f"(CASE WHEN substr({fa}, {j + 1}, 1) <> substr({fb}, {j + 1}, 1)"
+        " THEN 1 ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"({terms})"
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via hamming-distance banding.
+
+    The 32-bit fingerprint splits into 4 bands of 8 bits; by
+    pigeonhole, any pair at hamming distance ≤ 3 agrees on at least
+    one whole band, so the band equi-join has 100% recall at the
+    distance threshold — candidate generation is a shuffle on the
+    band key, never a pair enumeration (the same candidate-then-verify
+    shape as MinHash-LSH, §dedup_minhash_lsh, but over bit bands
+    instead of hash bands).  The exact 32-term hamming verify runs on
+    candidates only.  Returns (a, b, hamming) with distance ≤ 3.
+    """
+    fp = simhash(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring(
+                "fingerprint", b * _SIMHASH_BAND_W + 1, _SIMHASH_BAND_W
+            ).alias("bkey"),
+        )
+        for b in range(SIMHASH_N_BANDS)
+    ]
+    bands = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        "doc_id",
+        "fingerprint",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("a"), F.col("fingerprint").alias("fa"),
+        "band", "bkey",
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("b"), F.col("fingerprint").alias("fb"),
+        "band", "bkey",
+    )
+    cand = (
+        ba.join(bb, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a", "b",
+            F.expr(_hamming_expr("fa", "fb")).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_DISTANCE)
+    )
+
+
+def simhash_pairs_sql() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, fingerprint, {b} AS band,"
+        f" substr(fingerprint, {b * _SIMHASH_BAND_W + 1},"
+        f" {_SIMHASH_BAND_W}) AS bkey FROM fp"
+        for b in range(SIMHASH_N_BANDS)
+    )
+    return (
+        # the fingerprint query (its own WITH chain) nests as a view
+        f"WITH fp AS ({simhash_sql()}),"
+        f" bands AS ({band_selects}),"
+        " cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b,"
+        "  ba.fingerprint AS fa, bb.fingerprint AS fb"
+        "  FROM bands ba JOIN bands bb ON ba.band = bb.band"
+        "   AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id)"
+        f" SELECT a, b, CAST({_hamming_expr('fa', 'fb')} AS BIGINT)"
+        "  AS hamming"
+        " FROM cand"
+        f" WHERE {_hamming_expr('fa', 'fb')} <= {SIMHASH_MAX_DISTANCE}"
+    )
