@@ -553,7 +553,12 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of hash bands).  The exact 32-term hamming verify runs on
     candidates only.  Returns (a, b, hamming) with distance ≤ 3.
     """
-    fp = simhash(spark, sf_dir)
+    # materialize the fingerprint table once — it feeds BOTH sides of
+    # the band self-join, and it is tiny (one 32-char row per blocked
+    # doc), so the self-join otherwise recomputes the sign-sum
+    # aggregate twice (measured ~2× on the operator); same move as
+    # dedup_minhash_lsh's checkpointed band table
+    fp = simhash(spark, sf_dir).coalesce(1).localCheckpoint()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
