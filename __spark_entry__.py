@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lead_lag_delta": AN.lead_lag_delta,
         "window_ranking": AN.window_ranking,
         "sampling_hash": AN.sampling_hash,
+        "stratified_sample": AN.stratified_sample,
         "date_functions": AN.date_functions,
         "array_functions": AN.array_functions,
         "json_functions": AN.json_functions,
@@ -228,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "lead_lag_delta": AN.LEAD_LAG_DELTA_SQL,
         "window_ranking": AN.WINDOW_RANKING_SQL,
         "sampling_hash": AN.SAMPLING_HASH_SQL,
+        "stratified_sample": AN.stratified_sample_sql(),
         "date_functions": AN.DATE_FUNCTIONS_SQL,
         "array_functions": AN.ARRAY_FUNCTIONS_SQL,
         "json_functions": AN.JSON_FUNCTIONS_SQL,

@@ -595,3 +595,58 @@ WINDOW_RANKING_SQL = (
     " WINDOW w AS (PARTITION BY o_orderstatus"
     "  ORDER BY o_totalprice, o_orderkey)"
 )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+# per-stratum keep-percentages; unlisted strata fall back to DEFAULT.
+# In a real curation run these are the per-source mixing weights.
+STRATA_PCT = {"src0": 80, "src1": 50, "src2": 25}
+STRATA_DEFAULT_PCT = 10
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: each source keeps a
+    different fraction, selected by key hash — the corpus-mixing
+    primitive of a training-data pipeline (upsample rare sources,
+    downsample dominant ones).
+
+    Same scale argument as `sampling_hash`: a pure filter over the
+    scan (zero shuffle, zero state), reproducible under any
+    partitioning; `df.sampleBy` is seed-per-partition and is not.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+        " as bigint) % 100"
+    )
+    rate = F.lit(STRATA_DEFAULT_PCT)
+    for src, pct in sorted(STRATA_PCT.items()):
+        rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
+    return (
+        docs.select(
+            "doc_id", "source", bucket.alias("sample_bucket"),
+            rate.alias("keep_pct"),
+        )
+        .filter(F.col("sample_bucket") < F.col("keep_pct"))
+    )
+
+
+def stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{src}' THEN {pct}"
+        for src, pct in sorted(STRATA_PCT.items())
+    )
+    rate = f"(CASE {cases} ELSE {STRATA_DEFAULT_PCT} END)"
+    bucket = (
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+        " % 100"
+    )
+    return (
+        f"SELECT doc_id, source, {bucket} AS sample_bucket,"
+        f" {rate} AS keep_pct"
+        " FROM documents"
+        f" WHERE {bucket} < {rate}"
+    )
