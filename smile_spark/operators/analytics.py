@@ -90,8 +90,8 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIVOT_WIDE_SQL = (
     "SELECT l_linestatus,"
     + ", ".join(
-        f" SUM(CASE WHEN l_returnflag = '{f}' THEN 1 ELSE 0 END)"
-        f" AS cnt_{f.lower()}"
+        f" CAST(SUM(CASE WHEN l_returnflag = '{f}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS cnt_{f.lower()}"
         for f in PIVOT_FLAGS
     )
     + " FROM lineitem GROUP BY l_linestatus"
@@ -342,7 +342,7 @@ DATE_FUNCTIONS_SQL = (
     " FROM orders)"
     " SELECT month_start, month_start + INTERVAL 1 MONTH AS next_month,"
     " o_year, o_month, COUNT(*) AS n_orders,"
-    " SUM(days_to_eoy) AS sum_days_to_eoy"
+    " CAST(SUM(days_to_eoy) AS BIGINT) AS sum_days_to_eoy"
     " FROM m GROUP BY month_start, o_year, o_month"
 )
 
@@ -580,7 +580,7 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.dense_rank().over(w).cast("bigint").alias("drank"),
     )
 

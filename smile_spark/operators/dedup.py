@@ -156,7 +156,7 @@ def ngram_jaccard_topk(
     top = jacc.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(k)
     w = Window.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
     return top.withColumn("rn", F.row_number().over(w)).select(
-        "a", "b", "jaccard", "rn"
+        "a", "b", "jaccard", F.col("rn").cast("bigint").alias("rn")
     )
 
 
@@ -312,12 +312,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     ba = bands.select(F.col("doc_id").alias("a"), "band", "bkey")
     bb = bands.select(F.col("doc_id").alias("b"), "band", "bkey")
+    # NO coalesce here: the candidate table is corpus-proportional on a
+    # boilerplate-heavy corpus (round-1 had a coalesce(1) that pinned it
+    # to one task — a single-partition exchange at 100 TB).  Keep the
+    # checkpoint (it feeds both the semi-join filter and the final
+    # verify join) but let it stay shuffle-partitioned.
     cand = (
         ba.join(bb, ["band", "bkey"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
-        .coalesce(1)
         .localCheckpoint()
     )
     # Exact verification only ever touches documents that appear in a
@@ -369,6 +373,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Verified LSH pair tables memoized per (application, sf_dir): the pair
+# table is the natural persisted artifact of a dedup run — downstream
+# consumers (dedup_canonical's cluster pass) must reuse it, not re-run
+# the full signature+band+verify chain.  At 100 TB this is a parquet
+# table on shared storage; in-session the localCheckpoint plays that
+# role.  (Round-1 dedup_canonical recomputed the 4.5 s LSH inside its
+# own 5.7 s pass — this is the fix.)
+_LSH_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified (a, b) near-dup pair table, computed at most once
+    per Spark application per fixture directory."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_PAIR_CACHE:
+        _LSH_PAIR_CACHE[key] = (
+            dedup_minhash_lsh(spark, sf_dir).select("a", "b").localCheckpoint()
+        )
+    return _LSH_PAIR_CACHE[key]
+
+
 def dedup_minhash_lsh_sql() -> str:
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat({cols})) AS bkey FROM sig".format(
@@ -403,31 +428,58 @@ def dedup_minhash_lsh_sql() -> str:
 # embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------
 
-NEARDUP_QUANT_BITS = 8      # sign-quantization bucket width
+NEARDUP_QUANT_BITS = 8      # sign-quantization bucket width (fixture default)
+# Auto-derivation target: with B bits, expected bucket size is N / 2^B
+# (sign bits of gaussian-ish embeddings are near-uniform); keep the
+# per-bucket candidate set around this many rows so the same-bucket
+# self-join stays O(N * bucket_rows), never O(N²).
+NEARDUP_TARGET_BUCKET_ROWS = 1024
 # Real corpora use ~0.9; the synthetic gaussian fixture's same-bucket
 # cosines top out near 0.5, so the demo threshold sits where the
 # fixture produces a non-trivial result set.
 NEARDUP_COS_THRESHOLD = 0.25
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def neardup_auto_bits(n_rows: int, dim: int) -> int:
+    """Bucket width scaled to corpus size: enough sign bits that the
+    expected bucket holds ~NEARDUP_TARGET_BUCKET_ROWS vectors, floored
+    at the fixture default and capped at the embedding dimension."""
+    import math
+
+    need = math.ceil(math.log2(max(1, n_rows / NEARDUP_TARGET_BUCKET_ROWS)))
+    return max(NEARDUP_QUANT_BITS, min(dim, need))
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    quant_bits: int | str = NEARDUP_QUANT_BITS,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, cross-join-free.
 
-    Blocking = sign quantization of the first 8 components (a fixed-
-    hyperplane LSH: axis-aligned hyperplanes): vectors agreeing on all
-    8 signs share a bucket, candidates are same-bucket pairs, and the
-    exact cosine verify runs on candidates only.  At 100 TB this is
-    one shuffle on an int bucket key (2^8 cells, widen bits for bigger
-    corpora) — the same candidate-then-verify shape as MinHash-LSH,
-    over vectors instead of shingles.
+    Blocking = sign quantization of the first ``quant_bits`` components
+    (a fixed-hyperplane LSH: axis-aligned hyperplanes): vectors agreeing
+    on all signs share a bucket, candidates are same-bucket pairs, and
+    the exact cosine verify runs on candidates only.  At 100 TB this is
+    one shuffle on an int bucket key — the same candidate-then-verify
+    shape as MinHash-LSH, over vectors instead of shingles.
+
+    ``quant_bits`` may be an int or ``"auto"``: auto counts the corpus
+    once and widens the bucket key so expected per-bucket rows stay
+    ~NEARDUP_TARGET_BUCKET_ROWS — per-bucket pair work is then bounded
+    regardless of corpus size (the round-1 fixed-8-bit version grew
+    O((N/256)²) per bucket).
     Returns (a, b, cos_r) with cosine rounded to 6 digits.
     """
     from smile_spark.operators.similarity import _dot, _norm, _vectors
 
     emb = _vectors(spark, sf_dir)
+    if quant_bits == "auto":
+        dim = len(emb.select("v").head()[0])
+        quant_bits = neardup_auto_bits(emb.count(), dim)
     bucket = sum(
         F.when(F.element_at("v", j + 1) >= 0, F.lit(2**j)).otherwise(F.lit(0))
-        for j in range(NEARDUP_QUANT_BITS)
+        for j in range(quant_bits)
     )
     b = emb.select("vec_id", "v", bucket.alias("bucket"))
     ba = b.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
@@ -445,13 +497,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_embedding_cosine_sql() -> str:
+def dedup_embedding_cosine_sql(quant_bits: int = NEARDUP_QUANT_BITS) -> str:
     bits = " + ".join(
         f"(CASE WHEN v[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)"
-        for j in range(NEARDUP_QUANT_BITS)
+        for j in range(quant_bits)
     )
     cos = (
-        "list_reduce(list_transform(generate_series(1, 64),"
+        "list_reduce(list_transform(generate_series(1, len(ba.v)),"
         " i -> ba.v[i] * bb.v[i]), (x, y) -> x + y)"
         " / (sqrt(list_reduce(list_transform(ba.v, x -> x * x),"
         " (x, y) -> x + y))"
@@ -554,11 +606,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only.  Returns (a, b, hamming) with distance ≤ 3.
     """
     # materialize the fingerprint table once — it feeds BOTH sides of
-    # the band self-join, and it is tiny (one 32-char row per blocked
-    # doc), so the self-join otherwise recomputes the sign-sum
-    # aggregate twice (measured ~2× on the operator); same move as
-    # dedup_minhash_lsh's checkpointed band table
-    fp = simhash(spark, sf_dir).coalesce(1).localCheckpoint()
+    # the band self-join, so the self-join otherwise recomputes the
+    # sign-sum aggregate twice (measured ~2× on the operator); same
+    # move as dedup_minhash_lsh's checkpointed band table.  NO coalesce:
+    # the fingerprint table is one row per document (corpus-sized at
+    # 100 TB) — round 1 pinned it to a single partition, serializing
+    # the band self-join onto one task.
+    fp = simhash(spark, sf_dir).localCheckpoint()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

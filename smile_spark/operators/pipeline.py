@@ -42,7 +42,10 @@ LANG_KEEP = "en"
 
 
 def dedup_canonical(
-    spark: SparkSession, sf_dir: str, max_iter: int = CANONICAL_MAX_ITER
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = CANONICAL_MAX_ITER,
+    pairs: DataFrame | str | None = None,
 ) -> DataFrame:
     """Canonical-document assignment over MinHash-LSH duplicate pairs.
 
@@ -51,6 +54,13 @@ def dedup_canonical(
     the canonical document of a cluster is its minimum doc_id.  Emits
     (doc_id, canonical_id, is_canonical) for every document that
     appears in some duplicate pair.
+
+    ``pairs`` is the persisted pair table: a DataFrame with (a, b)
+    columns, a parquet path, or None — None reuses the per-application
+    memoized LSH result (operators/dedup.py::lsh_pairs_cached), so the
+    chained pipeline never recomputes the full signature+band+verify
+    chain inside the cluster pass.  At 100 TB the pair table is the
+    artifact a dedup run writes once and every downstream pass reads.
 
     The component computation is Pregel-style min-label propagation —
     same loop shape as operators/graph.py::connected_components — but
@@ -65,12 +75,11 @@ def dedup_canonical(
     # the rounds are scheduler-overhead-bound, not data-bound.  (If a
     # pathological corpus ever produced a huge pair graph, drop the
     # coalesce — the loop is partitioning-agnostic.)
-    pairs = (
-        D.dedup_minhash_lsh(spark, sf_dir)
-        .select("a", "b")
-        .coalesce(1)
-        .localCheckpoint()
-    )
+    if pairs is None:
+        pairs = D.lsh_pairs_cached(spark, sf_dir)
+    elif isinstance(pairs, str):
+        pairs = spark.read.parquet(pairs)
+    pairs = pairs.select("a", "b").coalesce(1).localCheckpoint()
     und = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).coalesce(1)
@@ -177,7 +186,7 @@ def corpus_quality_filter_sql() -> str:
         " keep AS (SELECT MIN(doc_id) AS doc_id FROM documents"
         "  GROUP BY md5(text))"
         " SELECT d.source, COUNT(*) AS n_docs,"
-        " SUM(t.ws_tokens) AS sum_ws_tokens,"
+        " CAST(SUM(t.ws_tokens) AS BIGINT) AS sum_ws_tokens,"
         f" {sql_dsum('s.quality_score', 'sum_quality')}"
         " FROM documents d"
         " JOIN keep k ON d.doc_id = k.doc_id"

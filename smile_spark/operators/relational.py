@@ -418,7 +418,12 @@ def window_rank(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     return (
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
     )
 
 

@@ -77,7 +77,12 @@ def ann_cosine_topk(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("qid", "vec_id", "cos_r", "rn")
+        .select(
+            "qid",
+            "vec_id",
+            "cos_r",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
     )
 
 

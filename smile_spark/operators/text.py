@@ -44,7 +44,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_calc"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
         F.explode(F.split("text", " ")).alias("tok"),
     )
     # Punctuation is counted per TOKEN and summed: splitting on spaces

@@ -32,7 +32,15 @@ def duckdb_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Column-name-sorted, row-sorted, dtype-normalized frame."""
+    """Column-name-sorted, row-sorted frame.
+
+    Deliberately does NOT normalize integer/float dtypes: the driver's
+    value hash is bit-exact over the fetched pandas frames, so a DuckDB
+    HUGEINT (fetchdf → float64) vs a Spark BIGINT (int64) must FAIL
+    here too, not be papered over (round-1 pivot_wide/date_functions
+    regression class).  Only timestamps are floored to µs — that is a
+    representation difference (ns vs µs), not a value difference.
+    """
     out = df[sorted(df.columns)].copy()
     for c in out.columns:
         s = out[c]
@@ -40,10 +48,6 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = s.dt.floor("us").astype("datetime64[us]")
         elif pd.api.types.is_bool_dtype(s):
             out[c] = s.astype("bool")
-        elif pd.api.types.is_integer_dtype(s):
-            out[c] = s.astype("int64")
-        elif pd.api.types.is_float_dtype(s):
-            out[c] = s.astype("float64")
     out = out.sort_values(by=list(out.columns), na_position="last")
     return out.reset_index(drop=True)
 
@@ -66,5 +70,5 @@ def assert_matches_oracle(
         f"row count mismatch: spark={len(got)} oracle={len(want)}"
     )
     pd.testing.assert_frame_equal(
-        got, want, check_dtype=False, check_exact=check_exact
+        got, want, check_dtype=True, check_exact=check_exact
     )

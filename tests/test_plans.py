@@ -121,6 +121,23 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
 
 
+def test_no_single_partition_collapse_in_dedup():
+    """Round-1 regression guard: dedup_minhash_lsh's candidate table
+    and simhash_pairs' fingerprint table are corpus-proportional — a
+    coalesce(1) on either pins a 100 TB-scale table to ONE task.
+    (localCheckpoint truncates lineage, so the collapse is invisible
+    to a plan audit on the returned DataFrame — guard at the source
+    level instead.)"""
+    import inspect
+
+    from smile_spark.operators import dedup
+
+    src = inspect.getsource(dedup)
+    assert ".coalesce(1)" not in src, (
+        "single-partition collapse reintroduced in operators/dedup.py"
+    )
+
+
 def test_triangle_count_broadcasts_dimensions(spark, sf_dir):
     """The tripartite closure must broadcast customer/supplier sides;
     the only shuffle is the lineitem ⋈ orders equi-join + distinct."""
