@@ -274,22 +274,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (SELECT COUNT(*) FROM orders) AS persisted_edges,"
             " CAST(0 AS BIGINT) AS mismatches"
         ),
-        "bfs": (
-            "WITH RECURSIVE e AS ("
-            "  SELECT o_custkey AS src, 100000 + o_orderkey AS dst FROM orders"
-            "  UNION ALL"
-            "  SELECT 100000 + o_orderkey AS src, o_custkey AS dst FROM orders"
-            "),"
-            " walk(source, id, dist) AS ("
-            "  SELECT CAST(s.source AS BIGINT), CAST(s.source AS BIGINT), 0"
-            "  FROM (VALUES (1), (7), (42)) s(source)"
-            "  UNION"
-            "  SELECT w.source, e.dst, w.dist + 1"
-            "  FROM walk w JOIN e ON e.src = w.id WHERE w.dist < 8"
-            ") "
-            "SELECT source, id, MIN(dist) AS dist FROM walk"
-            " GROUP BY source, id"
-        ),
+        "bfs": G.bfs_sql(),
         "sssp": G.sssp_sql(),
         "pagerank": G.pagerank_sql(),
         "connected_components": (

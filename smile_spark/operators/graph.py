@@ -36,7 +36,27 @@ NODE_OFFSET = 100_000
 # nation-node ids live in a third disjoint range
 NATION_OFFSET = 200_000
 
-BFS_SOURCES = (1, 7, 42)
+# 25 deterministic sources spread across the customer-id domain
+# (valid at every SF: ids 0..149 exist from sf0.001 up).  Mirrors the
+# breadth of the reference's 100-random-source regression loop
+# (/root/reference/src/regtests/bfsgraph_regtest.cpp:9,35) without its
+# unseeded nondeterminism; all sources advance in ONE tagged frontier,
+# so the cost is one traversal, not 25.
+BFS_SOURCES = tuple(range(0, 150, 6))
+# SSSP keeps the compact routing demo set: its oracle is a hop-capped
+# recursion whose row count multiplies with sources × weights, and the
+# multi-source machinery is already exercised by the 25-source BFS.
+SSSP_SOURCES = (1, 7, 42)
+
+
+def _values_sql(sources: Sequence[int]) -> str:
+    """A source set as a SQL VALUES list — oracle recursions must seed
+    from exactly the same ids as the Spark frontier."""
+    return ", ".join(f"({s})" for s in sources)
+
+
+def sources_values_sql() -> str:
+    return _values_sql(BFS_SOURCES)
 # Bellman-Ford rounds for sssp — relaxation over paths of ≤ k edges;
 # mirrored exactly by the oracle's hop-capped recursion.
 SSSP_ROUNDS = 4
@@ -197,6 +217,28 @@ def bfs(
     return bfs_frontier(spark, e, sources, max_iter)
 
 
+def bfs_sql() -> str:
+    """Hop-capped recursive oracle seeded from BFS_SOURCES — the cap
+    only needs to exceed the fixture graph's diameter (≤ 8; the Spark
+    side iterates to an empty frontier, so both reach a fixpoint)."""
+    return (
+        "WITH RECURSIVE e AS ("
+        "  SELECT o_custkey AS src, 100000 + o_orderkey AS dst FROM orders"
+        "  UNION ALL"
+        "  SELECT 100000 + o_orderkey AS src, o_custkey AS dst FROM orders"
+        "),"
+        " walk(source, id, dist) AS ("
+        "  SELECT CAST(s.source AS BIGINT), CAST(s.source AS BIGINT), 0"
+        f"  FROM (VALUES {sources_values_sql()}) s(source)"
+        "  UNION"
+        "  SELECT w.source, e.dst, w.dist + 1"
+        "  FROM walk w JOIN e ON e.src = w.id WHERE w.dist < 8"
+        ") "
+        "SELECT source, id, MIN(dist) AS dist FROM walk"
+        " GROUP BY source, id"
+    )
+
+
 def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted undirected edge view for routing queries.
 
@@ -227,7 +269,7 @@ def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sssp(
     spark: SparkSession,
     sf_dir: str,
-    sources: Sequence[int] = BFS_SOURCES,
+    sources: Sequence[int] = SSSP_SOURCES,
     rounds: int = SSSP_ROUNDS,
 ) -> DataFrame:
     """Weighted single-source shortest paths (multi-source, routing).
@@ -281,7 +323,7 @@ def sssp_sql() -> str:
         " walk(source, id, dist, hops) AS ("
         "  SELECT CAST(s.source AS BIGINT), CAST(s.source AS BIGINT),"
         "   CAST(0 AS BIGINT), 0"
-        "  FROM (VALUES (1), (7), (42)) s(source)"
+        f"  FROM (VALUES {_values_sql(SSSP_SOURCES)}) s(source)"
         "  UNION"
         "  SELECT w.source, e.dst, w.dist + e.w, w.hops + 1"
         f"  FROM walk w JOIN e ON e.src = w.id WHERE w.hops < {SSSP_ROUNDS}"

@@ -69,10 +69,24 @@ def read_edge_list(
     return edges
 
 
+# write_edge_list collects the full edge set to the driver — a fixture
+# writer, never a production sink.  The guard makes misuse on a real
+# graph an immediate error instead of a driver OOM.
+WRITE_EDGE_LIST_MAX_ROWS = 1_000_000
+
+
 def write_edge_list(df: DataFrame, path: str) -> None:
     """Persist ``edges(src, dst)`` in the reference text format (one
     header line + sorted pairs).  Driver-side write, intended for test
-    fixtures — production graph persistence is parquet."""
+    fixtures — production graph persistence is parquet.  Refuses edge
+    sets above WRITE_EDGE_LIST_MAX_ROWS."""
+    n = df.count()
+    if n > WRITE_EDGE_LIST_MAX_ROWS:
+        raise ValueError(
+            f"write_edge_list is a test-fixture writer: {n} edges exceeds"
+            f" the {WRITE_EDGE_LIST_MAX_ROWS}-row guard; persist large"
+            " graphs as parquet (df.write.parquet) instead"
+        )
     rows = df.select("src", "dst").orderBy("src", "dst").collect()
     nodes = set()
     for r in rows:

@@ -84,6 +84,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so spark.sql() queries run
-    against the same fixtures the DataFrame API sees."""
-    for name in TABLE_NAMES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    against the same fixtures the DataFrame API sees.
+
+    Binding goes THROUGH the fixture catalog (C1/C2): each view is
+    validated against its registered StructType, so a drifted fixture
+    fails at registration, not as a downstream hash mismatch."""
+    from smile_spark.fixtures_catalog import register_views_validated
+
+    register_views_validated(spark, sf_dir)

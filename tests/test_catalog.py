@@ -78,3 +78,30 @@ def test_schema_binding(spark, tmp_path):
     path = os.path.join(tmp_path, "cat.json")
     cat.save(path)
     assert Catalog.load(path).get_node_type("person").schema == schema
+
+
+def test_fixture_catalog_validates_all_tables(spark, sf_dir):
+    """Every fixture table binds cleanly through its registered
+    StructType — the load-time drift gate for the whole query surface."""
+    from smile_spark.fixtures_catalog import register_views_validated
+
+    cat = register_views_validated(spark, sf_dir)
+    assert len(cat) == 10
+    assert spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0].n > 0
+
+
+def test_fixture_catalog_rejects_drifted_schema(spark, sf_dir):
+    """A fixture whose column type drifts must fail the bind — this is
+    the failure a silent regeneration would otherwise hide."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.catalog import PROPERTY, CatalogError
+    from smile_spark.fixtures_catalog import fixture_catalog
+    from smile_spark.tables import table
+
+    cat = fixture_catalog()
+    drifted = table(spark, sf_dir, "documents").withColumn(
+        "n_chars", F.col("n_chars").cast("int")  # bigint -> int drift
+    )
+    with pytest.raises(CatalogError, match="schema mismatch"):
+        cat.bind_view(spark, PROPERTY, "documents", drifted)

@@ -38,6 +38,18 @@ def test_edge_list_header_collision(spark, tmp_path):
     assert rows == [(1, 2), (2, 3), (2, 4)]
 
 
+def test_write_edge_list_refuses_large_graphs(spark, tmp_path):
+    # the writer collects to the driver; it must refuse real-graph sizes
+    # BEFORE collecting anything
+    from pyspark.sql import functions as F
+
+    big = spark.range(1_000_001).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        write_edge_list(big, os.path.join(tmp_path, "big.txt"))
+
+
 # --- property-based round-trip (hypothesis) -------------------------------
 
 try:
