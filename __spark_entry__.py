@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from smile_spark.operators import analytics as AN
 from smile_spark.operators import asof as A
+from smile_spark.operators import curation as C
 from smile_spark.operators import dedup as D
 from smile_spark.operators import multimodal as M
 from smile_spark.operators import graph as G
@@ -74,6 +75,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ranking": AN.window_ranking,    # quartile → bigint
         "ngram_jaccard_topk": D.ngram_jaccard_topk,  # rn → bigint
         "dedup_minhash_lsh": D.dedup_minhash_lsh,    # coalesce(1) removed
+        # --- new this round: corpus curation (needs first verdict) ---
+        "text_normalize": C.text_normalize,
+        "doc_chunks": C.doc_chunks,
+        "ngram_counts": C.ngram_counts,
+        "cdc_latest_state": C.cdc_latest_state,
+        "source_temperature_mix": C.source_temperature_mix,
         # --- reference parity (SURVEY.md §2.1) ---
         "scan": R.scan,
         "scan_filter_count": R.scan_filter_count,
@@ -94,19 +101,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": G.connected_components,
         "degree_distribution": G.degree_distribution,
         "triangle_count": G.triangle_count,
-        # --- remaining dedup family ---
-        "dedup_exact": D.dedup_exact,
-        "minhash_signature": D.minhash_signature,
-        "simhash": D.simhash,
-        # --- as-of / range joins ---
-        "asof_latest_order": A.asof_latest_order,
-        "range_join_recent_events": A.range_join_recent_events,
         # --- flagship (slot 50) ---
         "pricing_summary": R.pricing_summary,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this round;
         # all were driver-green in CORRECTNESS_r01 and are unchanged.
         # ------------------------------------------------------------------
+        "dedup_exact": D.dedup_exact,
+        "minhash_signature": D.minhash_signature,
+        "simhash": D.simhash,
+        "asof_latest_order": A.asof_latest_order,
+        "range_join_recent_events": A.range_join_recent_events,
         "regional_revenue": R.regional_revenue,
         "top_customers": R.top_customers,
         "set_ops": R.set_ops,
@@ -249,6 +254,11 @@ def oracle_sql() -> dict[str, str]:
         "math_functions": AN.MATH_FUNCTIONS_SQL,
         "asof_latest_order": A.ASOF_LATEST_ORDER_SQL,
         "range_join_recent_events": A.RANGE_JOIN_SQL,
+        "text_normalize": C.TEXT_NORMALIZE_SQL,
+        "doc_chunks": C.DOC_CHUNKS_SQL,
+        "ngram_counts": C.NGRAM_COUNTS_SQL,
+        "cdc_latest_state": C.CDC_LATEST_STATE_SQL,
+        "source_temperature_mix": C.SOURCE_TEMPERATURE_MIX_SQL,
         "graph_load": (
             "WITH e AS (SELECT o_custkey AS src, 100000 + o_orderkey AS dst"
             "           FROM orders),"

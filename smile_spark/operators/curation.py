@@ -1,0 +1,255 @@
+"""Corpus-curation operators (north-star extension; the reference has
+no text surface at all — SURVEY.md §2.2): the remaining verbs of a
+training-data pipeline beyond dedup/quality (operators/dedup.py,
+operators/text.py, operators/pipeline.py):
+
+* ``text_normalize`` — canonical text cleanup (case fold, punctuation
+  strip, whitespace collapse) — the pass that runs before any
+  shingling/fingerprinting so near-dup detection isn't defeated by
+  formatting noise.
+* ``doc_chunks`` — overlapping token-window chunking — how long
+  documents become training-window-sized samples.
+* ``ngram_counts`` — corpus-level bigram frequencies (top-k) — the
+  corpus statistics pass behind tokenizer/vocab construction.
+* ``cdc_latest_state`` — latest-record-wins compaction keyed by entity
+  — the MERGE/upsert shape that turns an append-only event log into a
+  current-state table.
+* ``source_temperature_mix`` — temperature-based (α=0.5) source
+  mixing: downweight dominant sources ∝ √(n_min/n_s), selected by the
+  same deterministic key hash as `sampling_hash` so the mix is
+  reproducible under any partitioning.
+
+All are JVM-codegen column expressions (zero Python UDFs); each has a
+bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from smile_spark.tables import fan_out, table
+
+# chunking: 64-token windows, 48-token stride (16-token overlap keeps
+# boundary context in both neighbors)
+CHUNK_W = 64
+CHUNK_STRIDE = 48
+
+NGRAM_TOP_K = 50
+
+# temperature mixing exponent α = 0.5 expressed as √ — keep_rate_s =
+# floor(100·√(n_min/n_s)) so the smallest source keeps 100%.  floor of
+# a correctly-rounded sqrt is engine-portable (IEEE sqrt is exact per
+# rounding, unlike libm pow/exp).
+MIX_FLOOR_PCT = 1  # every source keeps at least 1%
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase → strip non-alnum →
+    collapse runs of spaces → trim.  Row-parallel codegen over the
+    scan, zero shuffle — at 100 TB this pass is I/O-bound and runs
+    fused with whatever consumes it."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+TEXT_NORMALIZE_SQL = (
+    "WITH n AS (SELECT doc_id,"
+    " trim(regexp_replace(regexp_replace(lower(text),"
+    "  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text"
+    " FROM documents)"
+    " SELECT doc_id, norm_text,"
+    " CAST(length(norm_text) AS BIGINT) AS n_chars_norm FROM n"
+)
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: each document yields windows
+    of CHUNK_W tokens every CHUNK_STRIDE tokens (final windows may be
+    short).  One explode keyed by the scan partitioning — no shuffle;
+    chunk_idx derives from the window start, so no ordering dependence
+    anywhere.  At 100 TB, partition for post-explosion volume
+    (`fan_out`) exactly like shingling."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n"))
+    starts = toks.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.expr(f"sequence(0, n - 1, {CHUNK_STRIDE})")
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_W), F.col("n") - F.col("s"))
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.array_join(
+            F.expr(f"slice(toks, s + 1, {CHUNK_W})"), " "
+        ).alias("chunk_text"),
+    )
+
+
+DOC_CHUNKS_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,"
+    " len(string_split(text, ' ')) AS n FROM documents),"
+    f" s AS (SELECT doc_id, toks, n, unnest(generate_series(0, n - 1,"
+    f" {CHUNK_STRIDE})) AS s FROM t)"
+    " SELECT doc_id,"
+    f" CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,"
+    " CAST(s AS BIGINT) AS start_tok,"
+    f" CAST(least({CHUNK_W}, n - s) AS BIGINT) AS chunk_len,"
+    f" array_to_string(toks[s + 1 : s + {CHUNK_W}], ' ') AS chunk_text"
+    " FROM s"
+)
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies, top-k.  Bigrams assemble inside a
+    higher-order lambda (no token self-join), then one explode → one
+    partial/final count aggregate → TakeOrderedAndProject for the
+    global top-k (every partition ships k rows, no global sort).  The
+    shuffle carries (bigram, partial_count) — bounded by vocabulary²
+    sightings, not corpus size."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(F.split("text", " ").alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(1, size(toks) - 1),"
+                "  i -> concat(element_at(toks, i), ' ',"
+                "   element_at(toks, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.orderBy(F.desc("cnt"), F.asc("bigram")).limit(NGRAM_TOP_K)
+
+
+NGRAM_COUNTS_SQL = (
+    "WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),"
+    " b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),"
+    "  i -> toks[i] || ' ' || toks[i + 1])) AS bigram"
+    "  FROM t WHERE len(toks) >= 2)"
+    " SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram"
+    f" ORDER BY cnt DESC, bigram ASC LIMIT {NGRAM_TOP_K}"
+)
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-wins compaction of the append-only event log into
+    a current-state table keyed by user: the batch form of a CDC/upsert
+    MERGE.  One shuffle keyed by the entity id, per-key sort inside the
+    window — at 100 TB this is the periodic compaction pass over a
+    bucketed-by-key log, and the window becomes a near-free sort within
+    pre-bucketed partitions.  Ties on ts break by event_id, so the
+    winner is engine-independent."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+CDC_LATEST_STATE_SQL = (
+    "WITH e AS (SELECT user_id, event_id,"
+    " date_trunc('microseconds', ts) AS ts_us, event_type, value,"
+    " ROW_NUMBER() OVER (PARTITION BY user_id"
+    "  ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn"
+    " FROM events)"
+    " SELECT user_id, event_id AS last_event_id, ts_us AS last_ts,"
+    " event_type AS last_type, value AS last_value"
+    " FROM e WHERE rn = 1"
+)
+
+
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (α = 0.5): each source keeps
+    floor(100·√(n_min/n_s))% of its documents, chosen by the same
+    deterministic md5 key-hash as `sampling_hash` — dominant sources
+    are damped toward the √ of their share, the smallest source keeps
+    everything, and the selected row set is identical under any
+    partitioning or engine.  Plan: one tiny per-source count aggregate
+    (broadcast back), then a pure filter over the scan — the corpus
+    never shuffles.  Emits per-source accounting (n_total, keep_pct,
+    n_kept)."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    n_min = counts.agg(F.min("n_total").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_total",
+        F.greatest(
+            F.lit(MIX_FLOOR_PCT),
+            F.floor(
+                100
+                * F.sqrt(
+                    F.col("n_min").cast("double")
+                    / F.col("n_total").cast("double")
+                )
+            ),
+        )
+        .cast("bigint")
+        .alias("keep_pct"),
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+        " as bigint) % 100"
+    )
+    kept = (
+        docs.select("doc_id", "source", bucket.alias("b"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("b") < F.col("keep_pct"))
+    )
+    return (
+        kept.groupBy("source", "n_total", "keep_pct")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select("source", "n_total", "keep_pct", "n_kept")
+    )
+
+
+SOURCE_TEMPERATURE_MIX_SQL = (
+    "WITH counts AS (SELECT source, COUNT(*) AS n_total FROM documents"
+    " GROUP BY source),"
+    " m AS (SELECT MIN(n_total) AS n_min FROM counts),"
+    " rates AS (SELECT source, n_total,"
+    f"  CAST(greatest({MIX_FLOOR_PCT}, floor(100 * sqrt("
+    "   CAST(n_min AS DOUBLE) / CAST(n_total AS DOUBLE))))"
+    "   AS BIGINT) AS keep_pct"
+    "  FROM counts, m),"
+    " kept AS (SELECT d.source, r.n_total, r.keep_pct"
+    "  FROM documents d JOIN rates r ON d.source = r.source"
+    "  WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+    "   % 100 < r.keep_pct)"
+    " SELECT source, n_total, keep_pct, COUNT(*) AS n_kept"
+    " FROM kept GROUP BY source, n_total, keep_pct"
+)

@@ -90,3 +90,18 @@ def read_jsonl(
         .option("mode", "FAILFAST")
         .json(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Write a DataFrame as ORC — the second columnar interchange
+    format (Hive/Trino ecosystems).  Columnar + predicate pushdown
+    like parquet, so it is a peer primary format, not an ingest edge."""
+    if partitions is not None:
+        df = df.repartition(partitions)
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC directory (schema travels with the data, same as
+    parquet — no explicit schema needed)."""
+    return spark.read.orc(path)

@@ -46,3 +46,27 @@ def test_embeddings_jsonl_round_trip(spark, sf_dir, tmp_path):
     write_jsonl(src, path)
     back = read_jsonl(spark, path, src)
     _assert_same_rows(src, back)
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """parquet → ORC → read back must be lossless, and filters must
+    push into the ORC scan just like parquet."""
+    import os
+
+    from smile_spark.sources.text_formats import read_orc, write_orc
+    from smile_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+    path = os.path.join(tmp_path, "orders_orc")
+    write_orc(orders, path, partitions=4)
+    back = read_orc(spark, path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).isEmpty()
+
+    filtered = back.filter(back.o_orderkey == 42).select("o_orderkey")
+    plan = filtered._jdf.queryExecution().explainString(
+        filtered._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "o_orderkey" in plan
