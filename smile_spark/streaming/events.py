@@ -158,6 +158,63 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_click_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    attribution_window: str = "2 hours",
+) -> DataFrame:
+    """Stream–stream inner join with watermarks on BOTH sides: attribute
+    each purchase to the same user's preceding clicks within the
+    attribution window — the canonical two-stream correlation
+    (click-through attribution, request/response pairing, sessionized
+    funnels).
+
+    Both inputs carry watermarks and the join predicate bounds the
+    event-time distance, so Spark can size the join state: a click is
+    held only until the watermark passes click_ts + window, then
+    evicted.  Unbounded-state stream joins (no time bound) are refused
+    by the engine — the bound IS the 100 TB story: state ∝ traffic
+    within the window, not stream history.
+    """
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", attribution_window)
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", attribution_window)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user"
+            " AND click_ts <= purchase_ts"
+            f" AND click_ts >= purchase_ts - INTERVAL {attribution_window}"
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "purchase_value",
+    )
+
+
 def streaming_enriched_tumbling(
     spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:

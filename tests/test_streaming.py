@@ -104,3 +104,49 @@ def test_streaming_enriched_equals_batch(spark, sf_dir):
     )
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
     assert got.count() > 0
+
+
+def test_streaming_click_attribution_equals_batch(spark, sf_dir):
+    """Stream–stream join (watermarks both sides, time-bounded
+    predicate) must equal the identical batch join once drained —
+    append mode, so only rows the watermark has sealed are compared
+    against the batch subset they cover; with the whole fixture in one
+    trigger, every row seals."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.streaming.events import streaming_click_attribution
+    from smile_spark.tables import table
+
+    got = run_stream_to_memory(
+        streaming_click_attribution(spark, sf_dir),
+        "t_attrib",
+        output_mode="append",
+    )
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts <= purchase_ts"
+            " AND click_ts >= purchase_ts - INTERVAL 2 hours"
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "purchase_value",
+    )
+    assert got.count() > 0
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
