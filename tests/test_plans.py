@@ -176,6 +176,67 @@ def test_array_functions_no_shuffle(spark, sf_dir):
     assert "Generate" not in plan, plan  # no explode fallback
 
 
+def test_text_normalize_no_shuffle(spark, sf_dir):
+    """Normalization is row-parallel codegen — no Exchange at all."""
+    from smile_spark.operators.curation import text_normalize
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(text_normalize(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_doc_chunks_single_fanout_exchange(spark, sf_dir):
+    """Chunking shuffles once (the deliberate fan_out repartition for
+    post-explosion volume) and never again — chunk ids derive from
+    window starts, not from any ordering."""
+    from smile_spark.operators.curation import doc_chunks
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(doc_chunks(spark, sf_dir))
+    # formatted mode lists each node twice (tree + detail); count nodes
+    assert len([
+        ln for ln in plan.splitlines() if "Exchange (" in ln
+    ]) == 1, plan
+    assert "Sort (" not in plan, plan
+
+
+def test_ngram_counts_partial_agg_and_topk(spark, sf_dir):
+    """Bigram counting must combine map-side and take the global top-k
+    without a global sort."""
+    from smile_spark.operators.curation import ngram_counts
+
+    df = ngram_counts(spark, sf_dir)
+    assert_partial_aggregation(df)
+    from smile_spark.plans.audit import formatted_plan
+
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_cdc_latest_state_single_exchange(spark, sf_dir):
+    """Latest-state compaction is ONE shuffle keyed by the entity id
+    (the window's partition key) — nothing else moves."""
+    from smile_spark.operators.curation import cdc_latest_state
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(cdc_latest_state(spark, sf_dir))
+    assert len([
+        ln for ln in plan.splitlines() if "Exchange (" in ln
+    ]) == 1, plan
+
+
+def test_source_temperature_mix_corpus_never_shuffles(spark, sf_dir):
+    """The corpus side is filter-only: every Exchange in the plan must
+    be on the tiny per-source rate table (single-row/broadcast legs),
+    so no exchange may carry doc_id."""
+    from smile_spark.operators.curation import source_temperature_mix
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(source_temperature_mix(spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" not in line, plan
+
+
 def test_cube_single_scan(spark, sf_dir):
     """CUBE computes all four grouping levels from ONE scan of the
     fact table (Expand feeding a single partial/final aggregate)."""
