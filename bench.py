@@ -43,14 +43,27 @@ def main() -> None:
     # warmup (code cache, shuffle-file reuse is disabled by noop's
     # overwrite, OS pagecache), the min filters GC/scheduler noise so
     # round-over-round numbers are comparable.
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+
+    def time_one(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        samples.setdefault(name, []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
     for _pass in range(2):
         for name, fn in sorted(queries.items()):
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            elapsed = round(time.perf_counter() - t0, 4)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            time_one(name, fn)
+    # Queries whose two samples disagree badly were hit by host-load /
+    # GC noise in at least one pass — give exactly those one more
+    # sample so the min is trustworthy without re-running everything.
+    for name, fn in sorted(queries.items()):
+        s = samples[name]
+        if max(s) > 1.3 * min(s) and min(s) > 0.2:
+            time_one(name, fn)
+
+    timings = {name: min(s) for name, s in samples.items()}
 
     total = round(sum(timings.values()), 4)
     print(
