@@ -320,8 +320,11 @@ def oracle_sql() -> dict[str, str]:
         # deterministic sketch: the ESTIMATE itself is oracle-verified
         "kmv_distinct_tokens": K.KMV_SQL,
         "ann_cosine_topk": S.ANN_COSINE_SQL,
-        # ann_ivf_topk: intentionally no oracle — approximate recall by
-        # design; validated against brute force in tests/test_similarity.py
+        # ann_ivf_topk is APPROXIMATE vs brute force (recall-tested in
+        # tests/test_similarity.py) but fully DETERMINISTIC given its
+        # fixed centroid rule — so the search itself is exactly
+        # oracle-checkable (fold order pinned; see ann_ivf_sql)
+        "ann_ivf_topk": S.ann_ivf_sql(),
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

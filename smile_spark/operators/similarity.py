@@ -169,7 +169,73 @@ def ann_ivf_topk(
     return (
         candidates.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= k)
-        .select("qid", "vec_id", "cos_r", "rn")
+        .select(
+            "qid",
+            "vec_id",
+            "cos_r",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+# DuckDB mirrors of _dot/_norm: list_reduce is a strict left fold, the
+# same evaluation order as Spark's ``aggregate`` fold, so the unrounded
+# doubles (cell-assignment similarities included) are bit-identical —
+# which is what makes an EXACT oracle possible for the IVF search.
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, x -> x * x),"
+        " (x, y) -> x + y))"
+    )
+
+
+def ann_ivf_sql() -> str:
+    """Exact DuckDB oracle for ann_ivf_topk.  Every nondeterminism is
+    pinned: centroids are a fixed modulus subsample, assignment and
+    probe ranks tie-break on cid, final rank ties on vec_id, and all
+    dot/norm folds run in identical order on both engines."""
+    sim_a = (
+        f"{_sql_dot('e.v', 'c.cv')}"
+        f" / ({_sql_norm('e.v')} * {_sql_norm('c.cv')})"
+    )
+    sim_q = (
+        f"{_sql_dot('q.qv', 'c.cv')}"
+        f" / ({_sql_norm('q.qv')} * {_sql_norm('c.cv')})"
+    )
+    cos = (
+        f"{_sql_dot('a.v', 'qc.qv')}"
+        f" / ({_sql_norm('a.v')} * {_sql_norm('qc.qv')})"
+    )
+    return (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),"
+        f" cents AS (SELECT vec_id AS cid, v AS cv FROM e"
+        f"  WHERE vec_id % {CENTROID_MOD} = 0),"
+        " asg AS (SELECT vec_id, v, cid, ROW_NUMBER() OVER"
+        "  (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS arn FROM ("
+        f"  SELECT e.vec_id, e.v, c.cid, {sim_a} AS sim FROM e, cents c)),"
+        " assigned AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),"
+        f" q AS (SELECT vec_id AS qid, v AS qv FROM e"
+        f"  WHERE vec_id < {N_QUERIES}),"
+        " qc AS (SELECT qid, qv, cid, ROW_NUMBER() OVER"
+        "  (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS prn FROM ("
+        f"  SELECT q.qid, q.qv, c.cid, {sim_q} AS sim FROM q, cents c)),"
+        f" qcells AS (SELECT qid, qv, cid FROM qc WHERE prn <= {N_PROBE}),"
+        " cand AS (SELECT qc.qid, a.vec_id,"
+        f"  ROUND({cos}, {ROUND_DIGITS}) AS cos_r"
+        "  FROM assigned a JOIN qcells qc ON a.cid = qc.cid),"
+        " ranked AS (SELECT qid, vec_id, cos_r, ROW_NUMBER() OVER"
+        "  (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn"
+        "  FROM cand)"
+        f" SELECT qid, vec_id, cos_r, rn FROM ranked WHERE rn <= {TOP_K}"
     )
 
 
@@ -266,7 +332,12 @@ def ivf_search_indexed(
     return (
         candidates.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= k)
-        .select("qid", "vec_id", "cos_r", "rn")
+        .select(
+            "qid",
+            "vec_id",
+            "cos_r",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
     )
 
 
