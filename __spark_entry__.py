@@ -81,16 +81,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": C.ngram_counts,
         "cdc_latest_state": C.cdc_latest_state,
         "source_temperature_mix": C.source_temperature_mix,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "skew_salted_revenue": R.skew_salted_revenue,
+        "price_histogram": AN.price_histogram,
         # --- reference parity (SURVEY.md §2.1) ---
-        "scan": R.scan,
         "scan_filter_count": R.scan_filter_count,
         "groupby_count": R.groupby_count,
         "groupby_count_array": R.groupby_count_array,
         "hashjoin_agg": R.hashjoin_agg,
-        "projection": R.projection,
         "casts_parse": R.casts_parse,
         "timestamp_filter": R.timestamp_filter,
-        "datagen": R.datagen,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
         "graph_load": G.graph_load,
         "graph_metadata": G.graph_metadata,
@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries below sit past the driver's 50-query window this round;
         # all were driver-green in CORRECTNESS_r01 and are unchanged.
         # ------------------------------------------------------------------
+        "scan": R.scan,
+        "projection": R.projection,
+        "datagen": R.datagen,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
         "simhash": D.simhash,
@@ -254,6 +257,9 @@ def oracle_sql() -> dict[str, str]:
         "math_functions": AN.MATH_FUNCTIONS_SQL,
         "asof_latest_order": A.ASOF_LATEST_ORDER_SQL,
         "range_join_recent_events": A.RANGE_JOIN_SQL,
+        "q3_shipping_priority": R.Q3_SHIPPING_PRIORITY_SQL,
+        "skew_salted_revenue": R.SKEW_SALTED_REVENUE_SQL,
+        "price_histogram": AN.PRICE_HISTOGRAM_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

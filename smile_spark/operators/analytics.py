@@ -650,3 +650,47 @@ def stratified_sample_sql() -> str:
         " FROM documents"
         f" WHERE {bucket} < {rate}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning
+# ---------------------------------------------------------------------------
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500_000.0, 10
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: explicit floor-arithmetic
+    binning (portable across engines, unlike engine-specific
+    width_bucket variants), one partial/final count aggregate.  The
+    histogram shuffle carries #bins rows per partition — the cheapest
+    possible distribution profile at any corpus size."""
+    o = table(spark, sf_dir, "orders")
+    step = (HIST_HI - HIST_LO) / HIST_BINS
+    bin_ = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor((F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(step)),
+    ).cast("bigint")
+    return (
+        o.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            (F.lit(HIST_LO) + F.col("bin") * F.lit(step)).alias("bin_lo"),
+            (F.lit(HIST_LO) + (F.col("bin") + 1) * F.lit(step)).alias(
+                "bin_hi"
+            ),
+            "cnt",
+        )
+    )
+
+
+PRICE_HISTOGRAM_SQL = (
+    "WITH b AS (SELECT CAST(least({bins} - 1,"
+    " floor((o_totalprice - {lo}) / {step})) AS BIGINT) AS bin"
+    " FROM orders)"
+    " SELECT bin, {lo} + bin * {step} AS bin_lo,"
+    " {lo} + (bin + 1) * {step} AS bin_hi, COUNT(*) AS cnt"
+    " FROM b GROUP BY bin"
+).format(bins=HIST_BINS, lo=HIST_LO, step=(HIST_HI - HIST_LO) / HIST_BINS)

@@ -635,3 +635,89 @@ REGIONAL_REVENUE_SQL = (
     " AND o_orderdate < TIMESTAMP '1999-01-01'"
     " GROUP BY n_name"
 )
+
+
+def q3_shipping_priority(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: segment-filtered
+    customers ⋈ date-filtered orders ⋈ lineitem, revenue per order,
+    global top-k.  The classic date-window star join: the customer
+    filter broadcasts, the orders date predicate pushes into the scan,
+    and the top-k is TakeOrderedAndProject (k rows per partition to the
+    driver, no global sort) — at 100 TB the scan prunes on the date
+    partition key and nothing but (orderkey, revenue) ever shuffles."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey)
+    )
+    rev = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            ).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return rev.orderBy(
+        F.desc("revenue"), F.asc("l_orderkey")
+    ).limit(k)
+
+
+Q3_SHIPPING_PRIORITY_SQL = (
+    "SELECT l_orderkey, o_orderdate,"
+    " CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    "  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    "  AS DECIMAL(18,4))) AS DOUBLE) AS revenue"
+    " FROM lineitem"
+    " JOIN orders ON l_orderkey = o_orderkey"
+    " JOIN customer ON o_custkey = c_custkey"
+    " WHERE c_mktsegment = 'BUILDING'"
+    " AND o_orderdate < TIMESTAMP '1998-01-01'"
+    " GROUP BY l_orderkey, o_orderdate"
+    " ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+)
+
+
+def skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue via an explicitly SALTED join
+    (functions/skew.py): the big fact side is spread over 8 synthetic
+    sub-keys, the supplier side replicated once per salt — the
+    plan-level answer to a power-law hot key that AQE's runtime skew
+    split can't fix.  The salt changes row placement ONLY: the result
+    (and this oracle) is identical to the unsalted join, which is the
+    point — verified here through the driver's hash gate."""
+    from smile_spark.functions.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, s, "suppkey", n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice", "sum_revenue"),
+    )
+
+
+SKEW_SALTED_REVENUE_SQL = (
+    "SELECT s_nationkey, COUNT(*) AS n_items,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    "  AS sum_revenue"
+    " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+    " GROUP BY s_nationkey"
+)

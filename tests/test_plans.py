@@ -112,6 +112,8 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # crossJoins of SINGLE-ROW aggregate legs into one summary row
         "graph_metadata", "join_variants", "set_ops", "kmv_distinct_tokens",
         "source_temperature_mix",
+        # salt replication: crossJoin against a broadcast 8-row salt table
+        "skew_salted_revenue",
     }
     for name, fn in sorted(entry_mod.queries().items()):
         if name in skip:
