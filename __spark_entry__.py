@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": M.multimodal_frames,
         "multimodal_resize": M.multimodal_resize,
         "multimodal_audio_chunks": M.multimodal_audio_chunks,
+        "multimodal_frame_stats": M.multimodal_frame_stats,
         # --- changed this round (re-verify the fixes) ---
         "pivot_wide": AN.pivot_wide,            # r01 hash-fail fixed
         "date_functions": AN.date_functions,    # r01 hash-fail fixed
@@ -93,7 +94,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestamp_filter": R.timestamp_filter,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
         "graph_load": G.graph_load,
-        "graph_metadata": G.graph_metadata,
         "graph_check": G.graph_check,
         "bfs": G.bfs,
         "sssp": G.sssp,
@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan": R.scan,
         "projection": R.projection,
         "datagen": R.datagen,
+        "graph_metadata": G.graph_metadata,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
         "simhash": D.simhash,
@@ -342,4 +343,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": M.MULTIMODAL_FRAMES_SQL,
         "multimodal_resize": M.MULTIMODAL_RESIZE_SQL,
         "multimodal_audio_chunks": M.MULTIMODAL_AUDIO_CHUNKS_SQL,
+        "multimodal_frame_stats": M.MULTIMODAL_FRAME_STATS_SQL,
     }

@@ -269,3 +269,28 @@ MULTIMODAL_AUDIO_CHUNKS_SQL = (
     "  AS chunk_len"
     " FROM c"
 )
+
+
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video rollup of the sampled frames — the many-to-ONE
+    composition closing the UDF shape matrix (1→1 meta/resize, 1→N
+    frames/chunks, N→1 here): the Arrow-batched decode output feeds a
+    plain JVM-side partial/final aggregate, so Python touches each
+    frame row once and the reduction itself is codegen.  At 100 TB the
+    aggregate keys on doc_id — the same partitioning the frame sampler
+    already produced, so AQE usually elides the exchange."""
+    frames = multimodal_frames(spark, sf_dir)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.col("frame_len").cast("bigint")).alias("total_frame_bytes"),
+        F.max("frame_off").alias("last_frame_off"),
+    )
+
+
+MULTIMODAL_FRAME_STATS_SQL = (
+    f"WITH frames AS ({MULTIMODAL_FRAMES_SQL})"
+    " SELECT doc_id, COUNT(*) AS n_frames,"
+    " CAST(SUM(frame_len) AS BIGINT) AS total_frame_bytes,"
+    " MAX(frame_off) AS last_frame_off"
+    " FROM frames GROUP BY doc_id"
+)
