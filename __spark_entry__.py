@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_canonical": P.dedup_canonical,
         "corpus_quality_filter": P.corpus_quality_filter,
+        "corpus_curation_manifest": P.corpus_curation_manifest,
         "text_stats": T.text_stats,
         "token_count": T.token_count,
         "lang_id": T.lang_id,
@@ -93,7 +94,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "casts_parse": R.casts_parse,
         "timestamp_filter": R.timestamp_filter,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
-        "graph_load": G.graph_load,
         "graph_check": G.graph_check,
         "bfs": G.bfs,
         "sssp": G.sssp,
@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection": R.projection,
         "datagen": R.datagen,
         "graph_metadata": G.graph_metadata,
+        "graph_load": G.graph_load,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
         "simhash": D.simhash,
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": G.TRIANGLE_COUNT_SQL,
         "dedup_canonical": P.dedup_canonical_sql(),
         "corpus_quality_filter": P.corpus_quality_filter_sql(),
+        "corpus_curation_manifest": P.corpus_curation_manifest_sql(),
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "ngram_jaccard_topk": D.NGRAM_JACCARD_SQL,
         "minhash_signature": D.minhash_signature_sql(),

@@ -198,3 +198,118 @@ def corpus_quality_filter_sql() -> str:
         f" AND t.ws_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}"
         " GROUP BY d.source"
     )
+
+
+def corpus_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end curation pipeline in one query: exact dedup →
+    near-dup canonical drop (MinHash-LSH clusters via the persisted
+    pair table) → quality/language/token-band filter → temperature
+    (α=0.5) source mixing → per-source manifest accounting.
+
+    This is the chain a 100 TB training-data run executes before
+    tokenization; every stage is one of the verified operators, joined
+    on the corpus key (doc_id equi-joins) or applied as a pure filter.
+    The mix rates derive from the FILTERED per-source counts (mixing
+    happens after cleaning, as in production).  Emits per source:
+    n_total (filtered, pre-mix), keep_pct, n_docs (post-mix),
+    sum_ws_tokens (the token budget the manifest exists to report).
+    """
+    docs = table(spark, sf_dir, "documents")
+    keep = D.dedup_exact(spark, sf_dir).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    near_dupes = (
+        dedup_canonical(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    stats = T.text_stats(spark, sf_dir).select("doc_id", "quality_score")
+    toks = T.token_count(spark, sf_dir).select("doc_id", "ws_tokens")
+    lang = T.lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    filtered = (
+        docs.join(keep, "doc_id", "semi")
+        .join(near_dupes, "doc_id", "anti")
+        .join(stats, "doc_id")
+        .join(toks, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("quality_score") >= QUALITY_MIN)
+            & (F.col("lang_pred") == LANG_KEEP)
+            & F.col("ws_tokens").between(TOKENS_MIN, TOKENS_MAX)
+        )
+        .select("doc_id", "source", "ws_tokens")
+    )
+    counts = filtered.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    n_min = counts.agg(F.min("n_total").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_total",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                100
+                * F.sqrt(
+                    F.col("n_min").cast("double")
+                    / F.col("n_total").cast("double")
+                )
+            ),
+        )
+        .cast("bigint")
+        .alias("keep_pct"),
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+        " as bigint) % 100"
+    )
+    mixed = (
+        filtered.withColumn("b", bucket)
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("b") < F.col("keep_pct"))
+    )
+    return mixed.groupBy("source", "n_total", "keep_pct").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("sum_ws_tokens"),
+    )
+
+
+def corpus_curation_manifest_sql() -> str:
+    bucket = (
+        "(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+        " % 100"
+    )
+    return (
+        "WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents"
+        "  GROUP BY md5(text)),"
+        f" canon AS (SELECT doc_id FROM ({dedup_canonical_sql()}) c"
+        "  WHERE NOT is_canonical),"
+        " stats AS (SELECT doc_id, quality_score FROM"
+        f" ({T.TEXT_STATS_SQL}) s),"
+        f" toks AS (SELECT doc_id, ws_tokens FROM ({T.TOKEN_COUNT_SQL}) t),"
+        f" lang AS (SELECT doc_id, lang_pred FROM ({T.lang_id_sql()}) l),"
+        " filtered AS (SELECT d.doc_id, d.source, t.ws_tokens"
+        "  FROM documents d"
+        "  JOIN keep k ON d.doc_id = k.doc_id"
+        "  JOIN stats s ON d.doc_id = s.doc_id"
+        "  JOIN toks t ON d.doc_id = t.doc_id"
+        "  JOIN lang l ON d.doc_id = l.doc_id"
+        "  WHERE d.doc_id NOT IN (SELECT doc_id FROM canon)"
+        f"  AND s.quality_score >= {QUALITY_MIN}"
+        f"  AND l.lang_pred = '{LANG_KEEP}'"
+        f"  AND t.ws_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}),"
+        " counts AS (SELECT source, COUNT(*) AS n_total FROM filtered"
+        "  GROUP BY source),"
+        " m AS (SELECT MIN(n_total) AS n_min FROM counts),"
+        " rates AS (SELECT source, n_total,"
+        "  CAST(greatest(1, floor(100 * sqrt("
+        "   CAST(n_min AS DOUBLE) / CAST(n_total AS DOUBLE))))"
+        "   AS BIGINT) AS keep_pct"
+        "  FROM counts, m),"
+        " mixed AS (SELECT f.source, r.n_total, r.keep_pct, f.ws_tokens"
+        "  FROM filtered f JOIN rates r ON f.source = r.source"
+        f"  WHERE {bucket} < r.keep_pct)"
+        " SELECT source, n_total, keep_pct, COUNT(*) AS n_docs,"
+        " CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws_tokens"
+        " FROM mixed GROUP BY source, n_total, keep_pct"
+    )
