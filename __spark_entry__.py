@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": T.token_count,
         "lang_id": T.lang_id,
         "fingerprint": T.fingerprint,
+        "tfidf_top_terms": T.tfidf_top_terms,
         "kmv_distinct_tokens": K.kmv_distinct_tokens,
         "ann_cosine_topk": S.ann_cosine_topk,
         "ann_ivf_topk": S.ann_ivf_topk,  # approximate → rows-only check
@@ -99,7 +100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": G.sssp,
         "pagerank": G.pagerank,
         "connected_components": G.connected_components,
-        "degree_distribution": G.degree_distribution,
         "triangle_count": G.triangle_count,
         # --- flagship (slot 50) ---
         "pricing_summary": R.pricing_summary,
@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datagen": R.datagen,
         "graph_metadata": G.graph_metadata,
         "graph_load": G.graph_load,
+        "degree_distribution": G.degree_distribution,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
         "simhash": D.simhash,
@@ -326,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": T.TOKEN_COUNT_SQL,
         "lang_id": T.lang_id_sql(),
         "fingerprint": T.FINGERPRINT_SQL,
+        "tfidf_top_terms": T.tfidf_top_terms_sql(),
         # deterministic sketch: the ESTIMATE itself is oracle-verified
         "kmv_distinct_tokens": K.KMV_SQL,
         "ann_cosine_topk": S.ANN_COSINE_SQL,

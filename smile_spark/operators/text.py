@@ -231,3 +231,58 @@ FINGERPRINT_SQL = (
     f"  (acc, c) -> (acc * 31 + c) % {ROLLING_MOD}) AS rolling_hash"
     " FROM documents"
 )
+
+
+TFIDF_TOP_K = 30
+TFIDF_ROUND = 6
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: the top-k most distinctive (term, doc) pairs.
+
+    tf = in-document term count, idf = ln(N / df) over distinct-doc
+    term frequency; score rounds to 6 digits before ranking (ln is the
+    one libm call — both engines are correctly-rounded enough at 6
+    digits, the same treatment as the math_functions family).  Two
+    shuffles total: (doc_id, tok) count and tok-keyed df join; the
+    global top-k is TakeOrderedAndProject.  This is the vector-space
+    relevance primitive behind keyword extraction / BM25-lite."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+            TFIDF_ROUND,
+        ).alias("tfidf"),
+    )
+    return scored.orderBy(
+        F.desc("tfidf"), F.asc("doc_id"), F.asc("tok")
+    ).limit(TFIDF_TOP_K)
+
+
+def tfidf_top_terms_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, tok FROM documents,"
+        " unnest(string_split(text, ' ')) t(tok)),"
+        " tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks"
+        "  GROUP BY doc_id, tok),"
+        " df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),"
+        " n AS (SELECT COUNT(*) AS n_docs FROM documents),"
+        " scored AS (SELECT doc_id, tf.tok AS tok, tf, df,"
+        f"  ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), {TFIDF_ROUND})"
+        "   AS tfidf"
+        "  FROM tf JOIN df ON tf.tok = df.tok, n)"
+        " SELECT doc_id, tok, tf, df, tfidf FROM scored"
+        f" ORDER BY tfidf DESC, doc_id ASC, tok ASC LIMIT {TFIDF_TOP_K}"
+    )
