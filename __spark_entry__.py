@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": C.ngram_counts,
         "cdc_latest_state": C.cdc_latest_state,
         "source_temperature_mix": C.source_temperature_mix,
+        "decontaminate": C.decontaminate,
         "q3_shipping_priority": R.q3_shipping_priority,
         "skew_salted_revenue": R.skew_salted_revenue,
         "price_histogram": AN.price_histogram,
@@ -100,7 +101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": G.sssp,
         "pagerank": G.pagerank,
         "connected_components": G.connected_components,
-        "triangle_count": G.triangle_count,
         # --- flagship (slot 50) ---
         "pricing_summary": R.pricing_summary,
         # ------------------------------------------------------------------
@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metadata": G.graph_metadata,
         "graph_load": G.graph_load,
         "degree_distribution": G.degree_distribution,
+        "triangle_count": G.triangle_count,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
         "simhash": D.simhash,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "math_functions": AN.MATH_FUNCTIONS_SQL,
         "asof_latest_order": A.ASOF_LATEST_ORDER_SQL,
         "range_join_recent_events": A.RANGE_JOIN_SQL,
+        "decontaminate": C.DECONTAMINATE_SQL,
         "q3_shipping_priority": R.Q3_SHIPPING_PRIORITY_SQL,
         "skew_salted_revenue": R.SKEW_SALTED_REVENUE_SQL,
         "price_histogram": AN.PRICE_HISTOGRAM_SQL,

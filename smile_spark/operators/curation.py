@@ -253,3 +253,96 @@ SOURCE_TEMPERATURE_MIX_SQL = (
     " SELECT source, n_total, keep_pct, COUNT(*) AS n_kept"
     " FROM kept GROUP BY source, n_total, keep_pct"
 )
+
+
+# decontamination: 8-token grams, 5%-of-corpus probe set standing in
+# for a benchmark/eval corpus, flag threshold on the overlap ratio
+DECON_GRAM_K = 8
+DECON_PROBE_PCT = 5
+DECON_THRESHOLD = 0.5
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose 8-token
+    gram sets overlap a probe ("benchmark") set — the eval-leakage
+    check a training-data pipeline runs beside near-dedup (near-dedup
+    finds doc↔doc similarity; this finds doc↔BENCHMARK containment,
+    catching verbatim spans even inside otherwise-novel documents).
+
+    The probe set here is a deterministic 5% hash slice of the corpus
+    (in production: the actual eval suites, a tiny broadcastable set).
+    Shape: corpus grams explode once (distinct per doc), the probe
+    gram set broadcasts into a left semi-flag join, and one doc-keyed
+    aggregate produces overlap ratios — corpus text never shuffles,
+    only (doc_id, gram) pairs do.
+    Emits flagged docs: (doc_id, n_grams, n_overlap, overlap_ratio).
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    grams = (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("toks"),
+        )
+        .filter(F.size("toks") >= DECON_GRAM_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {DECON_GRAM_K - 1}),"
+                    f" i -> array_join(slice(toks, i, {DECON_GRAM_K}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    probe = (
+        grams.filter(F.col("doc_id") % 100 < DECON_PROBE_PCT)
+        .select("g")
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 100 >= DECON_PROBE_PCT)
+    flagged = (
+        corpus.join(
+            F.broadcast(probe.withColumn("hit", F.lit(1))), "g", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "n_overlap"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_grams"), 6
+            ).alias("overlap_ratio"),
+        )
+        .filter(F.col("overlap_ratio") >= DECON_THRESHOLD)
+    )
+    return flagged
+
+
+DECONTAMINATE_SQL = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+    " FROM documents),"
+    " grams AS (SELECT DISTINCT doc_id,"
+    f"  unnest(list_transform(generate_series(1, len(t) - {DECON_GRAM_K - 1}),"
+    f"   i -> array_to_string(t[i : i + {DECON_GRAM_K - 1}], ' '))) AS g"
+    f"  FROM toks WHERE len(t) >= {DECON_GRAM_K}),"
+    " probe AS (SELECT DISTINCT g FROM grams"
+    f"  WHERE doc_id % 100 < {DECON_PROBE_PCT}),"
+    " agg AS (SELECT grams.doc_id, COUNT(*) AS n_grams,"
+    "  CAST(SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END)"
+    "   AS BIGINT) AS n_overlap"
+    "  FROM grams LEFT JOIN probe ON grams.g = probe.g"
+    f"  WHERE grams.doc_id % 100 >= {DECON_PROBE_PCT}"
+    "  GROUP BY grams.doc_id)"
+    " SELECT doc_id, n_grams, n_overlap,"
+    "  ROUND(CAST(n_overlap AS DOUBLE) / n_grams, 6) AS overlap_ratio"
+    " FROM agg"
+    f" WHERE ROUND(CAST(n_overlap AS DOUBLE) / n_grams, 6)"
+    f"  >= {DECON_THRESHOLD}"
+)
