@@ -271,10 +271,13 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The probe set here is a deterministic 5% hash slice of the corpus
     (in production: the actual eval suites, a tiny broadcastable set).
-    Shape: corpus grams explode once (distinct per doc), the probe
-    gram set broadcasts into a left semi-flag join, and one doc-keyed
-    aggregate produces overlap ratios — corpus text never shuffles,
-    only (doc_id, gram) pairs do.
+    Shape: corpus grams explode once, collapse to a 60-bit md5-prefix
+    key BEFORE the distinct (the shuffle then carries 8-byte keys, not
+    ~60-byte gram strings — ~8× less exchange volume; both engines use
+    the same md5, so the ~1e-5 collision behavior is identical and
+    parity is exact), the probe key set broadcasts into a left
+    semi-flag join, and one doc-keyed aggregate produces overlap
+    ratios — corpus text never shuffles.
     Emits flagged docs: (doc_id, n_grams, n_overlap, overlap_ratio).
     """
     docs = fan_out(table(spark, sf_dir, "documents"))
@@ -291,6 +294,12 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"transform(sequence(1, size(toks) - {DECON_GRAM_K - 1}),"
                     f" i -> array_join(slice(toks, i, {DECON_GRAM_K}), ' '))"
                 )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)"
             ).alias("g"),
         )
         .distinct()
@@ -328,10 +337,12 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECONTAMINATE_SQL = (
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
     " FROM documents),"
-    " grams AS (SELECT DISTINCT doc_id,"
+    " raw AS (SELECT doc_id,"
     f"  unnest(list_transform(generate_series(1, len(t) - {DECON_GRAM_K - 1}),"
-    f"   i -> array_to_string(t[i : i + {DECON_GRAM_K - 1}], ' '))) AS g"
+    f"   i -> array_to_string(t[i : i + {DECON_GRAM_K - 1}], ' '))) AS gs"
     f"  FROM toks WHERE len(t) >= {DECON_GRAM_K}),"
+    " grams AS (SELECT DISTINCT doc_id,"
+    "  ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g FROM raw),"
     " probe AS (SELECT DISTINCT g FROM grams"
     f"  WHERE doc_id % 100 < {DECON_PROBE_PCT}),"
     " agg AS (SELECT grams.doc_id, COUNT(*) AS n_grams,"
