@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": R.q3_shipping_priority,
         "skew_salted_revenue": R.skew_salted_revenue,
         "price_histogram": AN.price_histogram,
+        "null_semantics": AN.null_semantics,
         # --- reference parity (SURVEY.md §2.1) ---
         "scan_filter_count": R.scan_filter_count,
         "groupby_count": R.groupby_count,
@@ -100,7 +101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": G.bfs,
         "sssp": G.sssp,
         "pagerank": G.pagerank,
-        "connected_components": G.connected_components,
         # --- flagship (slot 50) ---
         "pricing_summary": R.pricing_summary,
         # ------------------------------------------------------------------
@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_load": G.graph_load,
         "degree_distribution": G.degree_distribution,
         "triangle_count": G.triangle_count,
+        "connected_components": G.connected_components,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
         "simhash": D.simhash,
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": R.Q3_SHIPPING_PRIORITY_SQL,
         "skew_salted_revenue": R.SKEW_SALTED_REVENUE_SQL,
         "price_histogram": AN.PRICE_HISTOGRAM_SQL,
+        "null_semantics": AN.NULL_SEMANTICS_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

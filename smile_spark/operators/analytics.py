@@ -694,3 +694,48 @@ PRICE_HISTOGRAM_SQL = (
     " {lo} + (bin + 1) * {step} AS bin_hi, COUNT(*) AS cnt"
     " FROM b GROUP BY bin"
 ).format(bins=HIST_BINS, lo=HIST_LO, step=(HIST_HI - HIST_LO) / HIST_BINS)
+
+
+# ---------------------------------------------------------------------------
+# Null semantics
+# ---------------------------------------------------------------------------
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface in one row: COUNT(col) vs COUNT(*)
+    null-skipping, DISTINCT-excludes-null, COALESCE defaults, and
+    null-safe equality (Spark ``<=>`` ≡ SQL IS NOT DISTINCT FROM) —
+    the semantics corner where engines classically disagree.  The
+    fixture has no NULLs, so the query synthesizes them
+    deterministically with NULLIF; everything folds into one aggregate
+    row (all map-side, no data-proportional shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    vw = o.select(
+        F.expr("nullif(o_orderkey % 7, 0)").alias("v"),
+        F.expr("nullif(o_custkey % 7, 0)").alias("w"),
+    )
+    return vw.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.sum(F.coalesce("v", F.lit(-1))).cast("bigint").alias(
+            "sum_coalesced"
+        ),
+        F.sum(
+            F.when(F.expr("v <=> w"), 1).otherwise(0)
+        ).cast("bigint").alias("n_nullsafe_eq"),
+    )
+
+
+NULL_SEMANTICS_SQL = (
+    "WITH vw AS (SELECT NULLIF(o_orderkey % 7, 0) AS v,"
+    " NULLIF(o_custkey % 7, 0) AS w FROM orders)"
+    " SELECT COUNT(*) AS n_rows, COUNT(v) AS n_nonnull,"
+    " COUNT(*) - COUNT(v) AS n_null,"
+    " COUNT(DISTINCT v) AS n_distinct,"
+    " CAST(SUM(COALESCE(v, -1)) AS BIGINT) AS sum_coalesced,"
+    " CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM w THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS n_nullsafe_eq"
+    " FROM vw"
+)
