@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_revenue": R.skew_salted_revenue,
         "price_histogram": AN.price_histogram,
         "null_semantics": AN.null_semantics,
+        "set_ops_all": R.set_ops_all,
         # --- reference parity (SURVEY.md §2.1) ---
         "scan_filter_count": R.scan_filter_count,
         "groupby_count": R.groupby_count,
@@ -100,7 +101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_check": G.graph_check,
         "bfs": G.bfs,
         "sssp": G.sssp,
-        "pagerank": G.pagerank,
         # --- flagship (slot 50) ---
         "pricing_summary": R.pricing_summary,
         # ------------------------------------------------------------------
@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": G.degree_distribution,
         "triangle_count": G.triangle_count,
         "connected_components": G.connected_components,
+        "pagerank": G.pagerank,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
         "simhash": D.simhash,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_revenue": R.SKEW_SALTED_REVENUE_SQL,
         "price_histogram": AN.PRICE_HISTOGRAM_SQL,
         "null_semantics": AN.NULL_SEMANTICS_SQL,
+        "set_ops_all": R.SET_OPS_ALL_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

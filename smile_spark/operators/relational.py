@@ -721,3 +721,42 @@ SKEW_SALTED_REVENUE_SQL = (
     " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
     " GROUP BY s_nationkey"
 )
+
+
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (UNION ALL / INTERSECT ALL /
+    EXCEPT ALL) as one summary row — the multiplicity-preserving
+    complement to ``set_ops``'s distinct semantics.  A = per-order
+    customer keys (with repeats — the multiset); B = high-balance
+    customer keys.  INTERSECT ALL keeps min(multiplicity) per value
+    and EXCEPT ALL subtracts multiplicities — semantics Spark
+    implements via counted hash joins (intersectAll/exceptAll), no
+    distinct collapse, so the shuffle still carries one row per
+    (value, count) after partial aggregation."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_custkey").alias("ck"))
+    b = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("ck")
+    )
+    n_union_all = a.union(b).agg(F.count(F.lit(1)).alias("n_union_all"))
+    n_intersect_all = a.intersectAll(b).agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    n_except_all = a.exceptAll(b).agg(
+        F.count(F.lit(1)).alias("n_except_all")
+    )
+    return n_union_all.crossJoin(n_intersect_all).crossJoin(n_except_all)
+
+
+SET_OPS_ALL_SQL = (
+    "WITH a AS (SELECT o_custkey AS ck FROM orders),"
+    " b AS (SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 5000)"
+    " SELECT"
+    "  (SELECT COUNT(*) FROM (SELECT ck FROM a UNION ALL"
+    "    SELECT ck FROM b)) AS n_union_all,"
+    "  (SELECT COUNT(*) FROM (SELECT ck FROM a INTERSECT ALL"
+    "    SELECT ck FROM b)) AS n_intersect_all,"
+    "  (SELECT COUNT(*) FROM (SELECT ck FROM a EXCEPT ALL"
+    "    SELECT ck FROM b)) AS n_except_all"
+)
