@@ -90,17 +90,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": AN.price_histogram,
         "null_semantics": AN.null_semantics,
         "set_ops_all": R.set_ops_all,
+        "grouping_sets_summary": AN.grouping_sets_summary,
+        "range_frame_sum": AN.range_frame_sum,
         # --- reference parity (SURVEY.md §2.1) ---
         "scan_filter_count": R.scan_filter_count,
         "groupby_count": R.groupby_count,
-        "groupby_count_array": R.groupby_count_array,
         "hashjoin_agg": R.hashjoin_agg,
         "casts_parse": R.casts_parse,
         "timestamp_filter": R.timestamp_filter,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
         "graph_check": G.graph_check,
         "bfs": G.bfs,
-        "sssp": G.sssp,
         # --- flagship (slot 50) ---
         "pricing_summary": R.pricing_summary,
         # ------------------------------------------------------------------
@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": G.triangle_count,
         "connected_components": G.connected_components,
         "pagerank": G.pagerank,
+        "sssp": G.sssp,
+        "groupby_count_array": R.groupby_count_array,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
         "simhash": D.simhash,
@@ -269,6 +271,8 @@ def oracle_sql() -> dict[str, str]:
         "price_histogram": AN.PRICE_HISTOGRAM_SQL,
         "null_semantics": AN.NULL_SEMANTICS_SQL,
         "set_ops_all": R.SET_OPS_ALL_SQL,
+        "grouping_sets_summary": AN.GROUPING_SETS_SQL,
+        "range_frame_sum": AN.RANGE_FRAME_SUM_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

@@ -739,3 +739,67 @@ NULL_SEMANTICS_SQL = (
     "  AS BIGINT) AS n_nullsafe_eq"
     " FROM vw"
 )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS + RANGE window frames
+# ---------------------------------------------------------------------------
+
+GROUPING_SETS_SQL = (
+    "SELECT l_returnflag, l_linestatus,"
+    " CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,"
+    " CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,"
+    " COUNT(*) AS cnt,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"
+    " FROM lineitem"
+    " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),"
+    " (l_returnflag, l_linestatus))"
+)
+
+
+def grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() level indicators — the
+    general form behind ROLLUP/CUBE, choosing exactly which level
+    combinations to compute.  Like CUBE, one scan feeds an Expand into
+    a single partial/final aggregate — three groupings cost one pass,
+    not three.  Same dialect text runs on both engines (the
+    portability check)."""
+    from smile_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+def range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: for each order, the count and
+    exact sum of the same customer's orders priced within 1000 below
+    it.  RANGE frames bound by VALUE distance, not row position — so
+    unlike ROWS frames they are insensitive to ordering ties and
+    deterministic by construction.  One shuffle on the partition key,
+    per-key sort, then a sliding frame scan."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("double")
+        .alias("sum_near"),
+    )
+
+
+RANGE_FRAME_SUM_SQL = (
+    "SELECT o_custkey, o_orderkey, o_totalprice,"
+    " COUNT(*) OVER w AS n_near,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)"
+    "  AS sum_near"
+    " FROM orders WINDOW w AS (PARTITION BY o_custkey"
+    " ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)"
+)
