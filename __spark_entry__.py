@@ -92,12 +92,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_all": R.set_ops_all,
         "grouping_sets_summary": AN.grouping_sets_summary,
         "range_frame_sum": AN.range_frame_sum,
+        "string_agg_priorities": R.string_agg_priorities,
         # --- reference parity (SURVEY.md §2.1) ---
         "scan_filter_count": R.scan_filter_count,
         "groupby_count": R.groupby_count,
         "hashjoin_agg": R.hashjoin_agg,
         "casts_parse": R.casts_parse,
-        "timestamp_filter": R.timestamp_filter,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
         "graph_check": G.graph_check,
         "bfs": G.bfs,
@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": G.pagerank,
         "sssp": G.sssp,
         "groupby_count_array": R.groupby_count_array,
+        "timestamp_filter": R.timestamp_filter,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
         "simhash": D.simhash,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_all": R.SET_OPS_ALL_SQL,
         "grouping_sets_summary": AN.GROUPING_SETS_SQL,
         "range_frame_sum": AN.RANGE_FRAME_SUM_SQL,
+        "string_agg_priorities": R.STRING_AGG_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

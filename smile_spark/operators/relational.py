@@ -760,3 +760,28 @@ SET_OPS_ALL_SQL = (
     "  (SELECT COUNT(*) FROM (SELECT ck FROM a EXCEPT ALL"
     "    SELECT ck FROM b)) AS n_except_all"
 )
+
+
+def string_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg surface: per customer, the sorted CSV of
+    their order priorities.  collect_list order is partitioning-
+    dependent in any parallel engine — sorting INSIDE the aggregate
+    result (array_sort before array_join) is what makes list-valued
+    aggregation deterministic; the oracle's string_agg(... ORDER BY)
+    states the same contract declaratively.  One partial/final
+    aggregate; the list state is bounded by per-key cardinality."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.array_join(
+            F.array_sort(F.collect_list("o_orderpriority")), ","
+        ).alias("priorities_csv"),
+    )
+
+
+STRING_AGG_SQL = (
+    "SELECT o_custkey, COUNT(*) AS n_orders,"
+    " string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)"
+    "  AS priorities_csv"
+    " FROM orders GROUP BY o_custkey"
+)
