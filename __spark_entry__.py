@@ -93,9 +93,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_summary": AN.grouping_sets_summary,
         "range_frame_sum": AN.range_frame_sum,
         "string_agg_priorities": R.string_agg_priorities,
+        "window_first_last": AN.window_first_last,
         # --- reference parity (SURVEY.md §2.1) ---
         "scan_filter_count": R.scan_filter_count,
-        "groupby_count": R.groupby_count,
         "hashjoin_agg": R.hashjoin_agg,
         "casts_parse": R.casts_parse,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": G.sssp,
         "groupby_count_array": R.groupby_count_array,
         "timestamp_filter": R.timestamp_filter,
+        "groupby_count": R.groupby_count,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
         "simhash": D.simhash,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_summary": AN.GROUPING_SETS_SQL,
         "range_frame_sum": AN.RANGE_FRAME_SUM_SQL,
         "string_agg_priorities": R.STRING_AGG_SQL,
+        "window_first_last": AN.WINDOW_FIRST_LAST_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

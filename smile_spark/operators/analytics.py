@@ -803,3 +803,36 @@ RANGE_FRAME_SUM_SQL = (
     " FROM orders WINDOW w AS (PARTITION BY o_custkey"
     " ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)"
 )
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: each customer's first / last / 2nd
+    order price over their full order history.  last_value and
+    nth_value need the UNBOUNDED-both-ways frame (the default frame
+    stops at CURRENT ROW — the classic silent-wrong-answer); ordering
+    is fully tie-broken (date, then key) so navigation is
+    deterministic.  One shuffle on the partition key."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+WINDOW_FIRST_LAST_SQL = (
+    "SELECT o_custkey, o_orderkey,"
+    " first_value(o_totalprice) OVER w AS first_price,"
+    " last_value(o_totalprice) OVER w AS last_price,"
+    " nth_value(o_totalprice, 2) OVER w AS second_price"
+    " FROM orders WINDOW w AS (PARTITION BY o_custkey"
+    " ORDER BY o_orderdate, o_orderkey"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+)
