@@ -94,12 +94,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_sum": AN.range_frame_sum,
         "string_agg_priorities": R.string_agg_priorities,
         "window_first_last": AN.window_first_last,
+        "conditional_aggs": AN.conditional_aggs,
+        "bitwise_functions": AN.bitwise_functions,
         # --- reference parity (SURVEY.md §2.1) ---
         "scan_filter_count": R.scan_filter_count,
         "hashjoin_agg": R.hashjoin_agg,
-        "casts_parse": R.casts_parse,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
-        "graph_check": G.graph_check,
         "bfs": G.bfs,
         # --- flagship (slot 50) ---
         "pricing_summary": R.pricing_summary,
@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_count_array": R.groupby_count_array,
         "timestamp_filter": R.timestamp_filter,
         "groupby_count": R.groupby_count,
+        "casts_parse": R.casts_parse,
+        "graph_check": G.graph_check,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
         "simhash": D.simhash,
@@ -277,6 +279,8 @@ def oracle_sql() -> dict[str, str]:
         "range_frame_sum": AN.RANGE_FRAME_SUM_SQL,
         "string_agg_priorities": R.STRING_AGG_SQL,
         "window_first_last": AN.WINDOW_FIRST_LAST_SQL,
+        "conditional_aggs": AN.CONDITIONAL_AGGS_SQL,
+        "bitwise_functions": AN.BITWISE_FUNCTIONS_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

@@ -836,3 +836,58 @@ WINDOW_FIRST_LAST_SQL = (
     " ORDER BY o_orderdate, o_orderkey"
     " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
 )
+
+
+def conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family: count_if, bool_and,
+    bool_or per order status — the predicate-summary surface (data
+    quality assertions compile to exactly these).  Boolean state is a
+    single byte per group; everything combines map-side."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("cast(count_if(o_totalprice > 200000) as bigint)").alias(
+            "n_large"
+        ),
+        F.expr("bool_and(o_totalprice > 1000)").alias("all_over_1k"),
+        F.expr("bool_or(o_totalprice > 450000)").alias("any_over_450k"),
+        F.expr("cast(count_if(o_orderpriority = '1-URGENT') as bigint)")
+        .alias("n_urgent"),
+    )
+
+
+CONDITIONAL_AGGS_SQL = (
+    "SELECT o_orderstatus,"
+    " CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_large,"
+    " bool_and(o_totalprice > 1000) AS all_over_1k,"
+    " bool_or(o_totalprice > 450000) AS any_over_450k,"
+    " CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent"
+    " FROM orders GROUP BY o_orderstatus"
+)
+
+
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression family over event ids: and/or/xor, shifts,
+    and population count — row-parallel codegen, zero shuffle (the
+    surface behind bitmap/bloom-style encodings)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id | 4096").alias("with_flag"),
+        F.expr("event_id ^ 21845").alias("xored"),
+        F.expr("shiftleft(event_id, 2)").alias("shl2"),
+        F.expr("shiftright(event_id, 3)").alias("shr3"),
+        F.expr("cast(bit_count(event_id) as bigint)").alias("popcount"),
+    )
+
+
+BITWISE_FUNCTIONS_SQL = (
+    "SELECT event_id,"
+    " event_id & 255 AS low_byte,"
+    " event_id | 4096 AS with_flag,"
+    " xor(event_id, 21845) AS xored,"
+    " event_id << 2 AS shl2,"
+    " event_id >> 3 AS shr3,"
+    " CAST(bit_count(event_id) AS BIGINT) AS popcount"
+    " FROM events"
+)
