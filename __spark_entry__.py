@@ -96,8 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_last": AN.window_first_last,
         "conditional_aggs": AN.conditional_aggs,
         "bitwise_functions": AN.bitwise_functions,
+        "try_cast_handling": R.try_cast_handling,
         # --- reference parity (SURVEY.md §2.1) ---
-        "scan_filter_count": R.scan_filter_count,
         "hashjoin_agg": R.hashjoin_agg,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
         "bfs": G.bfs,
@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestamp_filter": R.timestamp_filter,
         "groupby_count": R.groupby_count,
         "casts_parse": R.casts_parse,
+        "scan_filter_count": R.scan_filter_count,
         "graph_check": G.graph_check,
         "dedup_exact": D.dedup_exact,
         "minhash_signature": D.minhash_signature,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "window_first_last": AN.WINDOW_FIRST_LAST_SQL,
         "conditional_aggs": AN.CONDITIONAL_AGGS_SQL,
         "bitwise_functions": AN.BITWISE_FUNCTIONS_SQL,
+        "try_cast_handling": R.TRY_CAST_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

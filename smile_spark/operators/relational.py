@@ -785,3 +785,43 @@ STRING_AGG_SQL = (
     "  AS priorities_csv"
     " FROM orders GROUP BY o_custkey"
 )
+
+
+def try_cast_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant parsing surface: TRY_CAST yields NULL instead of
+    failing the job — the difference between one malformed record
+    killing a 100 TB ingest and it landing in a quarantine column.
+    Mixed parseable/unparseable inputs are derived deterministically
+    from event fields; the summary counts successes and failures."""
+    ev = table(spark, sf_dir, "events")
+    mixed = ev.select(
+        "event_id",
+        # numeric-looking only when event_id % 3 == 0
+        F.expr(
+            "CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS STRING)"
+            " ELSE event_type END"
+        ).alias("maybe_num"),
+    )
+    parsed = mixed.select(
+        "event_id",
+        F.expr("try_cast(maybe_num AS BIGINT)").alias("as_num"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("as_num").alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count("as_num")).alias("n_failed"),
+        F.sum("as_num").cast("bigint").alias("sum_parsed"),
+    )
+
+
+TRY_CAST_SQL = (
+    "WITH mixed AS (SELECT event_id,"
+    " CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS VARCHAR)"
+    "  ELSE event_type END AS maybe_num FROM events),"
+    " parsed AS (SELECT event_id,"
+    "  TRY_CAST(maybe_num AS BIGINT) AS as_num FROM mixed)"
+    " SELECT COUNT(*) AS n_rows, COUNT(as_num) AS n_parsed,"
+    " COUNT(*) - COUNT(as_num) AS n_failed,"
+    " CAST(SUM(as_num) AS BIGINT) AS sum_parsed"
+    " FROM parsed"
+)
