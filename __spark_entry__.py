@@ -97,16 +97,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_aggs": AN.conditional_aggs,
         "bitwise_functions": AN.bitwise_functions,
         "try_cast_handling": R.try_cast_handling,
+        "date_parts": AN.date_parts,
         # --- reference parity (SURVEY.md §2.1) ---
         "hashjoin_agg": R.hashjoin_agg,
         # --- graph module (SURVEY.md §2.1 L1/L2/B1 + Pregel extension) ---
         "bfs": G.bfs,
-        # --- flagship (slot 50) ---
-        "pricing_summary": R.pricing_summary,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this round;
-        # all were driver-green in CORRECTNESS_r01 and are unchanged.
+        # all were driver-green in CORRECTNESS_r01 and are unchanged
+        # (pricing_summary additionally runs every round as entry()).
         # ------------------------------------------------------------------
+        "pricing_summary": R.pricing_summary,
         "scan": R.scan,
         "projection": R.projection,
         "datagen": R.datagen,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "conditional_aggs": AN.CONDITIONAL_AGGS_SQL,
         "bitwise_functions": AN.BITWISE_FUNCTIONS_SQL,
         "try_cast_handling": R.TRY_CAST_SQL,
+        "date_parts": AN.DATE_PARTS_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

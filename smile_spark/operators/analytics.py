@@ -891,3 +891,45 @@ BITWISE_FUNCTIONS_SQL = (
     " CAST(bit_count(event_id) AS BIGINT) AS popcount"
     " FROM events"
 )
+
+
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-part extraction beyond year/month (date_functions):
+    quarter, day-of-year, ISO week, and epoch seconds, aggregated per
+    quarter.  Parts are restricted to the dialect-portable subset —
+    day-of-week is deliberately absent (Spark numbers Sunday=1,
+    DuckDB Sunday=0; a portable engine surfaces the parts that mean
+    the same thing everywhere).  Epoch seconds are the join key for
+    cross-system time alignment."""
+    o = table(spark, sf_dir, "orders")
+    parts = o.select(
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.quarter("o_orderdate").cast("bigint").alias("o_quarter"),
+        F.dayofyear("o_orderdate").cast("bigint").alias("o_doy"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("o_week"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+    return parts.groupBy("o_year", "o_quarter").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_doy").alias("min_doy"),
+        F.max("o_doy").alias("max_doy"),
+        F.min("o_week").alias("min_week"),
+        F.max("o_week").alias("max_week"),
+        F.min("epoch_s").alias("min_epoch"),
+    )
+
+
+DATE_PARTS_SQL = (
+    "WITH p AS (SELECT"
+    " CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,"
+    " CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS o_quarter,"
+    " CAST(EXTRACT(DOY FROM o_orderdate) AS BIGINT) AS o_doy,"
+    " CAST(EXTRACT(WEEK FROM o_orderdate) AS BIGINT) AS o_week,"
+    " CAST(EXTRACT(EPOCH FROM o_orderdate) AS BIGINT) AS epoch_s"
+    " FROM orders)"
+    " SELECT o_year, o_quarter, COUNT(*) AS n_orders,"
+    " MIN(o_doy) AS min_doy, MAX(o_doy) AS max_doy,"
+    " MIN(o_week) AS min_week, MAX(o_week) AS max_week,"
+    " MIN(epoch_s) AS min_epoch"
+    " FROM p GROUP BY o_year, o_quarter"
+)
