@@ -251,3 +251,37 @@ def test_cube_single_scan(spark, sf_dir):
     assert plan.count("InMemoryFileIndex") == 1, plan
     assert "Expand" in plan, plan
     assert_partial_aggregation(df)
+
+
+def test_window_navigation_single_exchange(spark, sf_dir):
+    """first/last/nth over one partition key: exactly one hash
+    exchange (the window's), nothing else moves."""
+    from smile_spark.operators.analytics import window_first_last
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(window_first_last(spark, sf_dir))
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "(" in ln
+    ]
+    assert len(hash_exchanges) <= 1, plan
+
+
+def test_date_parts_partial_aggregation(spark, sf_dir):
+    from smile_spark.operators.analytics import date_parts
+
+    assert_partial_aggregation(date_parts(spark, sf_dir))
+
+
+def test_bitwise_no_shuffle(spark, sf_dir):
+    """Row-parallel bit arithmetic must not exchange anything."""
+    from smile_spark.operators.analytics import bitwise_functions
+    from smile_spark.plans.audit import formatted_plan
+
+    assert "Exchange" not in formatted_plan(bitwise_functions(spark, sf_dir))
+
+
+def test_string_agg_partial_aggregation(spark, sf_dir):
+    from smile_spark.operators.relational import string_agg_priorities
+
+    assert_partial_aggregation(string_agg_priorities(spark, sf_dir))
