@@ -43,11 +43,23 @@ def main() -> None:
     # warmup (code cache, shuffle-file reuse is disabled by noop's
     # overwrite, OS pagecache), the min filters GC/scheduler noise so
     # round-over-round numbers are comparable.
+    # Per-query fault isolation: one red query must never cost the
+    # timings of the other ~90 (BENCH_r02 was lost exactly that way).
+    # A failed query records its error string and the run continues;
+    # the final JSON line is ALWAYS emitted.
     samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
 
     def time_one(name: str, fn) -> None:
+        if name in errors:
+            return
         t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
+        try:
+            _force(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            samples.pop(name, None)
+            return
         samples.setdefault(name, []).append(
             round(time.perf_counter() - t0, 4)
         )
@@ -59,24 +71,23 @@ def main() -> None:
     # GC noise in at least one pass — give exactly those one more
     # sample so the min is trustworthy without re-running everything.
     for name, fn in sorted(queries.items()):
-        s = samples[name]
-        if max(s) > 1.3 * min(s) and min(s) > 0.2:
+        s = samples.get(name)
+        if s and max(s) > 1.3 * min(s) and min(s) > 0.2:
             time_one(name, fn)
 
-    timings = {name: min(s) for name, s in samples.items()}
+    timings = {name: min(s) for name, s in samples.items() if s}
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

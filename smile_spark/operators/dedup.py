@@ -453,7 +453,7 @@ def neardup_auto_bits(n_rows: int, dim: int) -> int:
 def dedup_embedding_cosine(
     spark: SparkSession,
     sf_dir: str,
-    quant_bits: int | str = NEARDUP_QUANT_BITS,
+    quant_bits: int | str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, cross-join-free.
 
@@ -498,6 +498,15 @@ def dedup_embedding_cosine(
 
 
 def dedup_embedding_cosine_sql(quant_bits: int = NEARDUP_QUANT_BITS) -> str:
+    """Oracle SQL for the sign-quantization near-dup pairs.
+
+    LOCKSTEP CONSTRAINT: the Spark side now defaults to ``"auto"``
+    width; auto resolves to NEARDUP_QUANT_BITS for any corpus up to
+    NEARDUP_TARGET_BUCKET_ROWS * 2^NEARDUP_QUANT_BITS (≈262k) rows, so
+    this 8-bit default stays in lockstep at every test SF.
+    tests/test_dedup_scale.py asserts that equivalence against the
+    actual fixture row counts — a corpus large enough to widen the
+    auto path fails that canary, not the driver hash gate."""
     bits = " + ".join(
         f"(CASE WHEN v[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)"
         for j in range(quant_bits)

@@ -90,12 +90,24 @@ def graph_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     content of the reference's ``firstNbr[]`` page array
     (/root/reference/src/regtests/loadgraph_regtest.cpp:39-67).
 
-    Scale note: the prefix sum uses a global ordered window, which
-    Spark executes in a single partition.  That is fine for the
-    node-level summary (#nodes ≪ #edges after the groupBy); for a
-    100 TB edge set the degree aggregation — the expensive part — is
-    a standard partial/final hash aggregate, and the offset pass runs
-    over just the node table.
+    Scale note: the prefix sum is the classic TWO-LEVEL distributed
+    form, not a global ordered window (which Spark executes in ONE
+    partition — a driver-of-one-task bottleneck at 10⁹+ nodes):
+
+    1. nodes are bucketed into contiguous ``src`` ranges (bucket id is
+       a pure function of ``src``, so it is deterministic under
+       recomputation — no ``spark_partition_id`` dependence);
+    2. a per-bucket ordered window computes the running sum WITHIN each
+       bucket — fully parallel across buckets;
+    3. per-bucket totals (#buckets rows, trivially small at any scale)
+       get their own exclusive prefix sum and broadcast-join back as
+       the bucket base offset.
+
+    ``csr_offset = bucket_base + within_bucket_running_sum``.  The only
+    partition-less window runs over #buckets ≈ 4×parallelism rows.
+    Node ids are assumed dense-ish (they index a CSR array in the
+    reference, so they are by construction); the min/max probe is a
+    one-row action.
     """
     e = edges(spark, sf_dir)
     deg = e.groupBy("src").agg(
@@ -103,10 +115,37 @@ def graph_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dst").alias("first_nbr"),
         F.max("dst").alias("last_nbr"),
     )
-    w = Window.orderBy("src").rowsBetween(Window.unboundedPreceding, -1)
-    return deg.withColumn(
-        "csr_offset",
-        F.coalesce(F.sum("out_degree").over(w), F.lit(0)).cast("bigint"),
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    lohi = deg.agg(F.min("src"), F.max("src")).first()
+    lo = lohi[0] if lohi[0] is not None else 0
+    hi = lohi[1] if lohi[1] is not None else 0
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    deg = deg.withColumn(
+        "bkt", F.expr(f"(src - {lo}) div {width}")
+    )
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy("src")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_tot = deg.groupBy("bkt").agg(F.sum("out_degree").alias("btot"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_base = bucket_tot.select(
+        "bkt",
+        F.coalesce(F.sum("btot").over(w_bkt), F.lit(0)).alias("bbase"),
+    )
+    return (
+        deg.withColumn(
+            "loff", F.coalesce(F.sum("out_degree").over(w_local), F.lit(0))
+        )
+        .join(F.broadcast(bucket_base), "bkt")
+        .select(
+            "src",
+            "out_degree",
+            "first_nbr",
+            "last_nbr",
+            (F.col("bbase") + F.col("loff")).cast("bigint").alias("csr_offset"),
+        )
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smile_spark.functions.numeric import dsum
-from smile_spark.tables import table
+from smile_spark.tables import _normalize_event_ts, table
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,11 +48,7 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream
+    return _normalize_event_ts(stream)
 
 
 def streaming_tumbling(

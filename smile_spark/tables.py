@@ -52,10 +52,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        df = _normalize_event_ts(df)
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a µs session-UTC TIMESTAMP regardless
+    of how the fixture was written.
+
+    Fixture generations have carried TIMESTAMP(NANOS) (read as bigint
+    under ``nanosAsLong``) and plain naive ``timestamp[us]`` (read as
+    TIMESTAMP_NTZ).  Every consumer — catalog DDL, ``unix_micros``
+    range joins, streaming ``withWatermark`` — assumes the post-load
+    contract ``ts TIMESTAMP``; this is the single choke point that
+    upholds it.  The session timezone is pinned to UTC by the session
+    factory, so the NTZ→TIMESTAMP conversion is value-preserving.
+    """
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":  # TIMESTAMP(NANOS): truncate (not round) to µs
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if t == "timestamp_ntz":
+        return df.withColumn("ts", F.to_timestamp("ts"))
     return df
 
 

@@ -105,3 +105,31 @@ def test_fixture_catalog_rejects_drifted_schema(spark, sf_dir):
     )
     with pytest.raises(CatalogError, match="schema mismatch"):
         cat.bind_view(spark, PROPERTY, "documents", drifted)
+
+
+@pytest.mark.parametrize(
+    "sf", ["sf0.001", "sf0.01", "sf0.1"], ids=lambda s: s
+)
+def test_fixture_drift_canary_all_sf(spark, sf):
+    """Round-start drift canary (VERDICT r02 #5): bind ALL declared
+    schemas against EVERY sf fixture dir.  A regenerated fixture whose
+    post-load type drifts fails exactly this named test with one
+    actionable line per drifted table — not five confusing downstream
+    symptoms (the r02 events TIMESTAMP_NTZ incident)."""
+    from smile_spark.catalog import PROPERTY, CatalogError
+    from smile_spark.fixtures_catalog import fixture_catalog
+    from smile_spark.tables import TABLE_NAMES, table
+
+    sf_dir = f"/root/testdata/{sf}"
+    if not os.path.isdir(f"{sf_dir}/lineitem.parquet") and not os.path.exists(
+        f"{sf_dir}/lineitem.parquet"
+    ):
+        pytest.skip(f"{sf_dir} not present")
+    cat = fixture_catalog()
+    drifts = []
+    for name in TABLE_NAMES:
+        try:
+            cat.bind_view(spark, PROPERTY, name, table(spark, sf_dir, name))
+        except CatalogError as exc:
+            drifts.append(f"{sf}/{name}: {exc}")
+    assert not drifts, "fixture drift detected:\n" + "\n".join(drifts)

@@ -285,3 +285,27 @@ def test_string_agg_partial_aggregation(spark, sf_dir):
     from smile_spark.operators.relational import string_agg_priorities
 
     assert_partial_aggregation(string_agg_priorities(spark, sf_dir))
+
+
+def test_graph_load_prefix_sum_is_distributed(spark, sf_dir):
+    """The CSR offset must be the two-level distributed prefix sum:
+    the node-table window is partitioned by bucket (parallel), and the
+    only partition-less ordered window runs over the tiny per-bucket
+    totals aggregate — never over the node table itself."""
+    from smile_spark.operators.graph import graph_load
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(graph_load(spark, sf_dir))
+    win_args = [
+        line
+        for line in plan.splitlines()
+        if "Arguments" in line and "windowspecdefinition" in line
+    ]
+    assert win_args, f"no Window in plan:\n{plan}"
+    # the window that orders by src (node table) must partition by bkt
+    node_wins = [line for line in win_args if "src" in line]
+    assert node_wins and all("bkt" in line for line in node_wins), (
+        f"node-table window not bucket-partitioned:\n{plan}"
+    )
+    # bucket-base offsets come back via broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan, plan
