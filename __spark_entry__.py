@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from smile_spark.operators import analytics as AN
 from smile_spark.operators import asof as A
+from smile_spark.operators import behavior as B
 from smile_spark.operators import curation as C
 from smile_spark.operators import dedup as D
 from smile_spark.operators import multimodal as M
@@ -59,7 +60,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_load": G.graph_load,  # distributed prefix sum
         "dedup_embedding_cosine": D.dedup_embedding_cosine,  # auto width
         # --- (3) new this round ---
-        # (inserted here as they are built)
+        "sessionize": B.sessionize,
+        "funnel_conversion": B.funnel_conversion,
+        "retention_cohorts": B.retention_cohorts,
+        "gap_fill_daily": B.gap_fill_daily,
+        "pii_redact": C.pii_redact,
+        "repetition_ratio": C.repetition_ratio,
+        "unpivot_long": AN.unpivot_long,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         "pricing_summary": R.pricing_summary,
         "scan": R.scan,
@@ -287,6 +294,13 @@ def oracle_sql() -> dict[str, str]:
         "bitwise_functions": AN.BITWISE_FUNCTIONS_SQL,
         "try_cast_handling": R.TRY_CAST_SQL,
         "date_parts": AN.DATE_PARTS_SQL,
+        "sessionize": B.SESSIONIZE_SQL,
+        "funnel_conversion": B.FUNNEL_CONVERSION_SQL,
+        "retention_cohorts": B.RETENTION_COHORTS_SQL,
+        "gap_fill_daily": B.GAP_FILL_DAILY_SQL,
+        "pii_redact": C.PII_REDACT_SQL,
+        "repetition_ratio": C.REPETITION_RATIO_SQL,
+        "unpivot_long": AN.UNPIVOT_LONG_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

@@ -933,3 +933,37 @@ DATE_PARTS_SQL = (
     " MIN(epoch_s) AS min_epoch"
     " FROM p GROUP BY o_year, o_quarter"
 )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide → long) — the inverse of pivot_wide
+# ---------------------------------------------------------------------------
+
+
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot the four lineitem measures into (measure, val) long
+    form — ``stack`` is a generator expression evaluated row-parallel
+    inside the scan projection: the 4× row expansion happens with no
+    shuffle and no self-union (the UNION ALL formulation would scan
+    the table four times; this scans once)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(4,"
+            " 'quantity', l_quantity,"
+            " 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount,"
+            " 'tax', l_tax) AS (measure, val)"
+        ),
+    )
+
+
+UNPIVOT_LONG_SQL = (
+    "SELECT l_orderkey, l_linenumber, um.measure, um.val"
+    " FROM lineitem"
+    " CROSS JOIN LATERAL (VALUES"
+    "  ('quantity', l_quantity), ('extendedprice', l_extendedprice),"
+    "  ('discount', l_discount), ('tax', l_tax)) AS um(measure, val)"
+)

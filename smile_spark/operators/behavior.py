@@ -1,0 +1,230 @@
+"""Behavioral / event-sequence analytics (north-star extension; the
+reference has no window or sequence surface at all — SURVEY.md §2.2).
+
+The four canonical event-log shapes every large-scale pipeline needs:
+
+* ``sessionize`` — gap-based sessionization (30-min inactivity gap):
+  lag → new-session flag → running sum → session aggregate.  The
+  foundational "turn a log into visits" operator.
+* ``funnel_conversion`` — ordered-stage funnel (view → click →
+  purchase) with strictly-increasing timestamps per user.
+* ``retention_cohorts`` — first-seen cohort × day-offset activity
+  matrix, the standard retention triangle.
+* ``gap_fill_daily`` — per-user daily counts with missing days
+  zero-filled from a generated calendar spine (the time-series
+  densification that precedes any rolling metric).
+
+All JVM-codegen expressions (zero Python UDFs); timestamp arithmetic
+is exact integer µs on both engines; every aggregate goes through the
+deterministic decimal helpers so value hashes match bit-for-bit.
+
+Scale notes: each operator shuffles ONCE on ``user_id`` (sessionize /
+funnel / retention / gap-fill are all per-user computations, so the
+same partitioning serves every stage); per-user windows are bounded by
+per-user event counts, never corpus size; the calendar spine explode
+is sized by span-days × users, and grows linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from smile_spark.functions.numeric import dsum, sql_dsum
+from smile_spark.tables import table
+
+SESSION_GAP_US = 1_800_000_000  # 30 minutes, exact µs
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds 30 minutes.  lag → flag → running count
+    within one per-user ordered window (single shuffle on user_id),
+    then the session aggregate reuses the same partitioning.  Ordering
+    is (ts, event_id) so ties are deterministic on both engines."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("us"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+
+
+SESSIONIZE_SQL = (
+    "WITH e AS (SELECT user_id, event_id, value, ts,"
+    "  epoch_us(ts) AS us FROM events),"
+    " f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL"
+    f"   OR us - lag(us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s"
+    "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),"
+    " s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id"
+    "   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+    "   AS session_seq FROM f)"
+    " SELECT user_id, session_seq, MIN(ts) AS session_start,"
+    " MAX(ts) AS session_end, COUNT(*) AS n_events,"
+    f" {sql_dsum('value', 'sum_value')}"
+    " FROM s GROUP BY user_id, session_seq"
+)
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel: first *view*, then the first *click*
+    strictly after it, then the first *purchase* strictly after that
+    click; one summary row of per-stage user counts.
+
+    Each stage is a per-user min-aggregate followed by an equi-join on
+    ``user_id`` — the stage joins all reuse one hash partitioning, and
+    every aggregate is partial/final, so the whole funnel is ~one
+    logical shuffle of the event set at any scale."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("v_ts").alias("n_view"),
+            F.count("c_ts").alias("n_click_after_view"),
+            F.count("p_ts").alias("n_purchase_after_click"),
+        )
+    )
+
+
+FUNNEL_CONVERSION_SQL = (
+    "WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events"
+    "  WHERE event_type = 'view' GROUP BY user_id),"
+    " c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e"
+    "  JOIN v ON v.user_id = e.user_id"
+    "  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),"
+    " p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e"
+    "  JOIN c ON c.user_id = e.user_id"
+    "  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts"
+    "  GROUP BY e.user_id)"
+    " SELECT COUNT(v.v_ts) AS n_view,"
+    " COUNT(c.c_ts) AS n_click_after_view,"
+    " COUNT(p.p_ts) AS n_purchase_after_click"
+    " FROM v LEFT JOIN c ON c.user_id = v.user_id"
+    " LEFT JOIN p ON p.user_id = v.user_id"
+)
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users cohorted by the DAY of their first
+    event; each (cohort_day, day_offset) cell counts distinct cohort
+    members active that many days later.
+
+    first-event lookup and the activity join share the ``user_id``
+    partitioning; day arithmetic is exact integer µs → days, so both
+    engines bucket identically."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (
+                (F.unix_micros("d") - F.unix_micros("cohort_day"))
+                / 86_400_000_000
+            )
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_COHORTS_SQL = (
+    "WITH e AS (SELECT user_id, date_trunc('day', ts) AS d FROM events),"
+    " f AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id)"
+    " SELECT f.cohort_day,"
+    " CAST((epoch_us(e.d) - epoch_us(f.cohort_day)) // 86400000000"
+    "  AS BIGINT) AS day_offset,"
+    " COUNT(DISTINCT e.user_id) AS n_users"
+    " FROM e JOIN f ON f.user_id = e.user_id"
+    " GROUP BY 1, 2"
+)
+
+
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily event counts with missing days ZERO-FILLED over
+    each user's own [first_day, last_day] span.
+
+    The calendar spine is generated per user with ``sequence`` +
+    ``explode`` (linear in span-days × users) and left-joins the real
+    daily aggregate — all three stages keyed on ``user_id``, one
+    partitioning end-to-end.  This densification is the precondition
+    for any rolling/window metric over time."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("d"),
+        )
+    )
+    return spine.join(daily, ["user_id", "d"], "left").select(
+        "user_id",
+        F.col("d").alias("day"),
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+    )
+
+
+GAP_FILL_DAILY_SQL = (
+    "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,"
+    "  COUNT(*) AS cnt FROM events GROUP BY 1, 2),"
+    " span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily"
+    "  GROUP BY user_id),"
+    " spine AS (SELECT user_id, unnest(generate_series(d0, d1,"
+    "  INTERVAL 1 DAY)) AS d FROM span)"
+    " SELECT s.user_id, s.d AS day,"
+    " CAST(COALESCE(daily.cnt, 0) AS BIGINT) AS cnt"
+    " FROM spine s LEFT JOIN daily"
+    "  ON daily.user_id = s.user_id AND daily.d = s.d"
+)

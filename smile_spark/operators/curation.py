@@ -357,3 +357,101 @@ DECONTAMINATE_SQL = (
     f" WHERE ROUND(CAST(n_overlap AS DOUBLE) / n_grams, 6)"
     f"  >= {DECON_THRESHOLD}"
 )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + intra-document repetition (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+# Redaction patterns, applied in order: emails first (so their digit
+# runs don't double-count), then standalone digit runs of 2+ (ids,
+# phone fragments, zips).  Both engines use RE2-compatible syntax.
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_NUM_RE = "[0-9]{2,}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the semi-structured event payload: replace email
+    addresses and digit runs with typed placeholders, and count the
+    redactions made.  Pure row-parallel regexp codegen — zero shuffle,
+    fused with the scan; at 100 TB this pass is I/O-bound, exactly like
+    text_normalize.  The same two-pattern cascade applies unchanged to
+    a documents-scale text column."""
+    ev = table(spark, sf_dir, "events")
+    n_email = F.size(F.expr(f"regexp_extract_all(props, '{PII_EMAIL_RE}', 0)"))
+    redacted_email = F.regexp_replace("props", PII_EMAIL_RE, "<EMAIL>")
+    n_num = F.size(
+        F.expr(
+            "regexp_extract_all("
+            f"regexp_replace(props, '{PII_EMAIL_RE}', '<EMAIL>'),"
+            f" '{PII_NUM_RE}', 0)"
+        )
+    )
+    return ev.select(
+        "event_id",
+        F.regexp_replace(redacted_email, PII_NUM_RE, "<NUM>").alias(
+            "props_redacted"
+        ),
+        (n_email + n_num).cast("bigint").alias("n_redactions"),
+    )
+
+
+PII_REDACT_SQL = (
+    "SELECT event_id,"
+    f" regexp_replace(regexp_replace(props, '{PII_EMAIL_RE}', '<EMAIL>',"
+    f"  'g'), '{PII_NUM_RE}', '<NUM>', 'g') AS props_redacted,"
+    " CAST(len(regexp_extract_all(props,"
+    f"  '{PII_EMAIL_RE}')) + len(regexp_extract_all("
+    f"  regexp_replace(props, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),"
+    f"  '{PII_NUM_RE}')) AS BIGINT) AS n_redactions"
+    " FROM events"
+)
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signal: the fraction of
+    word trigrams that are duplicates of an earlier trigram in the SAME
+    document.  Heavily templated / looping text scores high and gets
+    filtered before training.
+
+    Trigrams assemble inside higher-order array lambdas (transform over
+    an index sequence), distinct-count via array_distinct — the whole
+    metric is per-row JVM codegen with NO explode and NO shuffle,
+    unlike the corpus-level ngram_counts aggregation."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    tg = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', split(text, ' ')[i - 1],"
+        "  split(text, ' ')[i], split(text, ' ')[i + 1]))"
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(tg).cast("bigint").alias("n_trigrams"),
+        F.size(F.array_distinct(tg)).cast("bigint").alias("n_distinct"),
+    )
+    return d.select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_trigrams"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+REPETITION_RATIO_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks"
+    "  FROM documents WHERE len(string_split(text, ' ')) >= 3),"
+    " g AS (SELECT doc_id,"
+    "  list_transform(generate_series(1, len(toks) - 2),"
+    "   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS tg"
+    "  FROM t),"
+    " d AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_trigrams,"
+    "  CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct FROM g)"
+    " SELECT doc_id, n_trigrams, n_distinct,"
+    " ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams, 6)"
+    "  AS rep_ratio"
+    " FROM d"
+)

@@ -1,0 +1,137 @@
+"""Invariant tests for the behavioral/event-sequence operators —
+properties that must hold for ANY event log, complementing the
+oracle-parity checks in test_parity.py (which pin one fixture)."""
+
+from pyspark.sql import functions as F
+
+from smile_spark.operators.analytics import unpivot_long
+from smile_spark.operators.behavior import (
+    SESSION_GAP_US,
+    funnel_conversion,
+    gap_fill_daily,
+    retention_cohorts,
+    sessionize,
+)
+from smile_spark.operators.curation import pii_redact, repetition_ratio
+from smile_spark.tables import table
+
+
+def test_sessionize_partitions_all_events(spark, sf_dir):
+    """Sessions tile the event log: per-user session_seq is contiguous
+    from 1, session bounds are ordered, and n_events sums to the
+    event count."""
+    s = sessionize(spark, sf_dir)
+    assert s.filter(F.col("session_start") > F.col("session_end")).isEmpty()
+    per_user = s.groupBy("user_id").agg(
+        F.min("session_seq").alias("lo"),
+        F.max("session_seq").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("tot"),
+    )
+    assert per_user.filter(
+        (F.col("lo") != 1) | (F.col("hi") != F.col("n"))
+    ).isEmpty()
+    n_events = table(spark, sf_dir, "events").count()
+    assert per_user.agg(F.sum("tot")).first()[0] == n_events
+
+
+def test_sessionize_gap_property(spark, sf_dir):
+    """Consecutive sessions of the same user are separated by MORE than
+    the gap; within-session spans never require one (the defining
+    property of gap-based sessionization)."""
+    s = sessionize(spark, sf_dir).select(
+        "user_id",
+        "session_seq",
+        F.unix_micros("session_start").alias("st"),
+        F.unix_micros("session_end").alias("en"),
+    )
+    nxt = s.select(
+        "user_id",
+        (F.col("session_seq") - 1).alias("session_seq"),
+        F.col("st").alias("next_st"),
+    )
+    adjacent = s.join(nxt, ["user_id", "session_seq"])
+    violations = adjacent.filter(
+        F.col("next_st") - F.col("en") <= SESSION_GAP_US
+    )
+    assert violations.isEmpty()
+
+
+def test_funnel_stage_counts_monotone(spark, sf_dir):
+    row = funnel_conversion(spark, sf_dir).first()
+    assert row.n_view >= row.n_click_after_view >= row.n_purchase_after_click
+    assert row.n_view > 0
+
+
+def test_retention_day_zero_equals_cohort_size(spark, sf_dir):
+    """Offset-0 activity is by definition the whole cohort."""
+    r = retention_cohorts(spark, sf_dir)
+    assert r.filter(F.col("day_offset") < 0).isEmpty()
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    cohort_sizes = (
+        ev.groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.countDistinct("user_id").alias("size"))
+    )
+    zero = r.filter(F.col("day_offset") == 0).select("cohort_day", "n_users")
+    assert (
+        zero.join(cohort_sizes, "cohort_day")
+        .filter(F.col("n_users") != F.col("size"))
+        .isEmpty()
+    )
+
+
+def test_gap_fill_spine_is_dense_and_lossless(spark, sf_dir):
+    """Per user: exactly (span_days + 1) rows, and the filled counts
+    sum back to the user's true event count."""
+    g = gap_fill_daily(spark, sf_dir)
+    per_user = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.sum("cnt").alias("tot"),
+    )
+    bad_span = per_user.filter(
+        F.col("n_days")
+        != (F.unix_micros("d1") - F.unix_micros("d0")) / 86_400_000_000 + 1
+    )
+    assert bad_span.isEmpty()
+    truth = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_tot"))
+    )
+    assert (
+        per_user.join(truth, "user_id")
+        .filter(F.col("tot") != F.col("true_tot"))
+        .isEmpty()
+    )
+
+
+def test_pii_redact_leaves_no_digit_runs(spark, sf_dir):
+    r = pii_redact(spark, sf_dir)
+    assert r.filter(F.col("props_redacted").rlike("[0-9]{2,}")).isEmpty()
+    # rows whose original payload had a 2+ digit run must record ≥1
+    # redaction (single digits are intentionally left alone)
+    ev = table(spark, sf_dir, "events").select("event_id", "props")
+    joined = r.join(ev, "event_id")
+    assert joined.filter(
+        F.col("props").rlike("[0-9]{2,}") & (F.col("n_redactions") < 1)
+    ).isEmpty()
+
+
+def test_repetition_ratio_bounds(spark, sf_dir):
+    r = repetition_ratio(spark, sf_dir)
+    assert r.filter(
+        (F.col("rep_ratio") < 0)
+        | (F.col("rep_ratio") >= 1)
+        | (F.col("n_distinct") > F.col("n_trigrams"))
+    ).isEmpty()
+
+
+def test_unpivot_expands_exactly_4x(spark, sf_dir):
+    n = table(spark, sf_dir, "lineitem").count()
+    assert unpivot_long(spark, sf_dir).count() == 4 * n
