@@ -36,11 +36,11 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table as a DataFrame (columnar parquet scan).
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark cannot
-    represent (SparkSQL timestamps are µs).  We read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to µs with
-    integer arithmetic — truncation, not rounding, so DuckDB's
-    ``date_trunc('microseconds', ts)`` sees identical values.
+    ``events.ts`` is normalized to a µs session-UTC TIMESTAMP whatever
+    the fixture generation wrote (TIMESTAMP(NANOS) or naive µs) — see
+    :func:`_normalize_event_ts`.  The ``nanosAsLong`` conf makes the
+    nanos variant readable even from a session built without our
+    factory.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")

@@ -309,3 +309,39 @@ def test_graph_load_prefix_sum_is_distributed(spark, sf_dir):
     )
     # bucket-base offsets come back via broadcast, not a shuffle join
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Sessionize must shuffle ONCE on user_id: the lag window, the
+    running-sum window, and the session aggregate all reuse that one
+    partitioning (HashPartitioning(user_id) satisfies the composite
+    (user_id, session_seq) grouping)."""
+    from smile_spark.operators.behavior import sessionize
+    from smile_spark.plans.audit import formatted_plan
+
+    import re
+
+    plan = formatted_plan(sessionize(spark, sf_dir))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan}"
+
+
+def test_rowparallel_curation_ops_have_no_shuffle(spark, sf_dir):
+    """pii_redact / repetition_ratio / unpivot_long are pure
+    row-parallel projections: zero exchanges, and the scan prunes to
+    exactly the referenced columns."""
+    from smile_spark.operators.analytics import unpivot_long
+    from smile_spark.operators.curation import pii_redact, repetition_ratio
+    from smile_spark.plans.audit import formatted_plan
+
+    for fn, cols in [
+        (pii_redact, ("event_id", "props")),
+        (repetition_ratio, ("doc_id", "text")),
+        (unpivot_long, None),
+    ]:
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{fn.__name__} shuffles:\n{plan}"
+        if cols:
+            for line in plan.splitlines():
+                if "ReadSchema" in line:
+                    assert all(c in line for c in cols), line
