@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": C.pii_redact,
         "repetition_ratio": C.repetition_ratio,
         "unpivot_long": AN.unpivot_long,
+        "rolling_daily_activity": B.rolling_daily_activity,
+        "bigram_pmi": C.bigram_pmi,
+        "zorder_cluster": AN.zorder_cluster,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         "pricing_summary": R.pricing_summary,
         "scan": R.scan,
@@ -301,6 +304,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": C.PII_REDACT_SQL,
         "repetition_ratio": C.REPETITION_RATIO_SQL,
         "unpivot_long": AN.UNPIVOT_LONG_SQL,
+        "rolling_daily_activity": B.ROLLING_DAILY_ACTIVITY_SQL,
+        "bigram_pmi": C.BIGRAM_PMI_SQL,
+        "zorder_cluster": AN.zorder_cluster_sql(),
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

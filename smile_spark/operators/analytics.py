@@ -967,3 +967,67 @@ UNPIVOT_LONG_SQL = (
     "  ('quantity', l_quantity), ('extendedprice', l_extendedprice),"
     "  ('discount', l_discount), ('tax', l_tax)) AS um(measure, val)"
 )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (multi-dimensional data layout)
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+
+
+def _interleave(a, b, bits: int):
+    """Morton/Z-order interleave of the low ``bits`` of two int
+    columns: bit i of ``a`` lands at position 2i, of ``b`` at 2i+1.
+    Unrolls to a flat sum of shift/mask terms — one codegen
+    expression, no loop at runtime."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    the multi-dimensional layout key behind data-skipping file layouts:
+    sorting/range-partitioning by ``zval`` co-locates rows that are
+    close in BOTH dimensions, so min/max file statistics prune scans
+    filtered on either key.  The key itself is a pure row-parallel
+    bit-interleave (no shuffle); the layout write is
+    ``repartitionByRange("zval").sortWithinPartitions("zval")`` at
+    sink time."""
+    li = table(spark, sf_dir, "lineitem")
+    p = F.col("l_partkey").bitwiseAND(F.lit((1 << ZORDER_BITS) - 1))
+    s = F.col("l_suppkey").bitwiseAND(F.lit((1 << ZORDER_BITS) - 1))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        _interleave(p, s, ZORDER_BITS).cast("bigint").alias("zval"),
+    )
+
+
+def zorder_cluster_sql(bits: int = ZORDER_BITS) -> str:
+    mask = (1 << bits) - 1
+    terms = []
+    # each term fully parenthesized: SQL gives `+` higher precedence
+    # than `<<`, so a bare chain of  a << i + b << j  reassociates
+    for i in range(bits):
+        terms.append(f"((((l_partkey & {mask}) >> {i}) & 1) << {2 * i})")
+        terms.append(
+            f"((((l_suppkey & {mask}) >> {i}) & 1) << {2 * i + 1})"
+        )
+    return (
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+        f" CAST({' + '.join(terms)} AS BIGINT) AS zval"
+        " FROM lineitem"
+    )

@@ -228,3 +228,45 @@ GAP_FILL_DAILY_SQL = (
     " FROM spine s LEFT JOIN daily"
     "  ON daily.user_id = s.user_id AND daily.d = s.d"
 )
+
+
+ROLL_DAYS = 7
+
+
+def rolling_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling event counts per user over the DENSE gap-filled
+    spine — the composition that motivates gap_fill_daily: a ROWS
+    frame over a dense daily series IS a time-range frame, but stays a
+    cheap fixed-width window (no per-row range scan).
+
+    The rolling average divides two window INTEGERS (sum, count), so
+    the double result is deterministic on both engines.  Inherits
+    gap_fill's single user_id partitioning; the window adds no
+    exchange."""
+    g = gap_fill_daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(ROLL_DAYS - 1), 0)
+    )
+    return g.select(
+        "user_id",
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("roll7_cnt"),
+        F.round(
+            F.sum("cnt").over(w) / F.count(F.lit(1)).over(w), 6
+        ).alias("roll7_avg"),
+    )
+
+
+ROLLING_DAILY_ACTIVITY_SQL = (
+    f"WITH filled AS ({GAP_FILL_DAILY_SQL})"
+    " SELECT user_id, day, cnt,"
+    " CAST(SUM(cnt) OVER w AS BIGINT) AS roll7_cnt,"
+    " ROUND(CAST(SUM(cnt) OVER w AS DOUBLE) / COUNT(*) OVER w, 6)"
+    "  AS roll7_avg"
+    " FROM filled"
+    " WINDOW w AS (PARTITION BY user_id ORDER BY day"
+    f"  ROWS BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)"
+)

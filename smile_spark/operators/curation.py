@@ -418,15 +418,19 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     an index sequence), distinct-count via array_distinct — the whole
     metric is per-row JVM codegen with NO explode and NO shuffle,
     unlike the corpus-level ngram_counts aggregation."""
-    docs = table(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= 3
+    # materialize the token array ONCE in a projection — expression
+    # trees don't common-subexpression-eliminate across lambda scopes,
+    # so inlining split() here would re-tokenize per trigram index
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
     )
     tg = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> concat_ws(' ', split(text, ' ')[i - 1],"
-        "  split(text, ' ')[i], split(text, ' ')[i + 1]))"
+        "transform(sequence(1, size(t) - 2),"
+        " i -> concat_ws(' ', t[i - 1], t[i], t[i + 1]))"
     )
-    d = docs.select(
+    d = toks.select(
         "doc_id",
         F.size(tg).cast("bigint").alias("n_trigrams"),
         F.size(F.array_distinct(tg)).cast("bigint").alias("n_distinct"),
@@ -454,4 +458,93 @@ REPETITION_RATIO_SQL = (
     " ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams, 6)"
     "  AS rep_ratio"
     " FROM d"
+)
+
+
+# ---------------------------------------------------------------------------
+# Bigram association strength (vocabulary/collocation statistics)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collocations by LIFT — the association measure behind
+    merge rules in BPE/WordPiece-style vocabulary induction:
+    ``lift(a,b) = P(a,b) / (P(a)·P(b))``.
+
+    Lift instead of log-PMI by design: it is a quotient of exact
+    integer counts, so the double result is bit-deterministic across
+    engines (libm ``ln`` is not correctly-rounded everywhere; rank
+    order is identical since log is monotone).
+
+    Shape at 100 TB: unigram and bigram counts are partial/final hash
+    aggregates over one explode each; the totals are 1-row broadcasts;
+    the two count joins key on the component words (vocabulary-sized,
+    zipfian — AQE's skew handling covers the head words); top-k is
+    TakeOrderedAndProject."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") >= PMI_MIN_COUNT)
+    )
+    t1 = uni.agg(F.sum("wc").alias("t1"))
+    t2 = big.agg(F.sum("bc").alias("t2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("wc").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("wc").alias("c2"))
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "w1",
+            "w2",
+            F.col("bc").cast("bigint").alias("pair_count"),
+            F.round(
+                (F.col("bc") / F.col("t2"))
+                / ((F.col("c1") / F.col("t1")) * (F.col("c2") / F.col("t1"))),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_TOP_K)
+
+
+BIGRAM_PMI_SQL = (
+    "WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),"
+    " uni AS (SELECT unnest(t) AS w FROM toks),"
+    " uc AS (SELECT w, COUNT(*) AS wc FROM uni GROUP BY w),"
+    " bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),"
+    "   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg FROM toks),"
+    " bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS bc FROM bg"
+    f"  GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_COUNT}),"
+    " t1 AS (SELECT CAST(SUM(wc) AS DOUBLE) AS t1 FROM uc),"
+    " t2 AS (SELECT CAST(SUM(bc) AS DOUBLE) AS t2 FROM bc)"
+    " SELECT bc.w1, bc.w2, CAST(bc.bc AS BIGINT) AS pair_count,"
+    " ROUND((bc.bc / t2.t2) /"
+    "  ((u1.wc / t1.t1) * (u2.wc / t1.t1)), 6) AS lift"
+    " FROM bc JOIN uc u1 ON u1.w = bc.w1"
+    "  JOIN uc u2 ON u2.w = bc.w2, t1, t2"
+    " ORDER BY lift DESC, bc.w1 ASC, bc.w2 ASC"
+    f" LIMIT {PMI_TOP_K}"
 )

@@ -135,3 +135,84 @@ def test_repetition_ratio_bounds(spark, sf_dir):
 def test_unpivot_expands_exactly_4x(spark, sf_dir):
     n = table(spark, sf_dir, "lineitem").count()
     assert unpivot_long(spark, sf_dir).count() == 4 * n
+
+
+def test_rolling_window_matches_dense_prefix(spark, sf_dir):
+    """On the dense spine, roll7_cnt at row i equals the sum of the
+    last ≤7 daily counts — cross-checked by recomputing from
+    gap_fill_daily with a self-join."""
+    from smile_spark.operators.behavior import (
+        ROLL_DAYS,
+        gap_fill_daily,
+        rolling_daily_activity,
+    )
+
+    r = rolling_daily_activity(spark, sf_dir)
+    g = gap_fill_daily(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("day").alias("dus"),
+        F.col("cnt").alias("c2"),
+    )
+    recomputed = (
+        r.select(
+            "user_id", F.unix_micros("day").alias("dus0"), "roll7_cnt"
+        )
+        .join(g, "user_id")
+        .filter(
+            (F.col("dus") <= F.col("dus0"))
+            & (
+                F.col("dus")
+                > F.col("dus0") - ROLL_DAYS * 86_400_000_000
+            )
+        )
+        .groupBy("user_id", "dus0", "roll7_cnt")
+        .agg(F.sum("c2").alias("check"))
+    )
+    assert recomputed.filter(
+        F.col("check") != F.col("roll7_cnt")
+    ).isEmpty()
+
+
+def test_bigram_pmi_lift_positive_and_ranked(spark, sf_dir):
+    from smile_spark.operators.curation import PMI_MIN_COUNT, bigram_pmi
+
+    rows = bigram_pmi(spark, sf_dir).collect()
+    assert rows, "no collocations above min count"
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    assert all(r.pair_count >= PMI_MIN_COUNT for r in rows)
+    assert all(r.lift > 0 for r in rows)
+
+
+def test_zorder_preserves_locality(spark, sf_dir):
+    """Z-value invariants: interleaving is a bijection on the masked
+    domain (de-interleaving recovers both keys), and z ranges nest —
+    rows sharing the top 2k z-bits agree on the top k bits of BOTH
+    dimensions (the property that makes min/max file stats prune)."""
+    from smile_spark.operators.analytics import ZORDER_BITS, zorder_cluster
+
+    z = zorder_cluster(spark, sf_dir)
+    mask = (1 << ZORDER_BITS) - 1
+    even = sum(
+        (
+            F.shiftleft(
+                F.shiftright("zval", 2 * i).bitwiseAND(F.lit(1)), i
+            )
+            for i in range(ZORDER_BITS)
+        ),
+        F.lit(0),
+    )
+    odd = sum(
+        (
+            F.shiftleft(
+                F.shiftright("zval", 2 * i + 1).bitwiseAND(F.lit(1)), i
+            )
+            for i in range(ZORDER_BITS)
+        ),
+        F.lit(0),
+    )
+    bad = z.filter(
+        (even != F.col("l_partkey").bitwiseAND(F.lit(mask)))
+        | (odd != F.col("l_suppkey").bitwiseAND(F.lit(mask)))
+    )
+    assert bad.isEmpty()
