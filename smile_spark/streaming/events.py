@@ -240,3 +240,35 @@ def streaming_enriched_tumbling(
             "sum_value",
         )
     )
+
+
+def streaming_session(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming session windows — the flagship stateful-streaming
+    shape: ``session_window`` merges a user's events into dynamic
+    windows that EXTEND while events keep arriving within the gap and
+    CLOSE once the watermark passes last_event + gap.  State per key is
+    one open session, not event history — the property that bounds
+    memory on an unbounded stream.
+
+    Identical aggregation to operators.windows.window_session, so the
+    batch/stream agreement test proves the incremental execution is
+    lossless."""
+    from smile_spark.operators.windows import SESSION_GAP_MIN
+
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -150,3 +150,20 @@ def test_streaming_click_attribution_equals_batch(spark, sf_dir):
     )
     assert got.count() > 0
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_streaming_session_equals_batch(spark, sf_dir):
+    """Session windows computed incrementally over the stream must
+    equal the batch session_window result — dynamic-window state
+    merging is lossless."""
+    from smile_spark.operators.windows import window_session
+    from smile_spark.streaming.events import (
+        run_stream_to_memory,
+        streaming_session,
+    )
+
+    got = run_stream_to_memory(
+        streaming_session(spark, sf_dir), "t_sessions", "complete"
+    )
+    want = window_session(spark, sf_dir)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
