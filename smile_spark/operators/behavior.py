@@ -38,12 +38,20 @@ SESSION_GAP_US = 1_800_000_000  # 30 minutes, exact µs
 
 
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization: a new session starts when a user's
-    inter-event gap exceeds 30 minutes.  lag → flag → running count
-    within one per-user ordered window (single shuffle on user_id),
-    then the session aggregate reuses the same partitioning.  Ordering
-    is (ts, event_id) so ties are deterministic on both engines."""
-    ev = table(spark, sf_dir, "events").select(
+    """Gap-based sessionization of the events fixture: a new session
+    starts when a user's inter-event gap exceeds 30 minutes."""
+    return sessionize_frame(table(spark, sf_dir, "events"))
+
+
+def sessionize_frame(
+    events: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """Core gap-based sessionization over any (user_id, event_id, ts,
+    value) frame.  lag → flag → running count within one per-user
+    ordered window (single shuffle on user_id), then the session
+    aggregate reuses the same partitioning.  Ordering is (ts,
+    event_id) so ties are deterministic on both engines."""
+    ev = events.select(
         "user_id", "event_id", "value", F.unix_micros("ts").alias("us"), "ts"
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -51,7 +59,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_s",
         F.when(
             F.lag("us").over(w).isNull()
-            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
+            | (F.col("us") - F.lag("us").over(w) > gap_us),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )

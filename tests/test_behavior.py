@@ -216,3 +216,90 @@ def test_zorder_preserves_locality(spark, sf_dir):
         | (odd != F.col("l_suppkey").bitwiseAND(F.lit(mask)))
     )
     assert bad.isEmpty()
+
+
+# --- property-based sessionization (hypothesis) ---------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+def _reference_sessions(events, gap_us):
+    """Pure-Python gaps-and-islands: independent re-implementation the
+    distributed operator must agree with on ANY input."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, eid, us in events:
+        by_user[uid].append((us, eid))
+    out = set()
+    for uid, evs in by_user.items():
+        evs.sort()
+        seq, start, prev, n = 0, None, None, 0
+        for us, _eid in evs:
+            if prev is None or us - prev > gap_us:
+                if seq:
+                    out.add((uid, seq, start, prev, n))
+                seq, start, n = seq + 1, us, 0
+            n += 1
+            prev = us
+        out.add((uid, seq, start, prev, n))
+    return out
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=4),      # user_id
+                st.integers(min_value=1, max_value=10**6),  # event_id
+                st.integers(min_value=0, max_value=10**7),  # µs offset
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[1],
+        )
+    )
+    def test_sessionize_matches_reference_on_any_log(spark, events):
+        """The distributed sessionizer equals an independent in-memory
+        gaps-and-islands on arbitrary small logs — duplicates, ties,
+        bursts, and singleton users included.  Gap shrunk to 1s so tiny
+        random offsets actually split sessions."""
+        from smile_spark.operators.behavior import sessionize_frame
+
+        gap_us = 1_000_000
+        df = spark.createDataFrame(
+            [
+                (uid, eid, 0.0, us)
+                for uid, eid, us in events
+            ],
+            "user_id bigint, event_id bigint, value double, us bigint",
+        ).withColumn("ts", F.timestamp_micros(F.col("us")))
+        got = {
+            (
+                r.user_id,
+                r.session_seq,
+                r.session_start.timestamp() * 1_000_000,
+                r.session_end.timestamp() * 1_000_000,
+                r.n_events,
+            )
+            for r in sessionize_frame(df, gap_us).collect()
+        }
+        got = {
+            (u, s, int(round(a)), int(round(b)), n) for u, s, a, b, n in got
+        }
+        want = _reference_sessions(
+            [(u, e, us) for u, e, us in events], gap_us
+        )
+        assert got == want
