@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_daily_activity": B.rolling_daily_activity,
         "bigram_pmi": C.bigram_pmi,
         "zorder_cluster": AN.zorder_cluster,
+        "interval_overlap_join": A.interval_overlap_join,
+        "copurchase_pairs": R.copurchase_pairs,
+        "revenue_share": AN.revenue_share,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         "pricing_summary": R.pricing_summary,
         "scan": R.scan,
@@ -307,6 +310,9 @@ def oracle_sql() -> dict[str, str]:
         "rolling_daily_activity": B.ROLLING_DAILY_ACTIVITY_SQL,
         "bigram_pmi": C.BIGRAM_PMI_SQL,
         "zorder_cluster": AN.zorder_cluster_sql(),
+        "interval_overlap_join": A.INTERVAL_OVERLAP_SQL,
+        "copurchase_pairs": R.COPURCHASE_PAIRS_SQL,
+        "revenue_share": AN.REVENUE_SHARE_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

@@ -1031,3 +1031,59 @@ def zorder_cluster_sql(bits: int = ZORDER_BITS) -> str:
         f" CAST({' + '.join(terms)} AS BIGINT) AS zval"
         " FROM lineitem"
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report (share-of-total windows)
+# ---------------------------------------------------------------------------
+
+
+def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's revenue — the
+    ratio-to-report window: a partitioned unbounded SUM as the
+    denominator, no second scan and no join back.
+
+    The share divides two exact DECIMAL aggregates, so the double is
+    bit-deterministic; the window's partition key is the 5-row region
+    — at 100 TB the heavy lifting is the partial/final nation-level
+    aggregate underneath, and the window runs over ~#nations rows."""
+    from smile_spark.functions.numeric import dsum
+
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_nation = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == c.c_custkey,
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(w) * 100, 6
+        ).alias("share_pct"),
+    )
+
+
+REVENUE_SHARE_SQL = (
+    "WITH per_nation AS (SELECT r.r_name, n.n_name,"
+    " CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+    "  AS revenue"
+    " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    "  JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    "  JOIN region r ON n.n_regionkey = r.r_regionkey"
+    " GROUP BY 1, 2)"
+    " SELECT r_name, n_name, revenue,"
+    " ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name) * 100, 6)"
+    "  AS share_pct"
+    " FROM per_nation"
+)

@@ -185,3 +185,84 @@ RANGE_JOIN_SQL = (
     "  AND r.ts >= l.ts - INTERVAL 1 HOUR"
     " GROUP BY 1, 2, 3"
 )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join
+# ---------------------------------------------------------------------------
+
+FULFILL_DAYS = 7  # each order occupies [orderdate, orderdate + 7d)
+FULFILL_US = FULFILL_DAYS * 86_400_000_000
+
+
+def interval_overlap_join(spark, sf_dir: str) -> DataFrame:
+    """Per customer: pairs of orders whose 7-day fulfillment intervals
+    overlap — the third temporal-join shape after as-of and range.
+
+    Two half-open intervals of EQUAL width w overlap iff their starts
+    differ by < w, so each interval can only overlap partners whose
+    start falls in its own w-wide bucket or an adjacent one.  The
+    scalable composition is the same bucketize-then-equi-join as the
+    range join: probe side expands 2× into (customer, bucket), the
+    exact predicate filters the residue — O(pairs within ±1 bucket),
+    never the per-customer quadratic nested loop.  Equal-width
+    intervals need no interval tree; variable widths would bucket at
+    the MAX width (or split long intervals across buckets).
+    """
+    from smile_spark.tables import table
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        # o_orderdate is TIMESTAMP_NTZ; cast is value-preserving under
+        # the UTC session tz and unix_micros requires TIMESTAMP
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s"),
+    )
+    w = F.lit(FULFILL_US)
+    left = o.withColumn("b", F.floor(F.col("s") / w))
+    # One-sided in time: each interval probes for partners that start
+    # AT OR BEFORE it (ties broken on orderkey), so every unordered
+    # pair is generated exactly once — from its later member — and two
+    # buckets {b, b-1} provably cover the partner's start.  A
+    # symmetric |Δs| < w predicate would need 3 buckets per probe.
+    probe = left.select(
+        "ok",
+        "ck",
+        "s",
+        F.explode(F.array(F.col("b"), F.col("b") - 1)).alias("jb"),
+    )
+    right = left.select(
+        F.col("ck").alias("ck"),
+        F.col("ok").alias("ok_b"),
+        F.col("s").alias("s_b"),
+        F.col("b").alias("jb"),
+    )
+    pairs = (
+        probe.join(right, ["ck", "jb"])
+        .filter(
+            (
+                (F.col("s_b") < F.col("s"))
+                | ((F.col("s_b") == F.col("s")) & (F.col("ok_b") < F.col("ok")))
+            )
+            & (F.col("s_b") > F.col("s") - w)
+        )
+        .select(
+            "ck",
+            F.least("ok", "ok_b").alias("a"),
+            F.greatest("ok", "ok_b").alias("b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("ck").agg(
+        F.count(F.lit(1)).alias("n_overlapping_pairs")
+    )
+
+
+INTERVAL_OVERLAP_SQL = (
+    "WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,"
+    "  epoch_us(o_orderdate) AS s FROM orders),"
+    " pairs AS (SELECT DISTINCT a.ck, a.ok AS a, b.ok AS b"
+    "  FROM o a JOIN o b ON a.ck = b.ck AND a.ok < b.ok"
+    f"  AND b.s < a.s + {FULFILL_US} AND b.s > a.s - {FULFILL_US})"
+    " SELECT ck, COUNT(*) AS n_overlapping_pairs FROM pairs GROUP BY ck"
+)

@@ -825,3 +825,51 @@ TRY_CAST_SQL = (
     " CAST(SUM(as_num) AS BIGINT) AS sum_parsed"
     " FROM parsed"
 )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (frequent pairs)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3
+BASKET_TOP_K = 25
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs: parts appearing together in the same order,
+    with support ≥ BASKET_MIN_SUPPORT, top-k by support — the
+    market-basket / co-occurrence kernel (recommendations, affinity).
+
+    The self-join is BLOCKED on the basket key (orderkey): pair
+    generation is an equi-join whose per-basket cost is quadratic in
+    basket SIZE (bounded, ~4 items) — never in catalog or corpus size.
+    Support counting is a partial/final aggregate on the pair key;
+    top-k is TakeOrderedAndProject.  The same shape computes token
+    co-occurrence at 100 TB (documents as baskets)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = li.select("ok", F.col("pk").alias("p1"))
+    b = li.select("ok", F.col("pk").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    return pairs.orderBy(
+        F.desc("support"), F.asc("p1"), F.asc("p2")
+    ).limit(BASKET_TOP_K)
+
+
+COPURCHASE_PAIRS_SQL = (
+    "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk"
+    "  FROM lineitem),"
+    " pairs AS (SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support"
+    "  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk"
+    f"  GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_SUPPORT})"
+    " SELECT p1, p2, support FROM pairs"
+    " ORDER BY support DESC, p1 ASC, p2 ASC"
+    f" LIMIT {BASKET_TOP_K}"
+)
