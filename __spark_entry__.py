@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": A.interval_overlap_join,
         "copurchase_pairs": R.copurchase_pairs,
         "revenue_share": AN.revenue_share,
+        "winsorize_prices": AN.winsorize_prices,
+        "zscore_normalize": AN.zscore_normalize,
+        "fuzzy_name_match": T.fuzzy_name_match,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         "pricing_summary": R.pricing_summary,
         "scan": R.scan,
@@ -313,6 +316,9 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap_join": A.INTERVAL_OVERLAP_SQL,
         "copurchase_pairs": R.COPURCHASE_PAIRS_SQL,
         "revenue_share": AN.REVENUE_SHARE_SQL,
+        "winsorize_prices": AN.WINSORIZE_PRICES_SQL,
+        "zscore_normalize": AN.ZSCORE_NORMALIZE_SQL,
+        "fuzzy_name_match": T.FUZZY_NAME_MATCH_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

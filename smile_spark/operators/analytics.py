@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from smile_spark.functions.numeric import DEC, dsum
+from smile_spark.functions.numeric import DEC, davg, dsum
 from smile_spark.tables import table
 
 # ---------------------------------------------------------------------------
@@ -1086,4 +1086,113 @@ REVENUE_SHARE_SQL = (
     " ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name) * 100, 6)"
     "  AS share_pct"
     " FROM per_nation"
+)
+
+
+# ---------------------------------------------------------------------------
+# Outlier handling / feature standardization (data-prep verbs)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group price summary: clip l_extendedprice at the
+    exact p05/p95 (boundaries rounded to cents so the clipped values
+    stay 2-decimal and the winsorized mean accumulates exactly in
+    DECIMAL on both engines), and report how many rows each tail
+    clipped.
+
+    Plan: one exact-percentile aggregate (tiny result) broadcast back
+    onto the scan, then one partial/final aggregate — the standard
+    two-pass statistical-clipping shape; at 100 TB pass one switches
+    to approx_percentile when ±ε is acceptable."""
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr(f"percentile(l_extendedprice, {WINSOR_LO}D)"), 2
+        ).alias("lo"),
+        F.round(
+            F.expr(f"percentile(l_extendedprice, {WINSOR_HI}D)"), 2
+        ).alias("hi"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        F.least(F.greatest("l_extendedprice", F.col("lo")), F.col("hi")).alias(
+            "w"
+        ),
+        (F.col("l_extendedprice") < F.col("lo")).cast("int").alias("cl"),
+        (F.col("l_extendedprice") > F.col("hi")).cast("int").alias("ch"),
+    )
+    return clipped.groupBy("l_returnflag", "lo", "hi").agg(
+        F.sum("cl").cast("bigint").alias("n_clipped_low"),
+        F.sum("ch").cast("bigint").alias("n_clipped_high"),
+        davg("w", "winsorized_avg"),
+    )
+
+
+WINSORIZE_PRICES_SQL = (
+    "WITH bounds AS (SELECT l_returnflag,"
+    f" ROUND(quantile_cont(l_extendedprice, {WINSOR_LO}), 2) AS lo,"
+    f" ROUND(quantile_cont(l_extendedprice, {WINSOR_HI}), 2) AS hi"
+    " FROM lineitem GROUP BY l_returnflag),"
+    " clipped AS (SELECT li.l_returnflag, b.lo, b.hi,"
+    "  LEAST(GREATEST(li.l_extendedprice, b.lo), b.hi) AS w,"
+    "  CASE WHEN li.l_extendedprice < b.lo THEN 1 ELSE 0 END AS cl,"
+    "  CASE WHEN li.l_extendedprice > b.hi THEN 1 ELSE 0 END AS ch"
+    "  FROM lineitem li JOIN bounds b ON b.l_returnflag = li.l_returnflag)"
+    " SELECT l_returnflag, lo, hi,"
+    " CAST(SUM(cl) AS BIGINT) AS n_clipped_low,"
+    " CAST(SUM(ch) AS BIGINT) AS n_clipped_high,"
+    " CAST(SUM(CAST(w AS DECIMAL(18,2))) AS DOUBLE) / COUNT(w)"
+    "  AS winsorized_avg"
+    " FROM clipped GROUP BY 1, 2, 3"
+)
+
+
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization of l_quantity — the feature-
+    scaling verb of a training pipeline.  Group moments accumulate
+    exactly in DECIMAL (the corr_stats discipline), the closed-form
+    mean/std evaluate once in double with the IDENTICAL expression on
+    both engines, and the per-row z rounds to 6 digits.  Plan: tiny
+    moment aggregate broadcast onto the scan — one shuffle of group
+    moments, never of rows."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum((x * x).cast(_DEC_PROD)).cast("double").alias("sxx"),
+    )
+    return li.join(F.broadcast(m), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(
+            (F.col("l_quantity") - F.col("sx") / F.col("n"))
+            / F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+ZSCORE_NORMALIZE_SQL = (
+    "WITH m AS (SELECT l_returnflag,"
+    " CAST(COUNT(*) AS DOUBLE) AS n,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,"
+    " CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))"
+    "  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)))"
+    "  AS DOUBLE) AS sxx"
+    " FROM lineitem GROUP BY l_returnflag)"
+    " SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,"
+    " ROUND((li.l_quantity - m.sx / m.n)"
+    "  / SQRT((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)), 6) AS z"
+    " FROM lineitem li JOIN m ON m.l_returnflag = li.l_returnflag"
 )

@@ -286,3 +286,53 @@ def tfidf_top_terms_sql() -> str:
         " SELECT doc_id, tok, tf, df, tfidf FROM scored"
         f" ORDER BY tfidf DESC, doc_id ASC, tok ASC LIMIT {TFIDF_TOP_K}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string-match join (blocked edit distance)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 3
+
+
+def fuzzy_name_match(spark, sf_dir: str) -> DataFrame:
+    """Part-name pairs within edit distance ≤ 3, BLOCKED by brand —
+    the entity-resolution join shape: a cheap equi-join on a blocking
+    key bounds the quadratic levenshtein work to within-block pairs
+    (≈ n²/#blocks), the exact distance filters the residue.  With no
+    natural block, the standard blocking keys are length buckets,
+    first-char, phonetic codes, or the q-gram inverted lists
+    ngram_jaccard_topk builds.  levenshtein() is identical classic
+    edit distance on both engines (ASCII here; grapheme semantics can
+    differ on exotic unicode)."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.tables import table
+
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+    )
+    a = p.select("brand", F.col("pk").alias("pk_a"), F.col("name").alias("name_a"))
+    b = p.select("brand", F.col("pk").alias("pk_b"), F.col("name").alias("name_b"))
+    return (
+        a.join(b, "brand")
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .filter(F.col("name_a") != F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("brand", "pk_a", "pk_b", "name_a", "name_b", "dist")
+    )
+
+
+FUZZY_NAME_MATCH_SQL = (
+    "SELECT a.p_brand AS brand, a.p_partkey AS pk_a, b.p_partkey AS pk_b,"
+    " a.p_name AS name_a, b.p_name AS name_b,"
+    " CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist"
+    " FROM part a JOIN part b ON a.p_brand = b.p_brand"
+    "  AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name"
+    f" WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}"
+)
