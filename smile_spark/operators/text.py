@@ -314,12 +314,28 @@ def fuzzy_name_match(spark, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name"),
         F.col("p_brand").alias("brand"),
     )
-    a = p.select("brand", F.col("pk").alias("pk_a"), F.col("name").alias("name_a"))
+    # the input is kilobytes but the pair set explodes ~n²/#blocks:
+    # fan the PROBE side out BEFORE the join (the block table stays
+    # broadcast), so pair generation + levenshtein run across the full
+    # parallelism in one stage — no wide pair shuffle, no single-task
+    # explosion (input-byte partitioning put the whole blow-up on one
+    # core: measured 12.7s → ~1s at sf0.1)
+    a = fan_out(
+        p.select(
+            "brand", F.col("pk").alias("pk_a"), F.col("name").alias("name_a")
+        )
+    )
     b = p.select("brand", F.col("pk").alias("pk_b"), F.col("name").alias("name_b"))
     return (
-        a.join(b, "brand")
+        a.join(F.broadcast(b), "brand")
         .filter(F.col("pk_a") < F.col("pk_b"))
         .filter(F.col("name_a") != F.col("name_b"))
+        # length pre-filter: |len(a)-len(b)| > k implies dist > k —
+        # prunes before the expensive distance at ~zero cost
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b"))
+            <= FUZZY_MAX_DIST
+        )
         .withColumn(
             "dist", F.levenshtein("name_a", "name_b").cast("bigint")
         )
