@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_prices": AN.winsorize_prices,
         "zscore_normalize": AN.zscore_normalize,
         "fuzzy_name_match": T.fuzzy_name_match,
+        "event_transition_matrix": B.event_transition_matrix,
+        "seasonality_profile": B.seasonality_profile,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         "pricing_summary": R.pricing_summary,
         "scan": R.scan,
@@ -319,6 +321,8 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_prices": AN.WINSORIZE_PRICES_SQL,
         "zscore_normalize": AN.ZSCORE_NORMALIZE_SQL,
         "fuzzy_name_match": T.FUZZY_NAME_MATCH_SQL,
+        "event_transition_matrix": B.EVENT_TRANSITION_MATRIX_SQL,
+        "seasonality_profile": B.SEASONALITY_PROFILE_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

@@ -278,3 +278,75 @@ ROLLING_DAILY_ACTIVITY_SQL = (
     " WINDOW w AS (PARTITION BY user_id ORDER BY day"
     f"  ROWS BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)"
 )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: how often event_type A is immediately followed by B.
+    lag over the per-user (ts, event_id) order — the same single
+    user_id shuffle as sessionize — then one partial/final count on
+    the (from, to) pair; the matrix is #types² rows at any scale.
+    Transition probability = pair count / row-marginal, a quotient of
+    exact integers."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(wm), 6).alias("p"),
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = (
+    "WITH e AS (SELECT user_id, event_id, event_type,"
+    "  epoch_us(ts) AS us FROM events),"
+    " s AS (SELECT event_type, lead(event_type) OVER"
+    "  (PARTITION BY user_id ORDER BY us, event_id) AS next_type FROM e),"
+    " pairs AS (SELECT event_type AS from_type, next_type AS to_type,"
+    "  COUNT(*) AS cnt FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)"
+    " SELECT from_type, to_type, cnt,"
+    " ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER"
+    "  (PARTITION BY from_type), 6) AS p"
+    " FROM pairs"
+)
+
+
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity profile: event counts and
+    exact-decimal value sums per (dow, hour) cell — the seasonal
+    fingerprint behind load forecasting and anomaly baselines.  Pure
+    partial/final aggregate on calendar parts (168 cells at any
+    scale); extraction arithmetic is identical on both engines."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+    )
+
+
+SEASONALITY_PROFILE_SQL = (
+    # DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday — shift to match
+    "SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,"
+    " CAST(hour(ts) AS BIGINT) AS hour,"
+    " COUNT(*) AS cnt,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+    " FROM events GROUP BY 1, 2"
+)
