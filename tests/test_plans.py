@@ -345,3 +345,51 @@ def test_rowparallel_curation_ops_have_no_shuffle(spark, sf_dir):
             for line in plan.splitlines():
                 if "ReadSchema" in line:
                     assert all(c in line for c in cols), line
+
+
+def test_copurchase_topk_and_partial_agg(spark, sf_dir):
+    from smile_spark.operators.relational import copurchase_pairs
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(copurchase_pairs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final support count
+
+
+def test_prep_ops_broadcast_their_stats(spark, sf_dir):
+    """winsorize/zscore broadcast their tiny stats aggregates onto the
+    scan; revenue_share broadcasts all three dimension joins — no
+    corpus-side shuffle for any of them."""
+    from smile_spark.operators.analytics import (
+        revenue_share,
+        winsorize_prices,
+        zscore_normalize,
+    )
+    from smile_spark.plans.audit import assert_broadcast_join
+
+    for fn in (winsorize_prices, zscore_normalize, revenue_share):
+        assert_broadcast_join(fn(spark, sf_dir))
+
+
+def test_fuzzy_match_single_stage_pair_generation(spark, sf_dir):
+    """Pair generation, length pre-filter, and levenshtein must run in
+    the stage that FOLLOWS the probe-side fan-out: the block table is
+    broadcast and the pair set never shuffles."""
+    import re
+
+    from smile_spark.operators.text import fuzzy_name_match
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(fuzzy_name_match(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # exactly one round-robin exchange (the fan_out); no hash exchange
+    # of the exploded pair set
+    n_hash_ex = len(
+        [
+            line
+            for line in plan.splitlines()
+            if "hashpartitioning" in line and "Exchange" not in line[:4]
+        ]
+    )
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan  # fan_out + broadcast leg only
