@@ -25,7 +25,9 @@ from smile_spark.functions.numeric import dsum
 from smile_spark.tables import _normalize_event_ts, table
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+) -> DataFrame:
     """Parquet file-source stream over the events fixture; schema comes
     from a batch peek (streams need explicit schemas).  The nanosecond
     ts is converted exactly as the batch reader does.
@@ -33,14 +35,22 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source requires a *directory* (it watches for arriving
     files); the read-only fixture is a single file, so we stage a temp
     directory with a symlink — in production this is simply the
-    landing directory files arrive into.
+    landing directory files arrive into.  Pass ``stage_dir`` to pin
+    that directory: a checkpointed query records its source path, so a
+    RESTART must re-read the same directory, not a fresh tempdir.
     """
     import os
     import tempfile
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="smile_stream_")
-    os.symlink(src, os.path.join(stage, "events-0000.parquet"))
+    if stage_dir is None:
+        stage = tempfile.mkdtemp(prefix="smile_stream_")
+    else:
+        stage = stage_dir
+        os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events-0000.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
 
     batch = spark.read.parquet(src)
     stream = (
