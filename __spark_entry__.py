@@ -20,6 +20,7 @@ from smile_spark.operators import asof as A
 from smile_spark.operators import behavior as B
 from smile_spark.operators import curation as C
 from smile_spark.operators import dedup as D
+from smile_spark.operators import fit as FT
 from smile_spark.operators import multimodal as M
 from smile_spark.operators import graph as G
 from smile_spark.operators import pipeline as P
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_match": T.fuzzy_name_match,
         "event_transition_matrix": B.event_transition_matrix,
         "seasonality_profile": B.seasonality_profile,
+        "grouped_ols_fit": FT.grouped_ols_fit,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         "pricing_summary": R.pricing_summary,
         "scan": R.scan,
@@ -323,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_name_match": T.FUZZY_NAME_MATCH_SQL,
         "event_transition_matrix": B.EVENT_TRANSITION_MATRIX_SQL,
         "seasonality_profile": B.SEASONALITY_PROFILE_SQL,
+        "grouped_ols_fit": FT.GROUPED_OLS_FIT_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,
