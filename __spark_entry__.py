@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": B.event_transition_matrix,
         "seasonality_profile": B.seasonality_profile,
         "grouped_ols_fit": FT.grouped_ols_fit,
+        "cms_heavy_hitters": K.cms_heavy_hitters,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         "pricing_summary": R.pricing_summary,
         "scan": R.scan,
@@ -326,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transition_matrix": B.EVENT_TRANSITION_MATRIX_SQL,
         "seasonality_profile": B.SEASONALITY_PROFILE_SQL,
         "grouped_ols_fit": FT.GROUPED_OLS_FIT_SQL,
+        "cms_heavy_hitters": K.cms_heavy_hitters_sql(),
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

@@ -71,3 +71,113 @@ KMV_SQL = (
     " exact_distinct"
     " FROM state CROSS JOIN exact"
 )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4       # independent hash rows
+CMS_WIDTH = 512     # buckets per row
+CMS_TOP_K = 15
+
+
+def _cms_hash_spark(d: int) -> str:
+    # row-d hash: md5 of (d || token), 8 hex chars → bucket
+    return (
+        f"cast(conv(substr(md5(concat('{d}|', tok)), 1, 8), 16, 10)"
+        f" as bigint) % {CMS_WIDTH}"
+    )
+
+
+def _cms_hash_duck(d: int) -> str:
+    return (
+        f"(('0x' || substr(md5(concat('{d}|', tok)), 1, 8))::BIGINT)"
+        f" % {CMS_WIDTH}"
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream, queried for the
+    exact top-k tokens: per heavy hitter, the CMS estimate (min over
+    depth rows of its bucket counts) next to the true count.
+
+    The sketch IS relational state: depth×width counters built as ONE
+    pass (each token contributes to CMS_DEPTH buckets via explode),
+    aggregated partial/final — mergeable across shards/streams by
+    construction (counter addition), the property that makes CMS the
+    frequency sketch at 100 TB.  Estimates are deterministic given the
+    md5 row hashes, so the driver verifies them bit-for-bit; the
+    overestimate bound (est ≥ truth, est ≤ truth + εN w.h.p.) is
+    asserted in tests.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    # counters: one explode row per (depth, bucket) hit
+    hits = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(_cms_hash_spark(d)).alias("b"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("h")
+    )
+    counters = hits.groupBy("h.d", "h.b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # query side: the true top-k tokens and their per-row buckets
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("tok"))
+        .limit(CMS_TOP_K)
+    )
+    probes = top.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(_cms_hash_spark(d)).alias("b"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select("tok", "true_count", "h.d", "h.b")
+    return (
+        probes.join(F.broadcast(counters), ["d", "b"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+    )
+
+
+def cms_heavy_hitters_sql() -> str:
+    hit_rows = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_hash_duck(d)} AS b, tok FROM toks"
+        for d in range(CMS_DEPTH)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, true_count, {d} AS d, {_cms_hash_duck(d)} AS b"
+        " FROM top" for d in range(CMS_DEPTH)
+    )
+    return (
+        "WITH toks AS (SELECT tok FROM documents,"
+        " unnest(string_split(text, ' ')) t(tok)),"
+        f" hits AS ({hit_rows}),"
+        " counters AS (SELECT d, b, COUNT(*) AS c FROM hits GROUP BY d, b),"
+        " top AS (SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY tok"
+        f"  ORDER BY true_count DESC, tok ASC LIMIT {CMS_TOP_K}),"
+        f" probes AS ({probe_rows})"
+        " SELECT p.tok, p.true_count,"
+        " CAST(MIN(c.c) AS BIGINT) AS cms_estimate"
+        " FROM probes p JOIN counters c ON c.d = p.d AND c.b = p.b"
+        " GROUP BY 1, 2"
+    )

@@ -35,3 +35,28 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     ).collect()[0]
     rel_err = abs(row.approx - row.exact) / row.exact
     assert rel_err < 0.05, (row.exact, row.approx)
+
+
+def test_cms_never_underestimates_and_bounds_error(spark, sf_dir):
+    """Count-Min invariants: est ≥ truth always (counters only ever
+    add), and the overestimate is bounded by the classic e·N/width
+    slack with depth-row minimums (deterministic here, no 'w.h.p.'
+    caveat needed for a fixed corpus + fixed hashes)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from smile_spark.operators.sketch import CMS_WIDTH, cms_heavy_hitters
+    from smile_spark.tables import table
+
+    r = cms_heavy_hitters(spark, sf_dir)
+    assert r.filter(F.col("cms_estimate") < F.col("true_count")).isEmpty()
+    n_tokens = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .count()
+    )
+    slack = math.e * n_tokens / CMS_WIDTH
+    assert r.filter(
+        F.col("cms_estimate") > F.col("true_count") + slack
+    ).isEmpty()
