@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_profile": B.seasonality_profile,
         "grouped_ols_fit": FT.grouped_ols_fit,
         "cms_heavy_hitters": K.cms_heavy_hitters,
+        "scd2_customer_history": C.scd2_customer_history,
+        "date_dimension": R.date_dimension,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         "pricing_summary": R.pricing_summary,
         "scan": R.scan,
@@ -328,6 +330,8 @@ def oracle_sql() -> dict[str, str]:
         "seasonality_profile": B.SEASONALITY_PROFILE_SQL,
         "grouped_ols_fit": FT.GROUPED_OLS_FIT_SQL,
         "cms_heavy_hitters": K.cms_heavy_hitters_sql(),
+        "scd2_customer_history": C.SCD2_CUSTOMER_HISTORY_SQL,
+        "date_dimension": R.DATE_DIMENSION_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

@@ -548,3 +548,54 @@ BIGRAM_PMI_SQL = (
     " ORDER BY lift DESC, bc.w1 ASC, bc.w2 ASC"
     f" LIMIT {PMI_TOP_K}"
 )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history (versioned dimension from an append-only log)
+# ---------------------------------------------------------------------------
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn each customer's order
+    stream into versioned rows with [valid_from, valid_to) ranges and
+    a current flag — the warehouse-standard historization that
+    ``cdc_latest_state`` (type 1, latest-wins) discards.
+
+    One shuffle on the entity key; validity ranges come from lead()
+    over the same partitioning; the open version's valid_to is NULL
+    (rendered as a far-future sentinel — within pandas' ns range —
+    so the cross-engine hash is well-defined).  At 100 TB this runs incrementally: new changes
+    only reopen each entity's latest version, never the full
+    history."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_totalprice").alias("state_price"),
+        F.col("o_orderkey").alias("version_key"),
+    )
+    w = Window.partitionBy("custkey").orderBy("valid_from", "version_key")
+    return o.select(
+        "custkey",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w),
+            F.lit("2200-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("valid_to"),
+        "state_price",
+        (F.lead("valid_from").over(w).isNull()).alias("is_current"),
+    )
+
+
+SCD2_CUSTOMER_HISTORY_SQL = (
+    "SELECT o_custkey AS custkey,"
+    " CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,"
+    " o_orderdate AS valid_from,"
+    " COALESCE(LEAD(o_orderdate) OVER w,"
+    "  TIMESTAMP '2200-01-01 00:00:00') AS valid_to,"
+    " o_totalprice AS state_price,"
+    " LEAD(o_orderdate) OVER w IS NULL AS is_current"
+    " FROM orders"
+    " WINDOW w AS (PARTITION BY o_custkey"
+    "  ORDER BY o_orderdate, o_orderkey)"
+)

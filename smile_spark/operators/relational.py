@@ -873,3 +873,50 @@ COPURCHASE_PAIRS_SQL = (
     " ORDER BY support DESC, p1 ASC, p2 ASC"
     f" LIMIT {BASKET_TOP_K}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Calendar dimension generator
+# ---------------------------------------------------------------------------
+
+DATE_DIM_START = "2024-01-01"
+DATE_DIM_DAYS = 366
+
+
+def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate the calendar dimension table warehouses join against:
+    one row per day with the standard derived attributes.  Pure
+    ``sequence``+``explode`` over an id space — embarrassingly
+    parallel like datagen, no input scan at all (sf_dir unused; part
+    of the generator family).  At 100 TB this is the canonical
+    broadcast dimension: ~37k rows per century."""
+    days = spark.range(DATE_DIM_DAYS).select(
+        F.date_add(F.lit(DATE_DIM_START).cast("date"), F.col("id").cast("int"))
+        .alias("d")
+    )
+    return days.select(
+        F.col("d").cast("timestamp_ntz").alias("day"),
+        F.year("d").cast("bigint").alias("year"),
+        F.quarter("d").cast("bigint").alias("quarter"),
+        F.month("d").cast("bigint").alias("month"),
+        F.dayofmonth("d").cast("bigint").alias("day_of_month"),
+        F.dayofweek("d").cast("bigint").alias("day_of_week"),
+        F.weekofyear("d").cast("bigint").alias("iso_week"),
+        (F.dayofweek("d").isin(1, 7)).alias("is_weekend"),
+    )
+
+
+DATE_DIMENSION_SQL = (
+    "WITH days AS (SELECT CAST(DATE '2024-01-01' + INTERVAL (i) DAY"
+    "  AS DATE) AS d"
+    f" FROM generate_series(0, {DATE_DIM_DAYS - 1}) t(i))"
+    " SELECT CAST(d AS TIMESTAMP) AS day,"
+    " CAST(year(d) AS BIGINT) AS year,"
+    " CAST(quarter(d) AS BIGINT) AS quarter,"
+    " CAST(month(d) AS BIGINT) AS month,"
+    " CAST(day(d) AS BIGINT) AS day_of_month,"
+    " CAST(dayofweek(d) + 1 AS BIGINT) AS day_of_week,"
+    " CAST(weekofyear(d) AS BIGINT) AS iso_week,"
+    " dayofweek(d) IN (0, 6) AS is_weekend"
+    " FROM days"
+)
