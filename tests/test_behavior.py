@@ -303,3 +303,41 @@ if HAVE_HYPOTHESIS:
             [(u, e, us) for u, e, us in events], gap_us
         )
         assert got == want
+
+
+def test_sessionize_invariants_at_16x(spark, sf_dir, tmp_path):
+    """16× stress: union the event log 16 times under DISJOINT user-id
+    ranges (scaling users, not duplicating timestamps) and re-assert
+    the tiling invariant — per-copy results must equal the base result
+    shifted, proving the operator is partitioning-insensitive as the
+    key space grows."""
+    import os
+
+    from smile_spark.tables import TABLE_NAMES
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    big = ev
+    for i in range(1, 16):
+        big = big.union(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * 10**7))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 10**9))
+        )
+    big_dir = str(tmp_path / "ev16x")
+    os.makedirs(big_dir)
+    big.write.parquet(os.path.join(big_dir, "events.parquet"))
+    for name in TABLE_NAMES:
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        dst = os.path.join(big_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+
+    base = sessionize(spark, sf_dir)
+    big_s = sessionize(spark, big_dir)
+    n_base = base.count()
+    assert big_s.count() == 16 * n_base
+    # copy 7 must equal the base result with shifted user ids
+    copy7 = big_s.filter(
+        (F.col("user_id") >= 7 * 10**7) & (F.col("user_id") < 8 * 10**7)
+    ).withColumn("user_id", F.col("user_id") - F.lit(7 * 10**7))
+    assert copy7.exceptAll(base).isEmpty()
+    assert base.exceptAll(copy7).isEmpty()
