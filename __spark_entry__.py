@@ -29,6 +29,7 @@ from smile_spark.operators import similarity as S
 from smile_spark.operators import sketch as K
 from smile_spark.operators import text as T
 from smile_spark.operators import windows as W
+from smile_spark.sources import bucketed as BK
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": K.cms_heavy_hitters,
         "scd2_customer_history": C.scd2_customer_history,
         "date_dimension": R.date_dimension,
+        "bucketed_join_revenue": BK.bucketed_join_revenue,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         "pricing_summary": R.pricing_summary,
         "scan": R.scan,
@@ -332,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": K.cms_heavy_hitters_sql(),
         "scd2_customer_history": C.SCD2_CUSTOMER_HISTORY_SQL,
         "date_dimension": R.DATE_DIMENSION_SQL,
+        "bucketed_join_revenue": BK.BUCKETED_JOIN_REVENUE_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

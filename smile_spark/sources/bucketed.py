@@ -43,3 +43,95 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a bucketed catalog table (bucket metadata intact, so joins
     and aggregations on the bucket key skip their exchange)."""
     return spark.table(table_name)
+
+
+# ---------------------------------------------------------------------------
+# Co-located join as a query surface
+# ---------------------------------------------------------------------------
+
+# one bucketed write per (application, sf_dir) — the write is the
+# one-time physical investment; every subsequent query on the bucket
+# key reads pre-partitioned data (the continuous-aggregate contract
+# hypertable_daily also follows)
+_BUCKETED_READY: set[tuple[str, str]] = set()
+BUCKETED_N = 16
+
+
+def _ensure_bucketed_orders_customer(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from smile_spark.tables import table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BUCKETED_READY:
+        return
+    # a managed-table location left by a PREVIOUS application (the
+    # in-memory catalog forgot it, the warehouse dir didn't) blocks
+    # creation with LOCATION_ALREADY_EXISTS — drop and clear first
+    import shutil
+
+    for tbl in ("bkt_orders", "bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = os.path.join(
+            spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:"),
+            tbl,
+        )
+        shutil.rmtree(loc, ignore_errors=True)
+    write_bucketed(
+        table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice", "o_orderstatus"
+        ),
+        "bkt_orders",
+        "o_custkey",
+        n_buckets=BUCKETED_N,
+    )
+    write_bucketed(
+        table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        "bkt_customer",
+        "o_custkey",
+        n_buckets=BUCKETED_N,
+    )
+    _BUCKETED_READY.add(key)
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Revenue per market segment through a CO-LOCATED join: both
+    sides persisted bucketed (and sorted) by the join key, so the join
+    reads pre-partitioned buckets with NO exchange on either side —
+    the Spark-native analogue of the reference's CSR locality, paid
+    once at write time (tests assert the plan has no hash exchange
+    before the join).
+
+    At 100 TB this is THE big-big join strategy when one side can't
+    broadcast: bucket both fact tables by the shared key at ingest and
+    every subsequent join/aggregate on that key skips its shuffle."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.functions.numeric import dsum
+
+    _ensure_bucketed_orders_customer(spark, sf_dir)
+    o = read_bucketed(spark, "bkt_orders")
+    c = read_bucketed(spark, "bkt_customer")
+    return (
+        o.join(c, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )
+
+
+BUCKETED_JOIN_REVENUE_SQL = (
+    "SELECT c.c_mktsegment, COUNT(*) AS n_orders,"
+    " CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+    "  AS revenue"
+    " FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+    " GROUP BY c.c_mktsegment"
+)

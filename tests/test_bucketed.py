@@ -35,3 +35,14 @@ def test_self_join_on_bucket_key_has_no_exchange(bucketed_edges):
     )
     # co-located join: both sides read pre-bucketed, no shuffle
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bucketed_join_revenue_no_exchange_before_join(spark, sf_dir):
+    """The registered co-located join query: neither side may shuffle
+    before the join — both read pre-bucketed buckets."""
+    from smile_spark.sources.bucketed import bucketed_join_revenue
+
+    plan = formatted_plan(bucketed_join_revenue(spark, sf_dir))
+    join_kw = "SortMergeJoin" if "SortMergeJoin" in plan else "ShuffledHashJoin"
+    pre_join = plan.split(join_kw)[0]
+    assert "Exchange hashpartitioning" not in pre_join, plan
