@@ -85,7 +85,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_history": C.scd2_customer_history,
         "date_dimension": R.date_dimension,
         "bucketed_join_revenue": BK.bucketed_join_revenue,
+        "revenue_growth_mom": AN.revenue_growth_mom,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
+        # r04 NOTE: rotate this whole new-op block to the back next
+        # round and bring forward the ~20 r01-green entries that have
+        # not been refreshed since round 1 (they are the tail of the
+        # refresh block below).
         "pricing_summary": R.pricing_summary,
         "scan": R.scan,
         "projection": R.projection,
@@ -335,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_customer_history": C.SCD2_CUSTOMER_HISTORY_SQL,
         "date_dimension": R.DATE_DIMENSION_SQL,
         "bucketed_join_revenue": BK.BUCKETED_JOIN_REVENUE_SQL,
+        "revenue_growth_mom": AN.REVENUE_GROWTH_MOM_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

@@ -1196,3 +1196,37 @@ ZSCORE_NORMALIZE_SQL = (
     "  / SQRT((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)), 6) AS z"
     " FROM lineitem li JOIN m ON m.l_returnflag = li.l_returnflag"
 )
+
+
+def revenue_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly exact-decimal totals,
+    lag(1) over month order, percent change as a quotient of exact
+    aggregates rounded to 6.  The partition-less lag window is safe
+    HERE because its input is the monthly aggregate (#months rows) —
+    the same tiny-aggregate exception as graph_load's bucket table."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w)
+            * 100,
+            6,
+        ).alias("growth_pct"),
+    )
+
+
+REVENUE_GROWTH_MOM_SQL = (
+    "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue"
+    " FROM orders GROUP BY 1)"
+    " SELECT month, revenue,"
+    " ROUND((revenue - LAG(revenue) OVER (ORDER BY month))"
+    "  / LAG(revenue) OVER (ORDER BY month) * 100, 6) AS growth_pct"
+    " FROM m"
+)
