@@ -24,6 +24,7 @@ from smile_spark.operators import fit as FT
 from smile_spark.operators import multimodal as M
 from smile_spark.operators import graph as G
 from smile_spark.operators import pipeline as P
+from smile_spark.operators import quality as Q
 from smile_spark.operators import relational as R
 from smile_spark.operators import similarity as S
 from smile_spark.operators import sketch as K
@@ -86,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_dimension": R.date_dimension,
         "bucketed_join_revenue": BK.bucketed_join_revenue,
         "revenue_growth_mom": AN.revenue_growth_mom,
+        "column_profile": Q.column_profile,
+        "referential_orphans": Q.referential_orphans,
+        "constraint_violations": Q.constraint_violations,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         # r04 NOTE: rotate this whole new-op block to the back next
         # round and bring forward the ~20 r01-green entries that have
@@ -341,6 +345,9 @@ def oracle_sql() -> dict[str, str]:
         "date_dimension": R.DATE_DIMENSION_SQL,
         "bucketed_join_revenue": BK.BUCKETED_JOIN_REVENUE_SQL,
         "revenue_growth_mom": AN.REVENUE_GROWTH_MOM_SQL,
+        "column_profile": Q.COLUMN_PROFILE_SQL,
+        "referential_orphans": Q.REFERENTIAL_ORPHANS_SQL,
+        "constraint_violations": Q.CONSTRAINT_VIOLATIONS_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,
