@@ -282,3 +282,60 @@ def streaming_session(
             "sum_value",
         )
     )
+
+
+def streaming_cdc_upsert(
+    spark: SparkSession, sf_dir: str, state_dir: str, ckpt_dir: str
+) -> None:
+    """Streaming CDC type-1 (latest-record-wins) maintained with
+    ``foreachBatch``: each micro-batch's per-user winners merge into a
+    keyed parquet state table — the incremental MERGE/upsert loop that
+    keeps a current-state table fresh without re-compacting history.
+
+    Inside every batch: reduce the batch to its per-user winner (same
+    (ts, event_id) tiebreak as the batch operator), union with current
+    state, keep the winner again, and atomically replace the state.
+    The merge is associative, so the final state equals the batch
+    ``cdc_latest_state`` over the whole log regardless of how arrivals
+    were batched (asserted in tests/test_streaming.py).
+
+    At 100 TB the replace-the-table write becomes a Delta/Iceberg
+    MERGE INTO keyed by user_id; the per-batch reduction bounds merge
+    input to |batch winners| + |state|."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        winners = latest(batch)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            state = bspark.read.parquet(state_dir)
+            merged = latest(state.unionByName(winners))
+        else:
+            merged = winners
+        # stage-then-swap: never read and overwrite the same files
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = bspark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        read_event_stream(spark, sf_dir)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

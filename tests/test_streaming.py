@@ -215,3 +215,30 @@ def test_streaming_checkpoint_exactly_once_restart(spark, sf_dir, tmp_path):
     assert (
         got.groupBy("event_id").count().filter(F.col("count") > 1).isEmpty()
     )
+
+
+def test_streaming_cdc_upsert_equals_batch_compaction(spark, sf_dir, tmp_path):
+    """The foreachBatch latest-wins merge loop must converge to the
+    same state as the batch cdc_latest_state over the full log — the
+    merge is associative, so batching must not matter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smile_spark.operators.curation import cdc_latest_state
+    from smile_spark.streaming.events import streaming_cdc_upsert
+
+    state = os.path.join(tmp_path, "state")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    streaming_cdc_upsert(spark, sf_dir, state, ckpt)
+
+    got = spark.read.parquet(state).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+    want = cdc_latest_state(spark, sf_dir)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
