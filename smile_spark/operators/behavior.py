@@ -207,6 +207,11 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "d")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return gap_fill_frame(daily)
+
+
+def gap_fill_frame(daily: DataFrame) -> DataFrame:
+    """Core spine-fill over any (user_id, d, cnt) daily aggregate."""
     spine = (
         daily.groupBy("user_id")
         .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))

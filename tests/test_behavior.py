@@ -341,3 +341,54 @@ def test_sessionize_invariants_at_16x(spark, sf_dir, tmp_path):
     ).withColumn("user_id", F.col("user_id") - F.lit(7 * 10**7))
     assert copy7.exceptAll(base).isEmpty()
     assert base.exceptAll(copy7).isEmpty()
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        obs=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),    # user_id
+                st.integers(min_value=0, max_value=40),   # day offset
+                st.integers(min_value=1, max_value=9),    # count
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: (t[0], t[1]),
+        )
+    )
+    def test_gap_fill_matches_reference_on_any_series(spark, obs):
+        """Spine fill on arbitrary sparse per-user daily series must
+        equal an independent in-memory densification."""
+        from smile_spark.operators.behavior import gap_fill_frame
+
+        base_us = 1_700_000_000_000_000  # fixed day-aligned-enough epoch
+        day_us = 86_400_000_000
+        base_us -= base_us % day_us
+        df = spark.createDataFrame(
+            [(u, base_us + o * day_us, c) for u, o, c in obs],
+            "user_id bigint, dus bigint, cnt bigint",
+        ).select(
+            "user_id", F.timestamp_micros("dus").alias("d"), "cnt"
+        )
+        got = {
+            (r.user_id, int(r.day.timestamp() // 86400), r.cnt)
+            for r in gap_fill_frame(df).collect()
+        }
+        from collections import defaultdict
+
+        by_user = defaultdict(dict)
+        for u, o, c in obs:
+            by_user[u][o] = c
+        want = set()
+        day0 = base_us // day_us * (day_us // 1_000_000) // 86400
+        for u, days in by_user.items():
+            lo, hi = min(days), max(days)
+            for o in range(lo, hi + 1):
+                want.add((u, day0 + o, days.get(o, 0)))
+        assert got == want
