@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": Q.column_profile,
         "referential_orphans": Q.referential_orphans,
         "constraint_violations": Q.constraint_violations,
+        "vocab_coverage": T.vocab_coverage,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         # r04 NOTE: rotate this whole new-op block to the back next
         # round and bring forward the ~20 r01-green entries that have
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "column_profile": Q.COLUMN_PROFILE_SQL,
         "referential_orphans": Q.REFERENTIAL_ORPHANS_SQL,
         "constraint_violations": Q.CONSTRAINT_VIOLATIONS_SQL,
+        "vocab_coverage": T.vocab_coverage_sql(),
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

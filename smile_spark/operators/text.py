@@ -352,3 +352,67 @@ FUZZY_NAME_MATCH_SQL = (
     "  AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name"
     f" WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage (tokenizer design metric)
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZES = (100, 500, 1000)
+
+
+def vocab_coverage(spark, sf_dir: str) -> DataFrame:
+    """For candidate vocabulary sizes V: what fraction of all token
+    OCCURRENCES is covered by the top-V most frequent types — the
+    truncation-loss curve behind vocabulary-size decisions.
+
+    One token-count aggregate; frequency ranks come from a window over
+    the VOCABULARY-sized type table (not the corpus); coverage per V is
+    a conditional sum over that same table.  Ranking ties break
+    alphabetically so both engines pick the same top-V set.  Fractions
+    are quotients of exact counts, rounded to 6."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from smile_spark.tables import fan_out, table
+
+    toks = fan_out(table(spark, sf_dir, "documents")).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    total = ranked.agg(F.sum("c").alias("t"))
+    rows = [
+        ranked.crossJoin(F.broadcast(total)).agg(
+            F.lit(v).cast("bigint").alias("vocab_size"),
+            F.round(
+                F.sum(F.when(F.col("r") <= v, F.col("c")).otherwise(0))
+                / F.first("t"),
+                6,
+            ).alias("coverage"),
+        )
+        for v in VOCAB_SIZES
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out
+
+
+def vocab_coverage_sql() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({v} AS BIGINT) AS vocab_size,"
+        f" ROUND(SUM(CASE WHEN r <= {v} THEN c ELSE 0 END)"
+        "  / CAST((SELECT SUM(c) FROM ranked) AS DOUBLE), 6) AS coverage"
+        " FROM ranked"
+        for v in VOCAB_SIZES
+    )
+    return (
+        "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok"
+        "  FROM documents),"
+        " counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),"
+        " ranked AS (SELECT c, ROW_NUMBER() OVER"
+        "  (ORDER BY c DESC, tok ASC) AS r FROM counts)"
+        f" {selects}"
+    )
