@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": Q.referential_orphans,
         "constraint_violations": Q.constraint_violations,
         "vocab_coverage": T.vocab_coverage,
+        "dedup_cross_source": D.dedup_cross_source,
+        "balanced_sample_k": AN.balanced_sample_k,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         # r04 NOTE: rotate this whole new-op block to the back next
         # round and bring forward the ~20 r01-green entries that have
@@ -350,6 +352,8 @@ def oracle_sql() -> dict[str, str]:
         "referential_orphans": Q.REFERENTIAL_ORPHANS_SQL,
         "constraint_violations": Q.CONSTRAINT_VIOLATIONS_SQL,
         "vocab_coverage": T.vocab_coverage_sql(),
+        "dedup_cross_source": D.DEDUP_CROSS_SOURCE_SQL,
+        "balanced_sample_k": AN.BALANCED_SAMPLE_K_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

@@ -1230,3 +1230,40 @@ REVENUE_GROWTH_MOM_SQL = (
     "  / LAG(revenue) OVER (ORDER BY month) * 100, 6) AS growth_pct"
     " FROM m"
 )
+
+
+BALANCED_K = 20
+
+
+def balanced_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced downsampling: EXACTLY min(k, n) documents per language,
+    chosen by a deterministic content-hash order — the training-mix
+    verb when strata must contribute equal counts (rate-based
+    stratified_sample guarantees proportions, not counts).
+
+    Per-stratum top-k via row_number over the hash order: one shuffle
+    on the stratum key; selection is partitioning- and scale-
+    independent because the hash order is a pure function of the
+    rows."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BALANCED_K)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+BALANCED_SAMPLE_K_SQL = (
+    "SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM ("
+    " SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang"
+    "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn"
+    " FROM documents)"
+    f" WHERE rn <= {BALANCED_K}"
+)

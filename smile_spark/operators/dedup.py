@@ -684,3 +684,47 @@ def simhash_pairs_sql() -> str:
         " FROM cand"
         f" WHERE {_hamming_expr('fa', 'fb')} <= {SIMHASH_MAX_DISTANCE}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate provenance
+# ---------------------------------------------------------------------------
+
+
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicates ACROSS sources: content hashes that appear under more
+    than one source label, with per-hash source counts and a sorted
+    source list — the provenance view of exact dedup (which copy is
+    canonical, which sources mirror each other) that drives source-
+    level dedup policy.
+
+    Same 16-byte-hash shuffle as dedup_exact; the aggregate adds a
+    distinct-source count and a deterministic collected list (sorted,
+    bounded by #sources)."""
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        F.md5("text").alias("h"), "source", "doc_id"
+    )
+    return (
+        hashed.groupBy("h")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+
+
+DEDUP_CROSS_SOURCE_SQL = (
+    "SELECT md5(text) AS h,"
+    " COUNT(DISTINCT source) AS n_sources,"
+    " COUNT(*) AS n_copies,"
+    " array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,"
+    " MIN(doc_id) AS canonical_doc_id"
+    " FROM documents GROUP BY md5(text)"
+    " HAVING COUNT(DISTINCT source) > 1"
+)
