@@ -113,7 +113,7 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # crossJoins of SINGLE-ROW aggregate legs into one summary row
         "graph_metadata", "join_variants", "set_ops", "set_ops_all",
         "kmv_distinct_tokens", "source_temperature_mix", "bigram_pmi",
-        "vocab_coverage",
+        "vocab_coverage", "column_profile",
         # salt replication: crossJoin against a broadcast 8-row salt table
         "skew_salted_revenue",
     }
