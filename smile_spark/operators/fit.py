@@ -44,14 +44,29 @@ def grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        # scale to exact ints; Python ints accumulate without rounding
-        x = (pdf["l_quantity"] * OLS_SCALE).round().astype("int64")
-        y = (pdf["l_extendedprice"] * OLS_SCALE).round().astype("int64")
+        # scale to exact ints; all moment arithmetic stays integral.
+        # numpy int64 keeps it vectorized AND exact: per-row products
+        # are ≤ ~5e10 and the fixture group sums stay far below 2^63;
+        # the assert guards the day a group outgrows that (then: chunk
+        # and accumulate into Python ints)
+        import numpy as np
+
+        x = (pdf["l_quantity"] * OLS_SCALE).round().astype("int64").to_numpy()
+        y = (
+            (pdf["l_extendedprice"] * OLS_SCALE)
+            .round()
+            .astype("int64")
+            .to_numpy()
+        )
         n = int(len(pdf))
+        if n:
+            xm = int(np.abs(x).max())
+            ym = int(np.abs(y).max())
+            assert n * xm * max(xm, ym) < 2**62, "chunk the moment sums"
         sx = int(x.sum())
         sy = int(y.sum())
-        sxx = sum(int(v) * int(v) for v in x)
-        sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+        sxx = int((x * x).sum())
+        sxy = int((x * y).sum())
         # closed forms in double, identical expression AND rounding
         # order to the oracle: each exact integer converts to double
         # BEFORE the division (as the SQL's CAST(... AS DOUBLE) does —
