@@ -479,31 +479,42 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (libm ``ln`` is not correctly-rounded everywhere; rank
     order is identical since log is monotone).
 
-    Shape at 100 TB: unigram and bigram counts are partial/final hash
-    aggregates over one explode each; the totals are 1-row broadcasts;
-    the two count joins key on the component words (vocabulary-sized,
-    zipfian — AQE's skew handling covers the head words); top-k is
+    Shape at 100 TB: unigram AND bigram sightings stream out of ONE
+    tokenize+explode pass (tagged items), so the corpus is scanned and
+    shuffled once — not once per n-gram order; splitting the counted
+    table back into the two views is vocabulary-sized work.  Totals
+    are 1-row broadcasts; the count joins key on component words
+    (zipfian — AQE's skew handling covers head words); top-k is
     TakeOrderedAndProject."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     toks = docs.select(F.split("text", " ").alias("t"))
-    uni = (
-        toks.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wc"))
+    items = toks.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(t, w -> struct(0 AS isbg, w AS k)),"
+                " CASE WHEN size(t) >= 2 THEN"
+                "  transform(sequence(1, size(t) - 1),"
+                "   i -> struct(1 AS isbg,"
+                "    concat(t[i - 1], ' ', t[i]) AS k))"
+                "  ELSE array() END)"
+            )
+        ).alias("it")
+    ).select("it.isbg", "it.k")
+    counts = items.groupBy("isbg", "k").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    uni = counts.filter(F.col("isbg") == 0).select(
+        F.col("k").alias("w"), F.col("c").alias("wc")
     )
     big = (
-        toks.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1),"
-                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
-                )
-            ).alias("bg")
+        counts.filter(F.col("isbg") == 1)
+        .filter(F.col("c") >= PMI_MIN_COUNT)
+        .select(
+            F.split("k", " ")[0].alias("w1"),
+            F.split("k", " ")[1].alias("w2"),
+            F.col("c").alias("bc"),
         )
-        .select("bg.w1", "bg.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("bc"))
-        .filter(F.col("bc") >= PMI_MIN_COUNT)
     )
     t1 = uni.agg(F.sum("wc").alias("t1"))
     t2 = big.agg(F.sum("bc").alias("t2"))
