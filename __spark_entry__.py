@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": T.vocab_coverage,
         "dedup_cross_source": D.dedup_cross_source,
         "balanced_sample_k": AN.balanced_sample_k,
+        "sample_packing": C.sample_packing,
         # --- (4) r01-green, rotated out of the r02 window: refresh ---
         # r04 NOTE: rotate this whole new-op block to the back next
         # round and bring forward the ~20 r01-green entries that have
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": T.vocab_coverage_sql(),
         "dedup_cross_source": D.DEDUP_CROSS_SOURCE_SQL,
         "balanced_sample_k": AN.BALANCED_SAMPLE_K_SQL,
+        "sample_packing": C.SAMPLE_PACKING_SQL,
         "text_normalize": C.TEXT_NORMALIZE_SQL,
         "doc_chunks": C.DOC_CHUNKS_SQL,
         "ngram_counts": C.NGRAM_COUNTS_SQL,

@@ -610,3 +610,59 @@ SCD2_CUSTOMER_HISTORY_SQL = (
     " WINDOW w AS (PARTITION BY o_custkey"
     "  ORDER BY o_orderdate, o_orderkey)"
 )
+
+
+# ---------------------------------------------------------------------------
+# Sample packing (training-row assembly)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 512
+
+
+def sample_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sample packing: documents are laid out in a
+    deterministic order within each source shard and assigned to
+    fixed-token-budget training rows (bins) by a running token cumsum
+    — how short documents get packed into full-length training
+    sequences without padding waste.
+
+    bin = (cumsum_before_doc) div budget: whole documents never split,
+    so a bin may overflow by less than one document (the standard
+    whole-sample packing tradeoff; split-packing would chunk first via
+    doc_chunks).  One shuffle on the shard key; the per-shard window
+    order is (doc_id) so the layout is partitioning-independent.  At
+    100 TB packing runs per shard/source exactly like this — a global
+    packing order would serialize the corpus for no training
+    benefit."""
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        (before / PACK_BUDGET_TOKENS).cast("bigint").alias("bin_id"),
+        (before % PACK_BUDGET_TOKENS).cast("bigint").alias("offset_in_bin"),
+    )
+
+
+SAMPLE_PACKING_SQL = (
+    "WITH d AS (SELECT source, doc_id,"
+    " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+    " FROM documents),"
+    " c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source"
+    "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+    "  0) AS before FROM d)"
+    " SELECT source, doc_id, n_tokens,"
+    f" CAST(before // {PACK_BUDGET_TOKENS} AS BIGINT) AS bin_id,"
+    f" CAST(before % {PACK_BUDGET_TOKENS} AS BIGINT) AS offset_in_bin"
+    " FROM c"
+)
