@@ -36,11 +36,18 @@ def pick_latest_two() -> tuple[str, str]:
         return int(m.group(1)) if m else -1
 
     files = sorted(glob.glob("BENCH_r*.json"), key=round_no)
-    if len(files) < 2:
+    # a crashed round leaves parsed=null (BENCH_r02) — skip files with
+    # no usable payload instead of KeyError-ing on them
+    usable = [p for p in files if "queries" in load(p)]
+    skipped = [p for p in files if p not in usable]
+    for p in skipped:
+        print(f"skipping {p}: no parsed bench payload")
+    if len(usable) < 2:
         raise SystemExit(
-            "need two BENCH_r*.json files (or pass OLD NEW explicitly)"
+            "need two parseable BENCH_r*.json files"
+            " (or pass OLD NEW explicitly)"
         )
-    return files[-2], files[-1]
+    return usable[-2], usable[-1]
 
 
 def diff(old_path: str, new_path: str) -> int:
