@@ -1,7 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness — times every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (BENCH_r02/r03 were both lost to the consumer's
+bounded tail capture, so the detail and the summary are separated):
+
+1. The full per-query timing map is written to ``BENCH_LOCAL.json``
+   next to this script (committed per round for diffing) AND printed
+   on its own stdout line first, so a full capture still has it.
+2. The LAST stdout line is a compact summary — no per-query map —
+   guaranteed to fit any bounded tail window:
+   ``{"metric": "total_query_wall_time", "value": N, "unit": "sec",
+   "sf": N, "n_queries": N, "n_errors": N}``
 
 Execution is forced with the noop sink (full pipeline, no driver
 collect), matching how a production job would consume the result.
@@ -78,7 +88,7 @@ def main() -> None:
     timings = {name: min(s) for name, s in samples.items() if s}
 
     total = round(sum(timings.values()), 4)
-    out = {
+    detail = {
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
@@ -86,8 +96,34 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    # Full map: committed file first (survives any stdout truncation),
+    # then its own stdout line for full-capture consumers.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout must not kill the bench
+    print(json.dumps(detail))
+    sys.stdout.flush()
+    # LAST line is compact — it must survive a bounded tail capture
+    # (BENCH_r02/r03 were both lost when the 123-query map pushed the
+    # JSON start past the consumer's tail window).
+    summary = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail_file": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(summary))
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -25,9 +25,21 @@ def load(path: str) -> dict:
     driver's BENCH_r{N}.json wrapper (payload under 'parsed')."""
     with open(path) as f:
         doc = json.load(f)
+    if not isinstance(doc, dict):
+        return {}
     if "queries" not in doc and isinstance(doc.get("parsed"), dict):
         doc = doc["parsed"]
     return doc
+
+
+def _usable(path: str) -> bool:
+    """True iff the file holds a per-query payload.  Any failure mode —
+    invalid JSON, a bare ``null``, a parsed=null wrapper — counts as
+    'no parsed bench payload' rather than crashing the auto-pick."""
+    try:
+        return "queries" in load(path)
+    except Exception:
+        return False
 
 
 def pick_latest_two() -> tuple[str, str]:
@@ -38,7 +50,7 @@ def pick_latest_two() -> tuple[str, str]:
     files = sorted(glob.glob("BENCH_r*.json"), key=round_no)
     # a crashed round leaves parsed=null (BENCH_r02) — skip files with
     # no usable payload instead of KeyError-ing on them
-    usable = [p for p in files if "queries" in load(p)]
+    usable = [p for p in files if _usable(p)]
     skipped = [p for p in files if p not in usable]
     for p in skipped:
         print(f"skipping {p}: no parsed bench payload")

@@ -378,15 +378,13 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_normalize.  The same two-pattern cascade applies unchanged to
     a documents-scale text column."""
     ev = table(spark, sf_dir, "events")
-    n_email = F.size(F.expr(f"regexp_extract_all(props, '{PII_EMAIL_RE}', 0)"))
+    # counts use the column API (regexp_count), NOT f-string interpolation
+    # into F.expr: SQL string-literal escape processing would turn the
+    # pattern's '\\.' into '.', silently loosening the count regex
+    # relative to the regexp_replace redaction and the DuckDB oracle.
+    n_email = F.regexp_count("props", F.lit(PII_EMAIL_RE))
     redacted_email = F.regexp_replace("props", PII_EMAIL_RE, "<EMAIL>")
-    n_num = F.size(
-        F.expr(
-            "regexp_extract_all("
-            f"regexp_replace(props, '{PII_EMAIL_RE}', '<EMAIL>'),"
-            f" '{PII_NUM_RE}', 0)"
-        )
-    )
+    n_num = F.regexp_count(redacted_email, F.lit(PII_NUM_RE))
     return ev.select(
         "event_id",
         F.regexp_replace(redacted_email, PII_NUM_RE, "<NUM>").alias(

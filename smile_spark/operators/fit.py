@@ -30,6 +30,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 OLS_SCALE = 100  # 2-decimal measures → exact integers
+OLS_ROUND = 6
+
+
+def _round_half_up(v: float | None) -> float | None:
+    """HALF_UP rounding to OLS_ROUND digits, identical to F.round and
+    DuckDB ROUND.  Python's built-in round() is half-to-even and can
+    differ on exact .5 boundaries; Decimal(repr(v)) mirrors the JVM's
+    BigDecimal.valueOf(double) shortest-representation semantics."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if v is None or math.isnan(v) or math.isinf(v):
+        return v
+    return float(
+        Decimal(repr(v)).quantize(
+            Decimal(1).scaleb(-OLS_ROUND), rounding=ROUND_HALF_UP
+        )
+    )
 
 
 def grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,15 +89,22 @@ def grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # order to the oracle: each exact integer converts to double
         # BEFORE the division (as the SQL's CAST(... AS DOUBLE) does —
         # Python's exact int/int true-division rounds once and could
-        # differ in the last bit); scale cancels in slope
-        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
-        intercept = (float(sy) - slope * float(sx)) / n / OLS_SCALE
+        # differ in the last bit); scale cancels in slope.  A constant-x
+        # group has zero variance → NULL slope/intercept, matching the
+        # oracle's NULLIF'd denominator (Python would instead raise
+        # ZeroDivisionError).
+        denom = float(n * sxx - sx * sx)
+        if denom == 0.0:
+            slope = intercept = None
+        else:
+            slope = float(n * sxy - sx * sy) / denom
+            intercept = (float(sy) - slope * float(sx)) / n / OLS_SCALE
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
                 "n": [n],
-                "slope": [round(slope, 6)],
-                "intercept": [round(intercept, 6)],
+                "slope": [_round_half_up(slope)],
+                "intercept": [_round_half_up(intercept)],
             }
         )
 
@@ -106,7 +131,9 @@ GROUPED_OLS_FIT_SQL = (
     " FROM lineitem GROUP BY l_returnflag),"
     " f AS (SELECT l_returnflag, n,"
     "  CAST(n * sxy - sx * sy AS DOUBLE)"
-    "   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,"
+    # NULLIF: a constant-x group yields NULL slope/intercept on both
+    # engines (the UDF guards the same zero-variance denominator)
+    "   / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS slope,"
     "  sx, sy FROM m)"
     " SELECT l_returnflag, CAST(n AS BIGINT) AS n,"
     " ROUND(slope, 6) AS slope,"

@@ -244,9 +244,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term frequency; score rounds to 6 digits before ranking (ln is the
     one libm call — both engines are correctly-rounded enough at 6
     digits, the same treatment as the math_functions family).  Two
-    shuffles total: (doc_id, tok) count and tok-keyed df join; the
-    global top-k is TakeOrderedAndProject.  This is the vector-space
-    relevance primitive behind keyword extraction / BM25-lite."""
+    shuffles total: (doc_id, tok) count and tok-keyed df join; N is a
+    broadcast 1-row aggregate folded into the same plan (no separate
+    driver-side count() job); the global top-k is
+    TakeOrderedAndProject.  This is the vector-space relevance
+    primitive behind keyword extraction / BM25-lite."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -255,16 +257,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf")
     )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(df_, "tok").select(
-        "doc_id",
-        "tok",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
-            TFIDF_ROUND,
-        ).alias("tfidf"),
+    n = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs")
+    )
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")),
+                TFIDF_ROUND,
+            ).alias("tfidf"),
+        )
     )
     return scored.orderBy(
         F.desc("tfidf"), F.asc("doc_id"), F.asc("tok")
@@ -366,11 +374,20 @@ def vocab_coverage(spark, sf_dir: str) -> DataFrame:
     OCCURRENCES is covered by the top-V most frequent types — the
     truncation-loss curve behind vocabulary-size decisions.
 
-    One token-count aggregate; frequency ranks come from a window over
-    the VOCABULARY-sized type table (not the corpus); coverage per V is
-    a conditional sum over that same table.  Ranking ties break
-    alphabetically so both engines pick the same top-V set.  Fractions
-    are quotients of exact counts, rounded to 6."""
+    One token-count aggregate; the denominator is a separate total
+    over the full type table; ranks only exist on the top-max(V) slice.
+    Scale shape: coverage at V ∈ VOCAB_SIZES only needs the top
+    max(V) types, so the global order is `orderBy(...).limit(max(V))`
+    — TakeOrderedAndProject, every partition ships ≤ max(V) rows to
+    the driver-side heap — and the rank window runs over that ≤1000-row
+    result where a partition-less window is free.  A web-scale corpus
+    has 10⁸–10⁹ distinct types (typos, URLs, code); ranking them all
+    in one window task (the previous form) would single-task-sort a
+    billion rows.  Both subtrees (total, top-V) hang off the same
+    token-count aggregate, so Spark's ReusedExchange serves both from
+    one shuffle.  Ranking ties break alphabetically so both engines
+    pick the same top-V set.  Fractions are quotients of exact counts,
+    rounded to 6."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -380,24 +397,31 @@ def vocab_coverage(spark, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    top = counts.orderBy(F.desc("c"), F.asc("tok")).limit(max(VOCAB_SIZES))
     w = Window.orderBy(F.desc("c"), F.asc("tok"))
-    ranked = counts.withColumn("r", F.row_number().over(w))
-    total = ranked.agg(F.sum("c").alias("t"))
-    rows = [
-        ranked.crossJoin(F.broadcast(total)).agg(
-            F.lit(v).cast("bigint").alias("vocab_size"),
+    ranked = top.withColumn("r", F.row_number().over(w))
+    # one plan: explode the candidate V set against the ≤1000-row
+    # ranked slice (≤ |V|·max(V) rows), aggregate per V — a single
+    # window + a trivial final shuffle instead of |V| union branches
+    sizes = F.explode(
+        F.array(*[F.lit(v).cast("bigint") for v in VOCAB_SIZES])
+    ).alias("vocab_size")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select("r", "c", "t", sizes)
+        .groupBy("vocab_size")
+        .agg(
             F.round(
-                F.sum(F.when(F.col("r") <= v, F.col("c")).otherwise(0))
+                F.sum(
+                    F.when(F.col("r") <= F.col("vocab_size"), F.col("c"))
+                    .otherwise(0)
+                )
                 / F.first("t"),
                 6,
             ).alias("coverage"),
         )
-        for v in VOCAB_SIZES
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.union(r)
-    return out
+    )
 
 
 def vocab_coverage_sql() -> str:

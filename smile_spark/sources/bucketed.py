@@ -52,40 +52,59 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
 # one bucketed write per (application, sf_dir) — the write is the
 # one-time physical investment; every subsequent query on the bucket
 # key reads pre-partitioned data (the continuous-aggregate contract
-# hypertable_daily also follows)
+# hypertable_daily also follows).  Table names embed the sf_dir (see
+# bucket_table_name): names are catalog-global, so a name shared
+# across fixture dirs would let one dir's READY entry silently serve
+# another dir's data within the same application.
 _BUCKETED_READY: set[tuple[str, str]] = set()
 BUCKETED_N = 16
 
 
-def _ensure_bucketed_orders_customer(spark: SparkSession, sf_dir: str) -> None:
-    import os
+def bucket_table_name(base: str, sf_dir: str) -> str:
+    """Catalog-safe bucketed-table name scoped to one fixture dir."""
+    import re
 
+    suffix = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_").lower()
+    return f"{base}_{suffix}"
+
+
+def drop_bucketed_table(spark: SparkSession, tbl: str) -> None:
+    """Drop a bucketed table AND its warehouse directory: a managed-
+    table location left by a PREVIOUS application (the in-memory
+    catalog forgot it, the warehouse dir didn't) blocks creation with
+    LOCATION_ALREADY_EXISTS."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = os.path.join(
+        spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:"),
+        tbl,
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+def _ensure_bucketed_orders_customer(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
     from pyspark.sql import functions as F  # noqa: F401
 
     from smile_spark.tables import table
 
+    t_orders = bucket_table_name("bkt_orders", sf_dir)
+    t_customer = bucket_table_name("bkt_customer", sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BUCKETED_READY:
-        return
-    # a managed-table location left by a PREVIOUS application (the
-    # in-memory catalog forgot it, the warehouse dir didn't) blocks
-    # creation with LOCATION_ALREADY_EXISTS — drop and clear first
-    import shutil
-
-    for tbl in ("bkt_orders", "bkt_customer"):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        loc = os.path.join(
-            spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:"),
-            tbl,
-        )
-        shutil.rmtree(loc, ignore_errors=True)
+        return t_orders, t_customer
+    for tbl in (t_orders, t_customer):
+        drop_bucketed_table(spark, tbl)
     write_bucketed(
         table(spark, sf_dir, "orders").select(
             "o_custkey", "o_totalprice", "o_orderstatus"
         ),
-        "bkt_orders",
+        t_orders,
         "o_custkey",
         n_buckets=BUCKETED_N,
     )
@@ -93,11 +112,12 @@ def _ensure_bucketed_orders_customer(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
         ),
-        "bkt_customer",
+        t_customer,
         "o_custkey",
         n_buckets=BUCKETED_N,
     )
     _BUCKETED_READY.add(key)
+    return t_orders, t_customer
 
 
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> "DataFrame":
@@ -115,9 +135,9 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> "DataFrame":
 
     from smile_spark.functions.numeric import dsum
 
-    _ensure_bucketed_orders_customer(spark, sf_dir)
-    o = read_bucketed(spark, "bkt_orders")
-    c = read_bucketed(spark, "bkt_customer")
+    t_orders, t_customer = _ensure_bucketed_orders_customer(spark, sf_dir)
+    o = read_bucketed(spark, t_orders)
+    c = read_bucketed(spark, t_customer)
     return (
         o.join(c, "o_custkey")
         .groupBy("c_mktsegment")

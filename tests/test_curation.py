@@ -123,3 +123,41 @@ def test_decontaminate_sanity(spark, sf_dir):
         (F.col("overlap_ratio") <= 0) | (F.col("overlap_ratio") > 1)
     ).isEmpty()
     assert flagged.filter(F.col("n_overlap") > F.col("n_grams")).isEmpty()
+
+
+def test_pii_redact_count_matches_redaction_on_emails(spark):
+    """The redaction count and the regexp_replace must use the SAME
+    effective pattern.  Regression: interpolating PII_EMAIL_RE into an
+    F.expr string literal let SQL escape-processing turn '\\.' into
+    '.', so 'a@b co' (no dot-TLD) counted as an email while the
+    replacement correctly left it alone.  Counts are recomputed here
+    from the redacted text: n_redactions must equal the number of
+    placeholders actually inserted."""
+    from smile_spark.operators.curation import PII_EMAIL_RE, PII_NUM_RE
+
+    rows = [
+        ("e1", "contact bob@example.com or 555 1234"),
+        ("e2", "not-an-email a@bXco zz"),          # no dot TLD → 0 emails
+        ("e3", "a@b.co plus ids 42 and 7 and 10"),
+        ("e4", "nothing to redact here"),
+        ("e5", "two mails x@y.org z@w.net 99"),
+    ]
+    df = spark.createDataFrame(rows, "event_id string, props string")
+    n_email = F.regexp_count("props", F.lit(PII_EMAIL_RE))
+    red = F.regexp_replace("props", PII_EMAIL_RE, "<EMAIL>")
+    n_num = F.regexp_count(red, F.lit(PII_NUM_RE))
+    out = df.select(
+        "event_id",
+        F.regexp_replace(red, PII_NUM_RE, "<NUM>").alias("t"),
+        (n_email + n_num).cast("bigint").alias("n"),
+        F.regexp_count(
+            F.regexp_replace(red, PII_NUM_RE, "<NUM>"),
+            F.lit("<EMAIL>|<NUM>"),
+        ).cast("bigint").alias("n_placeholders"),
+    ).collect()
+    got = {r["event_id"]: (r["t"], r["n"], r["n_placeholders"]) for r in out}
+    assert got["e2"][0] == "not-an-email a@bXco zz"
+    assert got["e2"][1] == 0
+    assert got["e4"][1] == 0
+    for eid, (_, n, n_ph) in got.items():
+        assert n == n_ph, (eid, got[eid])

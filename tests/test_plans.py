@@ -384,14 +384,58 @@ def test_fuzzy_match_single_stage_pair_generation(spark, sf_dir):
 
     plan = formatted_plan(fuzzy_name_match(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
-    # exactly one round-robin exchange (the fan_out); no hash exchange
-    # of the exploded pair set
-    n_hash_ex = len(
-        [
-            line
-            for line in plan.splitlines()
-            if "hashpartitioning" in line and "Exchange" not in line[:4]
-        ]
-    )
+    # the only shuffles are the round-robin fan_out and the broadcast
+    # leg: the exploded pair set must never hash-shuffle
+    n_hash_ex = plan.count("hashpartitioning")
+    assert n_hash_ex == 0, plan
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, plan  # fan_out + broadcast leg only
+
+
+def test_vocab_coverage_ranks_only_topv(spark, sf_dir):
+    """The rank window must run over the top-max(V) slice, never the
+    full type table: the plan needs a TakeOrderedAndProject feeding the
+    window, and exactly one Window node.  (A web corpus has 10^8-10^9
+    distinct types — a partition-less window over all of them is a
+    single-task sort of a billion rows.)"""
+    from smile_spark.operators.text import vocab_coverage
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(vocab_coverage(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # exactly ONE row_number window, sitting above the limit — and no
+    # global range-sort of the full counts table anywhere
+    assert plan.count(") Window") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_no_driver_actions_in_lazy_build_paths(spark, sf_dir):
+    """tfidf_top_terms and dedup_embedding_cosine (post-memo) must not
+    run driver-side actions while BUILDING their plan: tfidf's N comes
+    from a broadcast 1-row aggregate (source-audited — a parquet
+    footer-read job at load makes job counting unusable), and the
+    auto-bits probe must come from the memo after first use."""
+    import inspect
+
+    import smile_spark.operators.dedup as dd
+    from smile_spark.operators import text as tx
+
+    src = inspect.getsource(tx.tfidf_top_terms)
+    for action in (".count()", ".head(", ".collect()", ".first()"):
+        assert action not in src, f"tfidf build path calls {action}"
+
+    # warm the memo, then prove a rebuild never re-probes: a cache miss
+    # would call neardup_auto_bits, which we trap
+    dd.dedup_embedding_cosine(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in dd._AUTO_BITS_CACHE
+
+    def _trap(*a, **k):
+        raise AssertionError("memoized auto-bits probe re-ran")
+
+    orig = dd.neardup_auto_bits
+    dd.neardup_auto_bits = _trap
+    try:
+        dd.dedup_embedding_cosine(spark, sf_dir)
+    finally:
+        dd.neardup_auto_bits = orig
