@@ -44,112 +44,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-3 window: (1) the four queries broken by
-    the round-2 events TIMESTAMP_NTZ fixture drift, now repaired at the
-    tables.table() choke point — grouping_sets_summary is the only
-    entry with zero green verdicts ever; (2) queries whose code changed
-    this round; (3) operators NEW this round; (4) r01-green entries
-    that were rotated out of the r02 window, refreshed oldest-first.
-    The r02-green block sits at the back.  Every entry then holds a
-    green verdict from r02 or r03.
+    insertion order.  Round-4 window: (1) operators NEW this round;
+    (2) queries whose code changed this round; (3) the 25 entries
+    whose newest green verdict was still round 1 (VERDICT r03 "What's
+    missing" #2 — the promised rotation); (4) r02-green entries
+    refreshed oldest-first.  The r03-green block sits at the very
+    back; the remaining r02 block sits just past the window so round 5
+    rotates it in next.  After this round every entry's newest verdict
+    is ≤2 rounds old.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- (1) repaired after the r02 events.ts fixture drift ---
-        "grouping_sets_summary": AN.grouping_sets_summary,  # never green
-        "sql_order_priority": R.sql_order_priority,
-        "sql_subqueries": R.sql_subqueries,
-        "range_join_recent_events": A.range_join_recent_events,
+        # --- (1) NEW this round ---
+        "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
+        "winsorize_prices_approx": AN.winsorize_prices_approx,
         # --- (2) code changed this round (re-verify) ---
-        "graph_load": G.graph_load,  # distributed prefix sum
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,  # auto width
-        # --- (3) new this round ---
-        "sessionize": B.sessionize,
-        "funnel_conversion": B.funnel_conversion,
-        "retention_cohorts": B.retention_cohorts,
-        "gap_fill_daily": B.gap_fill_daily,
-        "pii_redact": C.pii_redact,
-        "repetition_ratio": C.repetition_ratio,
-        "unpivot_long": AN.unpivot_long,
-        "rolling_daily_activity": B.rolling_daily_activity,
-        "bigram_pmi": C.bigram_pmi,
-        "zorder_cluster": AN.zorder_cluster,
-        "interval_overlap_join": A.interval_overlap_join,
-        "copurchase_pairs": R.copurchase_pairs,
-        "revenue_share": AN.revenue_share,
-        "winsorize_prices": AN.winsorize_prices,
-        "zscore_normalize": AN.zscore_normalize,
-        "fuzzy_name_match": T.fuzzy_name_match,
-        "event_transition_matrix": B.event_transition_matrix,
-        "seasonality_profile": B.seasonality_profile,
-        "grouped_ols_fit": FT.grouped_ols_fit,
-        "cms_heavy_hitters": K.cms_heavy_hitters,
-        "scd2_customer_history": C.scd2_customer_history,
-        "date_dimension": R.date_dimension,
-        "bucketed_join_revenue": BK.bucketed_join_revenue,
-        "revenue_growth_mom": AN.revenue_growth_mom,
-        "column_profile": Q.column_profile,
-        "referential_orphans": Q.referential_orphans,
-        "constraint_violations": Q.constraint_violations,
         "vocab_coverage": T.vocab_coverage,
-        "dedup_cross_source": D.dedup_cross_source,
-        "balanced_sample_k": AN.balanced_sample_k,
-        "sample_packing": C.sample_packing,
-        # --- (4) r01-green, rotated out of the r02 window: refresh ---
-        # r04 NOTE: rotate this whole new-op block to the back next
-        # round and bring forward the ~20 r01-green entries that have
-        # not been refreshed since round 1 (they are the tail of the
-        # refresh block below).
-        "pricing_summary": R.pricing_summary,
-        "scan": R.scan,
-        "projection": R.projection,
-        "datagen": R.datagen,
-        "graph_metadata": G.graph_metadata,
-        "degree_distribution": G.degree_distribution,
-        "triangle_count": G.triangle_count,
-        "connected_components": G.connected_components,
-        "pagerank": G.pagerank,
-        "sssp": G.sssp,
-        "groupby_count_array": R.groupby_count_array,
-        "timestamp_filter": R.timestamp_filter,
-        "groupby_count": R.groupby_count,
-        "casts_parse": R.casts_parse,
-        "scan_filter_count": R.scan_filter_count,
-        "graph_check": G.graph_check,
-        "dedup_exact": D.dedup_exact,
-        "minhash_signature": D.minhash_signature,
-        "simhash": D.simhash,
-        "asof_latest_order": A.asof_latest_order,
-        "regional_revenue": R.regional_revenue,
-        "top_customers": R.top_customers,
-        "set_ops": R.set_ops,
-        "join_variants": R.join_variants,
-        "rollup_summary": R.rollup_summary,
+        "pii_redact": C.pii_redact,
+        "grouped_ols_fit": FT.grouped_ols_fit,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "tfidf_top_terms": T.tfidf_top_terms,
+        "winsorize_prices": AN.winsorize_prices,
+        "bucketed_join_revenue": BK.bucketed_join_revenue,
+        # --- (3) r01-stale refresh: newest verdicts were 2 rounds old ---
         "agg_stats": R.agg_stats,
-        "string_functions": R.string_functions,
-        "cube_summary": AN.cube_summary,
-        "percentiles": AN.percentiles,
-        "corr_stats": AN.corr_stats,
-        "lead_lag_delta": AN.lead_lag_delta,
-        "sampling_hash": AN.sampling_hash,
-        "stratified_sample": AN.stratified_sample,
         "array_functions": AN.array_functions,
+        "asof_latest_order": A.asof_latest_order,
+        "casts_parse": R.casts_parse,
+        "corr_stats": AN.corr_stats,
+        "cube_summary": AN.cube_summary,
+        "dedup_exact": D.dedup_exact,
+        "graph_check": G.graph_check,
+        "join_variants": R.join_variants,
         "json_functions": AN.json_functions,
-        "regex_functions": AN.regex_functions,
+        "lead_lag_delta": AN.lead_lag_delta,
         "map_functions": AN.map_functions,
         "math_functions": AN.math_functions,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this round;
-        # all were driver-green in CORRECTNESS_r02 and are unchanged.
-        # ------------------------------------------------------------------
-        "simhash_pairs": D.simhash_pairs,
+        "minhash_signature": D.minhash_signature,
+        "percentiles": AN.percentiles,
+        "regex_functions": AN.regex_functions,
+        "regional_revenue": R.regional_revenue,
+        "rollup_summary": R.rollup_summary,
+        "sampling_hash": AN.sampling_hash,
+        "scan_filter_count": R.scan_filter_count,
+        "set_ops": R.set_ops,
+        "simhash": D.simhash,
+        "stratified_sample": AN.stratified_sample,
+        "string_functions": R.string_functions,
+        "top_customers": R.top_customers,
+        # --- (4) r02-green refresh, oldest-first ---
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_canonical": P.dedup_canonical,
-        "corpus_quality_filter": P.corpus_quality_filter,
-        "corpus_curation_manifest": P.corpus_curation_manifest,
+        "simhash_pairs": D.simhash_pairs,
+        "ngram_jaccard_topk": D.ngram_jaccard_topk,
         "text_stats": T.text_stats,
         "token_count": T.token_count,
         "lang_id": T.lang_id,
         "fingerprint": T.fingerprint,
-        "tfidf_top_terms": T.tfidf_top_terms,
         "kmv_distinct_tokens": K.kmv_distinct_tokens,
         "ann_cosine_topk": S.ann_cosine_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
@@ -158,6 +108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_daily": W.hypertable_daily,
         "window_sliding": W.window_sliding,
         "window_session": W.window_session,
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round; r05 NOTE: rotate the r02-green block here (front of
+        # the tail) into the next window first, then the r03 block.
+        # ------------------------------------------------------------------
+        "corpus_quality_filter": P.corpus_quality_filter,
+        "corpus_curation_manifest": P.corpus_curation_manifest,
         "multimodal_meta": M.multimodal_meta,
         "multimodal_frames": M.multimodal_frames,
         "multimodal_resize": M.multimodal_resize,
@@ -167,8 +124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_functions": AN.date_functions,
         "window_rank": R.window_rank,
         "window_ranking": AN.window_ranking,
-        "ngram_jaccard_topk": D.ngram_jaccard_topk,
-        "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "text_normalize": C.text_normalize,
         "doc_chunks": C.doc_chunks,
         "ngram_counts": C.ngram_counts,
@@ -189,6 +144,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": AN.date_parts,
         "hashjoin_agg": R.hashjoin_agg,
         "bfs": G.bfs,
+        # --- r03-green block (newest verdicts, rotate last) ---
+        "grouping_sets_summary": AN.grouping_sets_summary,
+        "sql_order_priority": R.sql_order_priority,
+        "sql_subqueries": R.sql_subqueries,
+        "range_join_recent_events": A.range_join_recent_events,
+        "graph_load": G.graph_load,
+        "sessionize": B.sessionize,
+        "funnel_conversion": B.funnel_conversion,
+        "retention_cohorts": B.retention_cohorts,
+        "gap_fill_daily": B.gap_fill_daily,
+        "repetition_ratio": C.repetition_ratio,
+        "unpivot_long": AN.unpivot_long,
+        "rolling_daily_activity": B.rolling_daily_activity,
+        "bigram_pmi": C.bigram_pmi,
+        "zorder_cluster": AN.zorder_cluster,
+        "interval_overlap_join": A.interval_overlap_join,
+        "copurchase_pairs": R.copurchase_pairs,
+        "revenue_share": AN.revenue_share,
+        "zscore_normalize": AN.zscore_normalize,
+        "fuzzy_name_match": T.fuzzy_name_match,
+        "event_transition_matrix": B.event_transition_matrix,
+        "seasonality_profile": B.seasonality_profile,
+        "cms_heavy_hitters": K.cms_heavy_hitters,
+        "scd2_customer_history": C.scd2_customer_history,
+        "date_dimension": R.date_dimension,
+        "revenue_growth_mom": AN.revenue_growth_mom,
+        "column_profile": Q.column_profile,
+        "referential_orphans": Q.referential_orphans,
+        "constraint_violations": Q.constraint_violations,
+        "dedup_cross_source": D.dedup_cross_source,
+        "balanced_sample_k": AN.balanced_sample_k,
+        "sample_packing": C.sample_packing,
+        "pricing_summary": R.pricing_summary,
+        "scan": R.scan,
+        "projection": R.projection,
+        "datagen": R.datagen,
+        "graph_metadata": G.graph_metadata,
+        "degree_distribution": G.degree_distribution,
+        "triangle_count": G.triangle_count,
+        "connected_components": G.connected_components,
+        "pagerank": G.pagerank,
+        "sssp": G.sssp,
+        "groupby_count_array": R.groupby_count_array,
+        "timestamp_filter": R.timestamp_filter,
+        "groupby_count": R.groupby_count,
     }
     return q
 
@@ -361,6 +361,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_counts": C.NGRAM_COUNTS_SQL,
         "cdc_latest_state": C.CDC_LATEST_STATE_SQL,
         "source_temperature_mix": C.SOURCE_TEMPERATURE_MIX_SQL,
+        # winsorize_prices_approx has NO oracle by design: the sketch's
+        # bucket boundaries are engine-specific (rows-only check);
+        # tests/test_approx.py pins its tolerance against the exact form.
+        "graph_adjacency_bucketed": G.graph_adjacency_bucketed_sql(),
         "graph_load": (
             "WITH e AS (SELECT o_custkey AS src, 100000 + o_orderkey AS dst"
             "           FROM orders),"

@@ -1117,6 +1117,13 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"percentile(l_extendedprice, {WINSOR_HI}D)"), 2
         ).alias("hi"),
     )
+    return _clip_and_summarize(li, bounds)
+
+
+def _clip_and_summarize(li: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Clip l_extendedprice at broadcast per-group (lo, hi) bounds and
+    aggregate the winsorized summary — shared by the exact and approx
+    bound passes."""
     clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
         "l_returnflag",
         "lo",
@@ -1132,6 +1139,36 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ch").cast("bigint").alias("n_clipped_high"),
         davg("w", "winsorized_avg"),
     )
+
+
+# approx_percentile accuracy parameter: guarantees rank error
+# ≤ 1/WINSOR_ACCURACY of the group size with sketch memory O(accuracy)
+# — constant per group regardless of corpus size.
+WINSOR_ACCURACY = 10_000
+
+
+def winsorize_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of :func:`winsorize_prices`: bounds come from a
+    single-pass ``approx_percentile`` sketch (bounded memory per group)
+    instead of exact ``percentile`` (which buffers every group value in
+    the aggregate — fine at test SFs, an executor-memory hazard at
+    web scale).  Rank error ≤ 1/WINSOR_ACCURACY; the exact sibling
+    stays the driver-gated oracle query, and
+    tests/test_approx.py proves this variant tracks it within
+    tolerance.  No oracle_sql twin: the sketch's bucket boundaries are
+    engine-specific, so the driver records the weaker rows-only check
+    for this entry by design."""
+    li = table(spark, sf_dir, "lineitem")
+    pair = F.expr(
+        "approx_percentile(l_extendedprice,"
+        f" array({WINSOR_LO}D, {WINSOR_HI}D), {WINSOR_ACCURACY})"
+    )
+    bounds = li.groupBy("l_returnflag").agg(pair.alias("p")).select(
+        "l_returnflag",
+        F.round(F.element_at("p", 1), 2).alias("lo"),
+        F.round(F.element_at("p", 2), 2).alias("hi"),
+    )
+    return _clip_and_summarize(li, bounds)
 
 
 WINSORIZE_PRICES_SQL = (

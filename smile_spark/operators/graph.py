@@ -278,6 +278,98 @@ def bfs_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bucketed adjacency — the CSR physical layout, Spark-native
+# ---------------------------------------------------------------------------
+
+# one bucketed adjacency write per (application, sf_dir), same memo
+# discipline as the orders/customer bucket pair
+_EDGES_BUCKETED_READY: set[tuple[str, str]] = set()
+
+
+def ensure_bucketed_edges(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the undirected edge view bucketed by ``src`` and sorted
+    by ``(src, dst)`` — the durable analogue of the reference's CSR
+    pages (``firstNbr[]`` + packed neighbor runs,
+    /root/reference/src/regtests/loadgraph_regtest.cpp:24-31): all
+    edges of one source live in one bucket, contiguous and sorted.
+    Returns the catalog table name."""
+    from smile_spark.sources.bucketed import (
+        BUCKETED_N,
+        bucket_table_name,
+        drop_bucketed_table,
+        write_bucketed,
+    )
+
+    tbl = bucket_table_name("bkt_edges", sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _EDGES_BUCKETED_READY:
+        return tbl
+    drop_bucketed_table(spark, tbl)
+    write_bucketed(
+        edges(spark, sf_dir, undirected=True),
+        tbl,
+        "src",
+        n_buckets=BUCKETED_N,
+        sort_cols=["src", "dst"],
+    )
+    _EDGES_BUCKETED_READY.add(key)
+    return tbl
+
+
+def graph_adjacency_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BFS round over the PERSISTED bucketed adjacency: seed set →
+    distance-0 rows plus the distinct one-hop neighborhood at
+    distance 1 — (source, id, dist), the same shape as ``bfs``.
+
+    This is the CSR locality claim made physical: the source filter
+    prunes the scan to only the buckets holding the frontier's sources
+    (the plan shows ``SelectedBucketsCount``, the analogue of touching
+    one ``firstNbr`` page run instead of the whole edge file), the
+    frontier joins as a broadcast, and the edge side reaches the join
+    with ZERO exchange.  At 100 TB the adjacency is bucketed once at
+    ingest; every traversal round after that reads only the buckets its
+    frontier touches and never re-shuffles the edge set.  The only
+    shuffle in the round is the frontier-proportional dedupe of the
+    expansion — the Pregel-round invariant."""
+    from smile_spark.sources.bucketed import read_bucketed
+
+    e = read_bucketed(spark, ensure_bucketed_edges(spark, sf_dir))
+    src_df = spark.createDataFrame(
+        [(int(s),) for s in BFS_SOURCES], "source bigint"
+    )
+    seed = src_df.select(
+        "source",
+        F.col("source").alias("id"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    hop1 = (
+        e.filter(F.col("src").isin([int(s) for s in BFS_SOURCES]))
+        .join(F.broadcast(src_df), F.col("src") == F.col("source"))
+        .select("source", F.col("dst").alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(1).cast("bigint"))
+    )
+    return seed.union(hop1)
+
+
+def graph_adjacency_bucketed_sql() -> str:
+    return (
+        "WITH e AS ("
+        "  SELECT o_custkey AS src, 100000 + o_orderkey AS dst FROM orders"
+        "  UNION ALL"
+        "  SELECT 100000 + o_orderkey AS src, o_custkey AS dst FROM orders"
+        "),"
+        f" s(source) AS (VALUES {sources_values_sql()})"
+        " SELECT CAST(source AS BIGINT) AS source,"
+        "  CAST(source AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist FROM s"
+        " UNION"
+        " SELECT CAST(s.source AS BIGINT), CAST(e.dst AS BIGINT),"
+        "  CAST(1 AS BIGINT)"
+        " FROM s JOIN e ON e.src = s.source"
+    )
+
+
 def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted undirected edge view for routing queries.
 

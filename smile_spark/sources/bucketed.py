@@ -25,9 +25,12 @@ def write_bucketed(
     bucket_cols: list[str] | str,
     n_buckets: int = 16,
     sort: bool = True,
+    sort_cols: list[str] | str | None = None,
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by
-    ``bucket_cols`` as a catalog table, replacing any prior version."""
+    ``bucket_cols`` as a catalog table, replacing any prior version.
+    ``sort_cols`` widens the in-bucket sort beyond the bucket key
+    (e.g. adjacency bucketed by src, sorted by (src, dst))."""
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     writer = (
         df.write.mode("overwrite")
@@ -35,7 +38,13 @@ def write_bucketed(
         .bucketBy(n_buckets, *cols)
     )
     if sort:
-        writer = writer.sortBy(*cols)
+        if sort_cols is None:
+            scols = cols
+        elif isinstance(sort_cols, str):
+            scols = [sort_cols]
+        else:
+            scols = list(sort_cols)
+        writer = writer.sortBy(*scols)
     writer.saveAsTable(table_name)
 
 

@@ -60,3 +60,41 @@ def test_cms_never_underestimates_and_bounds_error(spark, sf_dir):
     assert r.filter(
         F.col("cms_estimate") > F.col("true_count") + slack
     ).isEmpty()
+
+
+def test_winsorize_approx_tracks_exact(spark, sf_dir):
+    """The approx-bound winsorization must track the exact form:
+    per-group bounds within 1% relative error, clipped-row counts
+    within 1.5% of the group size (rank error ≤ 1/WINSOR_ACCURACY is
+    far tighter; the slack absorbs value ties at the boundary), and
+    the winsorized mean within 0.5%."""
+    from smile_spark.operators.analytics import (
+        winsorize_prices,
+        winsorize_prices_approx,
+    )
+
+    exact = {
+        r.l_returnflag: r
+        for r in winsorize_prices(spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: r
+        for r in winsorize_prices_approx(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    sizes = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.lo - e.lo) / e.lo < 0.01, (flag, e.lo, a.lo)
+        assert abs(a.hi - e.hi) / e.hi < 0.01, (flag, e.hi, a.hi)
+        n = sizes[flag]
+        assert abs(a.n_clipped_low - e.n_clipped_low) <= 0.015 * n
+        assert abs(a.n_clipped_high - e.n_clipped_high) <= 0.015 * n
+        rel = abs(a.winsorized_avg - e.winsorized_avg) / e.winsorized_avg
+        assert rel < 0.005, (flag, e.winsorized_avg, a.winsorized_avg)

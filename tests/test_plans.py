@@ -105,7 +105,8 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "bfs", "sssp", "pagerank", "connected_components",
         "graph_check", "dedup_minhash_lsh", "hypertable_daily",
         "dedup_canonical", "simhash_pairs", "corpus_curation_manifest",
-        "bucketed_join_revenue",  # writes bucketed tables at plan time
+        # these two write bucketed tables at plan time
+        "bucketed_join_revenue", "graph_adjacency_bucketed",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set
@@ -113,7 +114,7 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # crossJoins of SINGLE-ROW aggregate legs into one summary row
         "graph_metadata", "join_variants", "set_ops", "set_ops_all",
         "kmv_distinct_tokens", "source_temperature_mix", "bigram_pmi",
-        "vocab_coverage", "column_profile",
+        "vocab_coverage", "column_profile", "tfidf_top_terms",
         # salt replication: crossJoin against a broadcast 8-row salt table
         "skew_salted_revenue",
     }
@@ -439,3 +440,26 @@ def test_no_driver_actions_in_lazy_build_paths(spark, sf_dir):
         dd.dedup_embedding_cosine(spark, sf_dir)
     finally:
         dd.neardup_auto_bits = orig
+
+
+def test_graph_adjacency_bucketed_prunes_and_never_shuffles_edges(
+    spark, sf_dir
+):
+    """The persisted bucketed adjacency must behave like CSR pages:
+    the frontier's source filter prunes the scan to the buckets that
+    hold those sources (SelectedBucketsCount), the frontier broadcasts,
+    and the edge side reaches the join without any hash exchange."""
+    from smile_spark.operators.graph import graph_adjacency_bucketed
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(graph_adjacency_bucketed(spark, sf_dir))
+    assert "SelectedBucketsCount" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # edge-side rows may only shuffle for the frontier-proportional
+    # expansion dedupe — never for the join itself: every hash exchange
+    # must sit ABOVE the join in the tree (i.e. the join's scan-side
+    # subtree contains none).  Formatted trees list children after
+    # parents, so it suffices that no Exchange hashpartitioning node
+    # has the scan as a descendant — approximated by requiring at most
+    # one hashpartitioning exchange total (the distinct).
+    assert plan.count("hashpartitioning") <= 1, plan
