@@ -44,19 +44,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-4 window: (1) operators NEW this round;
-    (2) queries whose code changed this round; (3) the 25 entries
-    whose newest green verdict was still round 1 (VERDICT r03 "What's
-    missing" #2 — the promised rotation); (4) r02-green entries
-    refreshed oldest-first.  The r03-green block sits at the very
-    back; the remaining r02 block sits just past the window so round 5
-    rotates it in next.  After this round every entry's newest verdict
-    is ≤2 rounds old.
+    insertion order.  Round-4 window: (1) the 6 operators NEW this
+    round (bucketed adjacency, approx winsorize, HLL, chunk dedup,
+    snapshot diff, k-means); (2) the 7 queries whose code changed this
+    round; (3) the 25 entries whose newest green verdict was still
+    round 1 (VERDICT r03 "What's missing" #2 — the promised rotation);
+    (4) the first 12 r02-green entries oldest-first.  The 4 displaced
+    r02 entries (window_*/hypertable) lead the tail for round 5; the
+    r03-green block sits at the very back.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- (1) NEW this round ---
         "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
         "winsorize_prices_approx": AN.winsorize_prices_approx,
+        "hll_distinct": K.hll_distinct,
+        "chunk_dedup": D.chunk_dedup,
+        "snapshot_diff": Q.snapshot_diff,
+        "embedding_kmeans": S.embedding_kmeans,
         # --- (2) code changed this round (re-verify) ---
         "vocab_coverage": T.vocab_coverage,
         "pii_redact": C.pii_redact,
@@ -104,15 +108,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": S.ann_cosine_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
         "embedding_norms": S.embedding_norms,
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round; r05 NOTE: rotate the r02-green block here (front of
+        # the tail) into the next window first — the four window/
+        # hypertable entries displaced by this round's four new
+        # operators lead it — then the r03 block.
+        # ------------------------------------------------------------------
         "window_tumbling": W.window_tumbling,
         "hypertable_daily": W.hypertable_daily,
         "window_sliding": W.window_sliding,
         "window_session": W.window_session,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round; r05 NOTE: rotate the r02-green block here (front of
-        # the tail) into the next window first, then the r03 block.
-        # ------------------------------------------------------------------
         "corpus_quality_filter": P.corpus_quality_filter,
         "corpus_curation_manifest": P.corpus_curation_manifest,
         "multimodal_meta": M.multimodal_meta,
@@ -425,8 +431,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": T.lang_id_sql(),
         "fingerprint": T.FINGERPRINT_SQL,
         "tfidf_top_terms": T.tfidf_top_terms_sql(),
-        # deterministic sketch: the ESTIMATE itself is oracle-verified
+        # deterministic sketches: the ESTIMATES themselves are
+        # oracle-verified bit-for-bit
         "kmv_distinct_tokens": K.KMV_SQL,
+        "hll_distinct": K.hll_distinct_sql(),
+        "chunk_dedup": D.CHUNK_DEDUP_SQL,
+        "snapshot_diff": Q.SNAPSHOT_DIFF_SQL,
+        "embedding_kmeans": S.embedding_kmeans_sql(),
         "ann_cosine_topk": S.ANN_COSINE_SQL,
         # ann_ivf_topk is APPROXIMATE vs brute force (recall-tested in
         # tests/test_similarity.py) but fully DETERMINISTIC given its

@@ -743,3 +743,90 @@ DEDUP_CROSS_SOURCE_SQL = (
     " FROM documents GROUP BY md5(text)"
     " HAVING COUNT(DISTINCT source) > 1"
 )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level (substring) dedup accounting
+# ---------------------------------------------------------------------------
+
+CHUNK_DD_W = 10       # tokens per chunk
+CHUNK_DD_STRIDE = 5   # half-overlapping windows
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication audit (the Lee et al. 2022 "Dedup-
+    licating Training Data Makes Language Models Better" shape, on
+    half-overlapping token windows instead of suffix arrays): how much
+    of each source's text is made of chunks that also occur elsewhere
+    in the corpus.
+
+    Whole-document hashing misses boilerplate — headers, licenses,
+    navigation — pasted into otherwise-unique pages; chunk hashing
+    catches it.  Pipeline: tokenize → half-overlapping W-token windows
+    (``sequence`` + ``slice``, no self-join) → md5 chunk key → global
+    occurrence counts (16-byte shuffle key, map-side combine) →
+    broadcast-eligible join back to per-source rows.  No all-pairs
+    path: a chunk repeated R times costs R rows, never R².  The
+    explode fans out through :func:`smile_spark.tables.fan_out` sizing
+    partitions for post-expansion volume.
+
+    Returns per source: n_chunks, n_dup_chunks (global occurrence >
+    1), dup_chunk_pct, n_docs_affected.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    chunks = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(toks)"
+                f" - {CHUNK_DD_W}, 0), {CHUNK_DD_STRIDE}),"
+                f" s -> md5(concat_ws(' ', slice(toks, s + 1,"
+                f" {CHUNK_DD_W}))))"
+            )
+        ).alias("chash"),
+    )
+    counts = chunks.groupBy("chash").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    audited = chunks.join(counts, "chash").select(
+        "doc_id", "source", (F.col("occ") > 1).alias("is_dup")
+    )
+    return audited.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_dup").cast("bigint")).alias("n_dup_chunks"),
+        F.round(
+            100.0
+            * F.sum(F.col("is_dup").cast("bigint"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_chunk_pct"),
+        F.countDistinct(
+            F.when(F.col("is_dup"), F.col("doc_id"))
+        ).alias("n_docs_affected"),
+    )
+
+
+CHUNK_DEDUP_SQL = (
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks"
+    "  FROM documents),"
+    " chunks AS (SELECT doc_id, source,"
+    f"  md5(array_to_string(toks[s + 1 : s + {CHUNK_DD_W}], ' ')) AS chash"
+    "  FROM t, unnest(generate_series(0,"
+    f"   greatest(len(toks) - {CHUNK_DD_W}, 0), {CHUNK_DD_STRIDE}))"
+    "   g(s)),"
+    " counts AS (SELECT chash, COUNT(*) AS occ FROM chunks GROUP BY chash),"
+    " audited AS (SELECT doc_id, source, occ > 1 AS is_dup"
+    "  FROM chunks JOIN counts USING (chash))"
+    " SELECT source, COUNT(*) AS n_chunks,"
+    " CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_dup_chunks,"
+    " ROUND(100.0 * SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)"
+    "  / COUNT(*), 4) AS dup_chunk_pct,"
+    " COUNT(DISTINCT CASE WHEN is_dup THEN doc_id END)"
+    "  AS n_docs_affected"
+    " FROM audited GROUP BY source"
+)

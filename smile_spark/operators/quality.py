@@ -208,3 +208,81 @@ CONSTRAINT_VIOLATIONS_SQL = (
     " UNION ALL SELECT 'returnflag_domain', r4 FROM one"
     " UNION ALL SELECT 'linenumber_positive', r5 FROM one"
 )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two table snapshots: the reconciliation
+    verb behind CDC validation, backfill audits, and "what changed
+    since yesterday" reports.
+
+    Snapshots are derived deterministically from ``orders`` (the
+    fixture set carries no history): snapshot A drops keys ≡0 (mod
+    10); snapshot B drops keys ≡0 (mod 7) and doubles the price of
+    keys ≡0 (mod 3) — additions, deletions, and in-place updates all
+    occur.  The diff itself is ONE full-outer sort-merge join on the
+    key with change classification in the select — no driver state, no
+    second pass.  At 100 TB both sides shuffle once on the join key
+    (or zero times if the snapshots are bucketed on it); the change
+    log that emerges is itself partitionable downstream state.  The
+    doubled price stays float-exact (×2 is a pure exponent shift), so
+    the changed-row predicate is engine-independent.
+
+    Generalizes the reference's persisted-vs-expected element-wise
+    graph check (loadgraph_regtest.cpp:216-223) to keyed relational
+    snapshots with update detection.
+    """
+    orders = table(spark, sf_dir, "orders")
+    snap_a = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price_a"),
+        F.col("o_orderstatus").alias("status_a"),
+    )
+    snap_b = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")).alias("price_b"),
+        F.col("o_orderstatus").alias("status_b"),
+    )
+    joined = snap_a.join(snap_b, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("status_a").isNull(), F.lit("added"))
+        .when(F.col("status_b").isNull(), F.lit("removed"))
+        .when(
+            (F.col("price_a") != F.col("price_b"))
+            | (F.col("status_a") != F.col("status_b")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type") != "unchanged")
+        .select(
+            "o_orderkey",
+            "change_type",
+            F.col("price_a").alias("old_price"),
+            F.col("price_b").alias("new_price"),
+        )
+    )
+
+
+SNAPSHOT_DIFF_SQL = (
+    "WITH snap_a AS (SELECT o_orderkey, o_totalprice AS price_a,"
+    "  o_orderstatus AS status_a FROM orders WHERE o_orderkey % 10 <> 0),"
+    " snap_b AS (SELECT o_orderkey,"
+    "  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2"
+    "   ELSE o_totalprice END AS price_b,"
+    "  o_orderstatus AS status_b FROM orders WHERE o_orderkey % 7 <> 0),"
+    " j AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,"
+    "  a.price_a, a.status_a, b.price_b, b.status_b"
+    "  FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)),"
+    " c AS (SELECT o_orderkey,"
+    "  CASE WHEN status_a IS NULL THEN 'added'"
+    "   WHEN status_b IS NULL THEN 'removed'"
+    "   WHEN price_a <> price_b OR status_a <> status_b THEN 'changed'"
+    "   ELSE 'unchanged' END AS change_type,"
+    "  price_a AS old_price, price_b AS new_price FROM j)"
+    " SELECT o_orderkey, change_type, old_price, new_price"
+    " FROM c WHERE change_type <> 'unchanged'"
+)

@@ -368,3 +368,143 @@ EMBEDDING_NORMS_SQL = (
     " SELECT label, COUNT(*) AS n, ROUND(AVG(l2_norm), 4) AS avg_norm"
     " FROM n GROUP BY label"
 )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) over the embedding corpus
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_DEC = "decimal(27,18)"       # exact per-dimension accumulation
+KMEANS_INERTIA_DEC = "decimal(30,15)"
+
+
+def _sql_d2(v: str, c: str) -> str:
+    """Squared L2 as a strict left fold — same evaluation order as the
+    Spark ``aggregate`` fold, so unrounded doubles match bit-for-bit."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({v})),"
+        f" i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y)"
+    )
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, fully map-side.
+
+    The centroid set collapses to ONE array-of-structs row (a few KB)
+    broadcast to every partition; each corpus row evaluates a
+    per-centroid (d2, cid) struct array and takes ``array_min`` —
+    struct ordering is lexicographic, so this IS "min d2, ties by cid
+    ascending".  Unlike a crossJoin+window argmin, NO corpus row is
+    ever replicated K ways through a shuffle and no window state
+    exists: assignment cost is pure per-row compute inside codegen,
+    the shape that survives a 100 TB corpus unchanged."""
+    carr = cents.agg(
+        F.expr("array_sort(collect_list(struct(cid, cv)))").alias("cs")
+    )
+    best = F.expr(
+        "array_min(transform(cs, c -> named_struct("
+        " 'd2', aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),"
+        "  cast(0 as double), (acc, z) -> acc + z),"
+        " 'cid', c.cid)))"
+    )
+    return (
+        emb.crossJoin(F.broadcast(carr))
+        .select("vec_id", "v", best.alias("b"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("b.cid").alias("cid"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Recompute centroids as per-dimension means.
+
+    Double SUM is order-dependent, so each coordinate accumulates in
+    DECIMAL(27,18) (exact, associative) and divides ONCE as a double —
+    bit-identical across partitionings and engines (the numeric.py
+    discipline applied per dimension).  Shuffle volume is (cid, dim)
+    keyed partial sums — K x dim rows per partition, independent of
+    corpus size."""
+    dims = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+    means = dims.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.col("x").cast(KMEANS_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean")
+    )
+    return means.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mean))),"
+            " s -> s.mean)"
+        ).alias("cv")
+    )
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus: 2 Lloyd assignment rounds
+    (init = the first K vectors by vec_id, one centroid update in
+    between), reporting per-cluster size and inertia.
+
+    The iterative-ML-on-DataFrames pattern at 100 TB: per round, ONE
+    broadcast of the K x dim centroid table (a few KB), assignment
+    fully map-side, and a (cid, dim)-keyed partial-aggregate shuffle
+    whose volume is independent of corpus size.  The driver loop only
+    ships centroid tables — never data — mirroring the Pregel-style
+    graph loop (SURVEY.md §3.3).  Every float reduction is either a
+    pinned-order fold (distances: ``aggregate``/``list_reduce``) or a
+    DECIMAL accumulation (means, inertia), so the whole fit — argmin
+    assignments included — is verified bit-for-bit against DuckDB.
+
+    Returns (cid, n_points, inertia) for the final assignment.
+    """
+    emb = _vectors(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a1 = _assign(emb, cents)
+    cents1 = _update(a1)
+    a2 = _assign(emb, cents1)
+    return a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.sum(F.col("d2").cast(KMEANS_INERTIA_DEC)).cast("double"), 4
+        ).alias("inertia"),
+    )
+
+
+def embedding_kmeans_sql() -> str:
+    """Exact DuckDB oracle: same init rule, same fold order for every
+    distance, same DECIMAL accumulation for means and inertia, same
+    cid-ascending tie-breaks."""
+    return (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),"
+        f" cents0 AS (SELECT vec_id AS cid, v AS cv FROM e"
+        f"  WHERE vec_id < {KMEANS_K}),"
+        " s1 AS (SELECT e.vec_id, e.v, c.cid,"
+        f"  {_sql_d2('e.v', 'c.cv')} AS d2 FROM e, cents0 c),"
+        " a1 AS (SELECT vec_id, v, cid, d2 FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        "   ORDER BY d2 ASC, cid ASC) AS rn FROM s1) WHERE rn = 1),"
+        " dims AS (SELECT cid, i - 1 AS pos, v[i] AS x"
+        "  FROM a1, unnest(generate_series(1, len(v))) g(i)),"
+        " means AS (SELECT cid, pos,"
+        "  CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*)"
+        "   AS mean FROM dims GROUP BY cid, pos),"
+        " cents1 AS (SELECT cid, list(mean ORDER BY pos) AS cv"
+        "  FROM means GROUP BY cid),"
+        " s2 AS (SELECT e.vec_id, c.cid,"
+        f"  {_sql_d2('e.v', 'c.cv')} AS d2 FROM e, cents1 c),"
+        " a2 AS (SELECT vec_id, cid, d2 FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        "   ORDER BY d2 ASC, cid ASC) AS rn FROM s2) WHERE rn = 1)"
+        " SELECT cid, COUNT(*) AS n_points,"
+        " ROUND(CAST(SUM(CAST(d2 AS DECIMAL(30,15))) AS DOUBLE), 4)"
+        "  AS inertia"
+        " FROM a2 GROUP BY cid"
+    )

@@ -74,6 +74,116 @@ KMV_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct count
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                      # precision: m = 2^p registers
+HLL_M = 1 << HLL_P             # 256
+HLL_REM_BITS = 32 - HLL_P      # 24 bits feed the rank (rho) computation
+# alpha_m for m >= 128 (Flajolet et al. 2007, §4); the literal is
+# embedded identically in both engines' expressions.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _hll_rho_spark(r: str) -> str:
+    """rho = 1 + #leading zeros of the 24-bit remainder.
+
+    Integer/string-only (bin → lpad → count leading '0's): no float
+    log2 whose last-ulp behavior could differ between engines."""
+    return (
+        f"length(regexp_extract(lpad(bin({r}), {HLL_REM_BITS}, '0'),"
+        " '^0*', 0)) + 1"
+    )
+
+
+def _hll_rho_duck(r: str) -> str:
+    return (
+        f"length(regexp_extract(lpad(bin({r}), {HLL_REM_BITS}, '0'),"
+        " '^0*')) + 1"
+    )
+
+
+def hll_estimate(toks: DataFrame) -> DataFrame:
+    """HLL register build + estimate over a ``tok`` string column.
+    Returns one row (m, n_registers, est_distinct, exact_distinct)."""
+    distinct_toks = toks.select("tok").distinct()
+    hashed = distinct_toks.select(F.expr(_HASH_SPARK).alias("h"))
+    regs = hashed.select(
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(_hll_rho_spark(f"h div {HLL_M}")).alias("rho"),
+    ).groupBy("bucket").agg(F.max("rho").alias("mj"))
+    state = regs.agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("z_present"),
+    )
+    exact = distinct_toks.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    est_raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M)
+        / (F.col("z_present") + (F.lit(HLL_M) - F.col("n_registers")))
+    )
+    n_empty = F.lit(HLL_M) - F.col("n_registers")
+    est = F.when(
+        (est_raw <= 2.5 * HLL_M) & (n_empty > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_empty),
+    ).otherwise(est_raw)
+    return state.crossJoin(exact).select(
+        F.lit(HLL_M).cast("bigint").alias("m"),
+        F.col("n_registers").cast("bigint").alias("n_registers"),
+        F.round(est, 4).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate next to the exact count.
+
+    The register table IS relational state: bucket = low p hash bits,
+    register value = MAX(rho) per bucket — one hash aggregate with
+    map-side partial MAX, mergeable across shards/streams by
+    construction (register-wise MAX), which is why HLL is *the*
+    cardinality sketch at 100 TB.  The raw-estimate sum
+    Σ 2^-M_j is a sum of powers of two ≥ 2^-25 bounded by m, exact in
+    a double in ANY accumulation order — so the estimate (incl. the
+    small-range linear-counting branch) is deterministic and verified
+    bit-for-bit against DuckDB.  Rank uses bin/lpad string ops, not
+    float log2, for the same reason.
+
+    Returns one row (m, n_registers, est_distinct, exact_distinct).
+    The reference has no sketches (SURVEY.md §2.2); north-star scope.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    return hll_estimate(toks)
+
+
+def hll_distinct_sql() -> str:
+    est_raw = (
+        f"{HLL_ALPHA * HLL_M * HLL_M!r}"
+        f" / (z_present + ({HLL_M} - n_registers))"
+    )
+    n_empty = f"({HLL_M} - n_registers)"
+    return (
+        "WITH toks AS (SELECT DISTINCT tok FROM documents,"
+        " unnest(string_split(text, ' ')) t(tok)),"
+        f" hashed AS (SELECT {_HASH_DUCK} AS h FROM toks),"
+        f" regs AS (SELECT h % {HLL_M} AS bucket,"
+        f"  MAX({_hll_rho_duck(f'h // {HLL_M}')}) AS mj"
+        "  FROM hashed GROUP BY bucket),"
+        " state AS (SELECT COUNT(*) AS n_registers,"
+        "  SUM(power(2.0, -mj)) AS z_present FROM regs),"
+        " exact AS (SELECT COUNT(*) AS exact_distinct FROM toks)"
+        f" SELECT CAST({HLL_M} AS BIGINT) AS m,"
+        " CAST(n_registers AS BIGINT) AS n_registers,"
+        f" ROUND(CASE WHEN {est_raw} <= {2.5 * HLL_M}"
+        f"  AND {n_empty} > 0"
+        f"  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / {n_empty})"
+        f"  ELSE {est_raw} END, 4) AS est_distinct,"
+        " exact_distinct"
+        " FROM state CROSS JOIN exact"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch heavy hitters
 # ---------------------------------------------------------------------------
 

@@ -98,3 +98,43 @@ def test_winsorize_approx_tracks_exact(spark, sf_dir):
         assert abs(a.n_clipped_high - e.n_clipped_high) <= 0.015 * n
         rel = abs(a.winsorized_avg - e.winsorized_avg) / e.winsorized_avg
         assert rel < 0.005, (flag, e.winsorized_avg, a.winsorized_avg)
+
+
+def test_hll_error_bound_on_large_domain(spark, sf_dir):
+    """The fixture vocabulary (31 types) always takes the
+    linear-counting branch; this exercises the RAW-estimate branch on
+    a 50k-distinct synthetic domain and pins the error inside 5 sigma
+    (sigma = 1.04/sqrt(m) ~ 6.5% at m=256)."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.operators.sketch import HLL_M, hll_estimate
+
+    toks = spark.range(50_000).select(
+        F.concat(F.lit("tok_"), F.col("id")).alias("tok")
+    )
+    row = hll_estimate(toks).collect()[0]
+    assert row.exact_distinct == 50_000
+    assert row.n_registers == HLL_M  # raw branch: every register hit
+    rel_err = abs(row.est_distinct - 50_000) / 50_000
+    assert rel_err < 5 * 1.04 / HLL_M**0.5, rel_err
+
+
+def test_hll_registers_merge_like_shards(spark, sf_dir):
+    """Register-wise MAX of two shard register tables must equal the
+    single-pass register table — the mergeability that makes HLL
+    shippable across 100 TB shards (and exactly how the driver-side
+    combine would work)."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.operators.sketch import hll_estimate
+
+    full = spark.range(20_000).select(
+        F.concat(F.lit("t"), F.col("id")).alias("tok")
+    )
+    shard_a = full.filter(F.length("tok") % 2 == 0)
+    shard_b = full.filter(F.length("tok") % 2 == 1)
+    est_full = hll_estimate(full).collect()[0].est_distinct
+    # merge = union of the shards' token streams (register MAX falls
+    # out of the same groupBy) — estimate must be identical
+    est_merged = hll_estimate(shard_a.union(shard_b)).collect()[0].est_distinct
+    assert est_full == est_merged

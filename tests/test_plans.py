@@ -111,6 +111,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set
         "ann_cosine_topk", "ann_ivf_topk", "dedup_embedding_cosine",
+        "embedding_kmeans",
+        # single-row sketch state x single-row exact count
+        "hll_distinct",
         # crossJoins of SINGLE-ROW aggregate legs into one summary row
         "graph_metadata", "join_variants", "set_ops", "set_ops_all",
         "kmv_distinct_tokens", "source_temperature_mix", "bigram_pmi",
@@ -463,3 +466,46 @@ def test_graph_adjacency_bucketed_prunes_and_never_shuffles_edges(
     # has the scan as a descendant — approximated by requiring at most
     # one hashpartitioning exchange total (the distinct).
     assert plan.count("hashpartitioning") <= 1, plan
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    """The nearest-centroid argmin must be the array_min fold over a
+    broadcast single-row centroid array — NO Window and no corpus
+    replication shuffle.  The only hash exchanges allowed are keyed by
+    (cid,pos) or cid: the mean partials, the centroid-array rebuild,
+    and the final per-cid stats."""
+    from smile_spark.operators.similarity import embedding_kmeans
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(embedding_kmeans(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    n_hash_ex = plan.count("hashpartitioning")
+    assert n_hash_ex <= 3, plan
+    # every hash exchange is centroid-keyed (K x dim rows at most) —
+    # none may repartition the corpus
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "cid" in line, line
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    """The diff is ONE full-outer join on the key — both snapshots
+    derive from the same scan, classification is in the select."""
+    from smile_spark.operators.quality import snapshot_diff
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(snapshot_diff(spark, sf_dir))
+    assert plan.count("Join FullOuter") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_no_all_pairs(spark, sf_dir):
+    """Chunk audit joins rows to COUNTS (hash equi-join on the chunk
+    key), never chunk-to-chunk: no cartesian, no nested-loop."""
+    from smile_spark.operators.dedup import chunk_dedup
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(chunk_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -47,3 +47,38 @@ def test_ivf_index_search_matches_inmemory(spark, sf_dir, tmp_path):
 
     plan = formatted_plan(indexed)
     assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_kmeans_lloyd_iteration_improves_inertia(spark, sf_dir):
+    """One Lloyd update must not increase total inertia (the textbook
+    monotonicity guarantee) — checked on the real fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.operators.similarity import (
+        KMEANS_K,
+        _assign,
+        _update,
+        _vectors,
+    )
+
+    emb = _vectors(spark, sf_dir)
+    cents0 = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a1 = _assign(emb, cents0)
+    a2 = _assign(emb, _update(a1))
+    i1 = a1.agg(F.sum("d2")).collect()[0][0]
+    i2 = a2.agg(F.sum("d2")).collect()[0][0]
+    assert i2 <= i1 + 1e-9, (i1, i2)
+
+
+def test_kmeans_partition_of_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cluster: cluster sizes sum to
+    the corpus size."""
+    from smile_spark.operators.similarity import embedding_kmeans
+    from smile_spark.tables import table
+
+    n = table(spark, sf_dir, "embeddings").count()
+    sizes = embedding_kmeans(spark, sf_dir).collect()
+    assert sum(r.n_points for r in sizes) == n
+    assert all(r.inertia >= 0 for r in sizes)
