@@ -44,23 +44,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-4 window: (1) the 6 operators NEW this
-    round (bucketed adjacency, approx winsorize, HLL, chunk dedup,
-    snapshot diff, k-means); (2) the 7 queries whose code changed this
-    round; (3) the 25 entries whose newest green verdict was still
-    round 1 (VERDICT r03 "What's missing" #2 — the promised rotation);
-    (4) the first 12 r02-green entries oldest-first.  The 4 displaced
-    r02 entries (window_*/hypertable) lead the tail for round 5; the
-    r03-green block sits at the very back.
+    insertion order.  Round-4 window: (1) the 9 operators NEW this
+    round (bucketed adjacency, approx winsorize, HLL global+grouped,
+    chunk dedup, snapshot diff, k-means, weighted sampling, route
+    reconstruction); (2) the 10 queries whose code changed this round;
+    (3) the 25 entries whose newest green verdict was still round 1
+    (VERDICT r03 "What's missing" #2 — the promised rotation); (4) the
+    first 6 r02-green entries oldest-first.  The displaced r02 entries
+    (lang_id..embedding_norms, window_*/hypertable) lead the tail for
+    round 5; the r03-green block sits at the very back.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- (1) NEW this round ---
         "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
         "winsorize_prices_approx": AN.winsorize_prices_approx,
         "hll_distinct": K.hll_distinct,
+        "hll_per_source": K.hll_per_source,
         "chunk_dedup": D.chunk_dedup,
         "snapshot_diff": Q.snapshot_diff,
         "embedding_kmeans": S.embedding_kmeans,
+        "weighted_sample_topk": AN.weighted_sample_topk,
+        "shortest_path_route": G.shortest_path_route,
         # --- (2) code changed this round (re-verify) ---
         "vocab_coverage": T.vocab_coverage,
         "pii_redact": C.pii_redact,
@@ -69,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": T.tfidf_top_terms,
         "winsorize_prices": AN.winsorize_prices,
         "bucketed_join_revenue": BK.bucketed_join_revenue,
+        "bigram_pmi": C.bigram_pmi,
+        "decontaminate": C.decontaminate,
+        "copurchase_pairs": R.copurchase_pairs,
         # --- (3) r01-stale refresh: newest verdicts were 2 rounds old ---
         "agg_stats": R.agg_stats,
         "array_functions": AN.array_functions,
@@ -110,10 +117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": S.embedding_norms,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r05 NOTE: rotate the r02-green block here (front of
-        # the tail) into the next window first — the four window/
-        # hypertable entries displaced by this round's four new
-        # operators lead it — then the r03 block.
+        # round; r05 NOTE: rotate the displaced r02-green entries
+        # (lang_id, fingerprint, kmv_distinct_tokens, ann_cosine_topk,
+        # ann_ivf_topk, embedding_norms — just above this line — plus
+        # the window_*/hypertable block here) into the next window
+        # first, then the r03 block.
         # ------------------------------------------------------------------
         "window_tumbling": W.window_tumbling,
         "hypertable_daily": W.hypertable_daily,
@@ -135,7 +143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": C.ngram_counts,
         "cdc_latest_state": C.cdc_latest_state,
         "source_temperature_mix": C.source_temperature_mix,
-        "decontaminate": C.decontaminate,
         "q3_shipping_priority": R.q3_shipping_priority,
         "skew_salted_revenue": R.skew_salted_revenue,
         "price_histogram": AN.price_histogram,
@@ -163,10 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": C.repetition_ratio,
         "unpivot_long": AN.unpivot_long,
         "rolling_daily_activity": B.rolling_daily_activity,
-        "bigram_pmi": C.bigram_pmi,
         "zorder_cluster": AN.zorder_cluster,
         "interval_overlap_join": A.interval_overlap_join,
-        "copurchase_pairs": R.copurchase_pairs,
         "revenue_share": AN.revenue_share,
         "zscore_normalize": AN.zscore_normalize,
         "fuzzy_name_match": T.fuzzy_name_match,
@@ -435,9 +440,12 @@ def oracle_sql() -> dict[str, str]:
         # oracle-verified bit-for-bit
         "kmv_distinct_tokens": K.KMV_SQL,
         "hll_distinct": K.hll_distinct_sql(),
+        "hll_per_source": K.hll_per_source_sql(),
         "chunk_dedup": D.CHUNK_DEDUP_SQL,
         "snapshot_diff": Q.SNAPSHOT_DIFF_SQL,
         "embedding_kmeans": S.embedding_kmeans_sql(),
+        "weighted_sample_topk": AN.WEIGHTED_SAMPLE_TOPK_SQL,
+        "shortest_path_route": G.shortest_path_route_sql(),
         "ann_cosine_topk": S.ANN_COSINE_SQL,
         # ann_ivf_topk is APPROXIMATE vs brute force (recall-tested in
         # tests/test_similarity.py) but fully DETERMINISTIC given its

@@ -1304,3 +1304,64 @@ BALANCED_SAMPLE_K_SQL = (
     " FROM documents)"
     f" WHERE rn <= {BALANCED_K}"
 )
+
+
+WEIGHTED_SAMPLE_K = 5
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res): per source, the K documents drawn with probability
+    proportional to length — the corpus-mixing verb when quality or
+    length should bias selection, where hash sampling
+    (``sampling_hash``) is uniform and ``balanced_sample_k`` is
+    count-exact but unweighted.
+
+    Each row computes key = u^(1/w) from a content-hash uniform
+    u ∈ (0,1) and weight w; the global top-K by key IS a weighted
+    draw (the E-S theorem), so "sample 5 docs ∝ length" becomes a
+    per-stratum top-k — one shuffle of (doc_id, key) pairs on the
+    stratum, no rejection loop, no driver RNG, reproducible at any
+    partitioning.  Keys round to 6 digits (ties → doc_id) for
+    cross-engine rank stability, the ann_cosine_topk discipline.
+    """
+    docs = table(spark, sf_dir, "documents")
+    h32 = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    u = (h32.cast("double") + 0.5) / F.lit(float(2**32))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 6
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("sample_key"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("sample_key", key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WEIGHTED_SAMPLE_K)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            "sample_key",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+WEIGHTED_SAMPLE_TOPK_SQL = (
+    "SELECT source, doc_id, n_chars, sample_key, CAST(rn AS BIGINT) AS rn"
+    " FROM ("
+    " SELECT source, doc_id, n_chars, sample_key,"
+    "  ROW_NUMBER() OVER (PARTITION BY source"
+    "   ORDER BY sample_key DESC, doc_id ASC) AS rn FROM ("
+    "  SELECT source, doc_id, n_chars,"
+    "   ROUND(power("
+    "    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    f"     ::DOUBLE + 0.5) / {float(2**32)!r}),"
+    "    1.0 / CAST(n_chars AS DOUBLE)), 6) AS sample_key"
+    "  FROM documents))"
+    f" WHERE rn <= {WEIGHTED_SAMPLE_K}"
+)

@@ -683,3 +683,161 @@ TRIANGLE_COUNT_SQL = (
     "  AND s.s_nationkey = c.c_nationkey"
     " GROUP BY c.c_nationkey"
 )
+
+
+ROUTE_TOP_FAR = 5
+
+
+def shortest_path_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path ROUTE reconstruction — the query a routing engine
+    actually answers (the reference's README promise,
+    /root/reference/README.md:4-5, for which it ships only BFS).
+
+    Two phases, both deterministic because weights and distances are
+    integers:
+
+    1. **Shortest-path tree extraction from the distance field**: a
+       predecessor per (source, node) is any in-neighbor u with
+       dist(u) + w(u,v) = dist(v); ties break to MIN u.  This is a
+       join of the sssp distance table with the edge set — decoupled
+       from Bellman-Ford's iteration internals, so engines only need
+       to agree on the final distances (they do — sssp is
+       oracle-exact).
+    2. **Backtrack**: targets are each source's ``ROUTE_TOP_FAR``
+       FARTHEST reachable nodes (rank by dist desc, ties by id — the
+       eccentricity probe, guaranteeing genuinely multi-hop routes);
+       follow predecessors ``SSSP_ROUNDS`` steps.  Routes that close
+       on their source within the cap are emitted; the same predicate
+       filters both engines identically.
+
+    At 100 TB: the pred table is one edges ⋈ dist ⋈ dist equi-join
+    chain (shuffles keyed on node id, payload = 3 longs/row); each
+    backtrack step joins a #routes-sized frontier against pred —
+    frontier ≪ graph, the BFS invariant.  Returns (source, target,
+    dist, n_hops, path).
+    """
+    e = weighted_edges(spark, sf_dir)
+    dist = sssp(spark, sf_dir)
+    pred = (
+        dist.select(
+            F.col("source").alias("psource"),
+            F.col("id").alias("pid"),
+            F.col("dist").alias("ddist"),
+        )
+        .join(e, F.col("pid") == e.dst)
+        .join(
+            dist.select(
+                F.col("source").alias("usource"),
+                F.col("id").alias("uid"),
+                F.col("dist").alias("udist"),
+            ),
+            (F.col("usource") == F.col("psource"))
+            & (F.col("uid") == F.col("src")),
+        )
+        .filter(F.col("udist") + F.col("w") == F.col("ddist"))
+        .groupBy("psource", "pid")
+        .agg(F.min("uid").alias("pred"))
+    ).localCheckpoint()
+    wfar = Window.partitionBy("source").orderBy(
+        F.desc("dist"), F.asc("id")
+    )
+    route = (
+        dist.filter(F.col("id") != F.col("source"))
+        .withColumn("frn", F.row_number().over(wfar))
+        .filter(F.col("frn") <= ROUTE_TOP_FAR)
+        .select(
+            "source",
+            F.col("id").alias("target"),
+            "dist",
+            F.array(F.col("id")).alias("path"),
+            F.col("id").alias("cur"),
+        )
+    )
+    for _ in range(SSSP_ROUNDS):
+        route = (
+            route.join(
+                pred,
+                (route.source == pred.psource) & (route.cur == pred.pid),
+                "left",
+            )
+            .select(
+                "source",
+                "target",
+                "dist",
+                F.when(
+                    F.col("pred").isNotNull(),
+                    F.concat("path", F.array("pred")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+                F.coalesce("pred", "cur").alias("cur"),
+            )
+        )
+    return route.filter(F.col("cur") == F.col("source")).select(
+        "source",
+        "target",
+        "dist",
+        (F.size("path") - 1).cast("bigint").alias("n_hops"),
+        F.concat_ws(
+            "->",
+            F.expr("transform(reverse(path), x -> cast(x as string))"),
+        ).alias("path"),
+    )
+
+
+def shortest_path_route_sql() -> str:
+    back = ""
+    prev = "r0"
+    for i in range(1, SSSP_ROUNDS + 1):
+        back += (
+            f", r{i} AS (SELECT r.source, r.target, r.dist,"
+            "  CASE WHEN p.pred IS NULL THEN r.path"
+            "   ELSE list_append(r.path, p.pred) END AS path,"
+            "  COALESCE(p.pred, r.cur) AS cur"
+            f"  FROM {prev} r LEFT JOIN pred p"
+            "  ON p.psource = r.source AND p.pid = r.cur)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH RECURSIVE e AS ("
+        "  SELECT o_custkey AS src, 100000 + o_orderkey AS dst,"
+        "   CAST(o_orderkey % 97 + 1 AS BIGINT) AS w FROM orders"
+        "  UNION ALL"
+        "  SELECT 100000 + o_orderkey, o_custkey,"
+        "   CAST(o_orderkey % 97 + 1 AS BIGINT) FROM orders"
+        "  UNION ALL"
+        "  SELECT c_custkey, 200000 + c_nationkey,"
+        "   CAST(c_custkey % 53 + 1 AS BIGINT) FROM customer"
+        "  UNION ALL"
+        "  SELECT 200000 + c_nationkey, c_custkey,"
+        "   CAST(c_custkey % 53 + 1 AS BIGINT) FROM customer"
+        "),"
+        " walk(source, id, dist, hops) AS ("
+        "  SELECT CAST(s.source AS BIGINT), CAST(s.source AS BIGINT),"
+        "   CAST(0 AS BIGINT), 0"
+        f"  FROM (VALUES {_values_sql(SSSP_SOURCES)}) s(source)"
+        "  UNION"
+        "  SELECT w.source, e.dst, w.dist + e.w, w.hops + 1"
+        f"  FROM walk w JOIN e ON e.src = w.id WHERE w.hops < {SSSP_ROUNDS}"
+        "),"
+        " d AS (SELECT source, id, MIN(dist) AS dist FROM walk"
+        "  GROUP BY source, id),"
+        " pred AS (SELECT dv.source AS psource, dv.id AS pid,"
+        "  MIN(du.id) AS pred"
+        "  FROM d dv JOIN e ON e.dst = dv.id"
+        "  JOIN d du ON du.source = dv.source AND du.id = e.src"
+        "  WHERE du.dist + e.w = dv.dist"
+        "  GROUP BY dv.source, dv.id),"
+        " far AS (SELECT source, id, dist, ROW_NUMBER() OVER"
+        "  (PARTITION BY source ORDER BY dist DESC, id ASC) AS frn"
+        "  FROM d WHERE id <> source),"
+        " r0 AS (SELECT source, id AS target, dist,"
+        "  [id] AS path, id AS cur FROM far"
+        f"  WHERE frn <= {ROUTE_TOP_FAR})"
+        f"{back}"
+        f" SELECT source, target, dist,"
+        "  CAST(len(path) - 1 AS BIGINT) AS n_hops,"
+        "  array_to_string(list_transform(list_reverse(path),"
+        "   x -> CAST(x AS VARCHAR)), '->') AS path"
+        f" FROM {prev} WHERE cur = source"
+    )

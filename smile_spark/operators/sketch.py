@@ -103,35 +103,59 @@ def _hll_rho_duck(r: str) -> str:
     )
 
 
-def hll_estimate(toks: DataFrame) -> DataFrame:
-    """HLL register build + estimate over a ``tok`` string column.
-    Returns one row (m, n_registers, est_distinct, exact_distinct)."""
-    distinct_toks = toks.select("tok").distinct()
-    hashed = distinct_toks.select(F.expr(_HASH_SPARK).alias("h"))
-    regs = hashed.select(
+def hll_registers(toks: DataFrame) -> DataFrame:
+    """Build the HLL register table (bucket, mj) from a ``tok`` string
+    column.  Registers merge across shards/batches by register-wise
+    MAX — ``regs_a.union(regs_b).groupBy("bucket").agg(max("mj"))`` is
+    the whole merge protocol."""
+    hashed = toks.select(F.expr(_HASH_SPARK).alias("h"))
+    return hashed.select(
         (F.col("h") % HLL_M).alias("bucket"),
         F.expr(_hll_rho_spark(f"h div {HLL_M}")).alias("rho"),
     ).groupBy("bucket").agg(F.max("rho").alias("mj"))
-    state = regs.agg(
-        F.count(F.lit(1)).alias("n_registers"),
-        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("z_present"),
-    )
-    exact = distinct_toks.agg(F.count(F.lit(1)).alias("exact_distinct"))
+
+
+def _hll_est_col():
+    """The estimate expression over (n_registers, z_present) columns:
+    raw harmonic-mean estimate with the small-range linear-counting
+    branch."""
     est_raw = (
         F.lit(HLL_ALPHA * HLL_M * HLL_M)
         / (F.col("z_present") + (F.lit(HLL_M) - F.col("n_registers")))
     )
     n_empty = F.lit(HLL_M) - F.col("n_registers")
-    est = F.when(
+    return F.when(
         (est_raw <= 2.5 * HLL_M) & (n_empty > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_empty),
     ).otherwise(est_raw)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """Estimate row from a register table plus a 1-row exact count
+    (pass ``exact_distinct = NULL`` upstream when truth is unknown —
+    e.g. estimating from persisted streaming state)."""
+    state = regs.agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("z_present"),
+    )
+    est = _hll_est_col()
     return state.crossJoin(exact).select(
         F.lit(HLL_M).cast("bigint").alias("m"),
         F.col("n_registers").cast("bigint").alias("n_registers"),
         F.round(est, 4).alias("est_distinct"),
         "exact_distinct",
     )
+
+
+def hll_estimate(toks: DataFrame) -> DataFrame:
+    """HLL register build + estimate over a ``tok`` string column.
+    Returns one row (m, n_registers, est_distinct, exact_distinct)."""
+    distinct_toks = toks.select("tok").distinct()
+    regs = hll_registers(distinct_toks)
+    exact = distinct_toks.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return hll_estimate_from_registers(regs, exact)
 
 
 def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,4 +314,73 @@ def cms_heavy_hitters_sql() -> str:
         " CAST(MIN(c.c) AS BIGINT) AS cms_estimate"
         " FROM probes p JOIN counters c ON c.d = p.d AND c.b = p.b"
         " GROUP BY 1, 2"
+    )
+
+
+def hll_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog: distinct-token estimate PER SOURCE next to
+    the exact count — the NDV-per-partition profile (distinct users
+    per day, distinct keys per shard) that production systems answer
+    with sketches because per-group COUNT(DISTINCT) re-shuffles the
+    raw values per group.
+
+    Register state generalizes to one MAX-aggregate keyed
+    (group, bucket): ≤256 rows per group whatever the group's
+    cardinality, still mergeable by register-wise MAX within each
+    group.  Returns (source, n_registers, est_distinct,
+    exact_distinct)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    regs = (
+        toks.select(
+            "source",
+            (F.expr(_HASH_SPARK) % HLL_M).alias("bucket"),
+            F.expr(
+                _hll_rho_spark(f"({_HASH_SPARK}) div {HLL_M}")
+            ).alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    state = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("z_present"),
+    )
+    exact = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return state.join(exact, "source").select(
+        "source",
+        F.col("n_registers").cast("bigint").alias("n_registers"),
+        F.round(_hll_est_col(), 4).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+def hll_per_source_sql() -> str:
+    est_raw = (
+        f"{HLL_ALPHA * HLL_M * HLL_M!r}"
+        f" / (z_present + ({HLL_M} - n_registers))"
+    )
+    n_empty = f"({HLL_M} - n_registers)"
+    return (
+        "WITH toks AS (SELECT DISTINCT source, tok FROM documents,"
+        " unnest(string_split(text, ' ')) t(tok)),"
+        f" regs AS (SELECT source, {_HASH_DUCK} % {HLL_M} AS bucket,"
+        f"  MAX({_hll_rho_duck(f'({_HASH_DUCK}) // {HLL_M}')}) AS mj"
+        "  FROM toks GROUP BY 1, 2),"
+        " state AS (SELECT source, COUNT(*) AS n_registers,"
+        "  SUM(power(2.0, -mj)) AS z_present FROM regs GROUP BY source),"
+        " exact AS (SELECT source, COUNT(*) AS exact_distinct FROM toks"
+        "  GROUP BY source)"
+        " SELECT source,"
+        " CAST(n_registers AS BIGINT) AS n_registers,"
+        f" ROUND(CASE WHEN {est_raw} <= {2.5 * HLL_M}"
+        f"  AND {n_empty} > 0"
+        f"  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / {n_empty})"
+        f"  ELSE {est_raw} END, 4) AS est_distinct,"
+        " exact_distinct"
+        " FROM state JOIN exact USING (source)"
     )

@@ -339,3 +339,52 @@ def streaming_cdc_upsert(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def streaming_hll_registers(
+    spark: SparkSession, sf_dir: str, state_dir: str, ckpt_dir: str
+) -> None:
+    """Streaming cardinality sketch maintenance: keep an HLL register
+    table (distinct users seen so far) fresh with ``foreachBatch``.
+
+    Per micro-batch: build the batch's registers
+    (:func:`smile_spark.operators.sketch.hll_registers` over the batch
+    user_ids), union with persisted state, and keep the register-wise
+    MAX — the HLL merge protocol, associative and idempotent, so the
+    final state equals the single-pass batch registers REGARDLESS of
+    batching (asserted in tests), and re-delivered rows are harmless
+    (MAX absorbs them: effectively-once without dedup bookkeeping).
+
+    This is the 100 TB streaming-cardinality shape: state is ≤256
+    rows forever, each batch contributes one tiny aggregate, and the
+    estimate is read from state at any time without touching history.
+    """
+    import os
+
+    from smile_spark.operators.sketch import hll_registers
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        regs = hll_registers(
+            batch.select(F.col("user_id").cast("string").alias("tok"))
+        )
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            state = bspark.read.parquet(state_dir)
+            regs = (
+                state.unionByName(regs)
+                .groupBy("bucket")
+                .agg(F.max("mj").alias("mj"))
+            )
+        tmp = state_dir + ".tmp"
+        regs.write.mode("overwrite").parquet(tmp)
+        bspark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        read_event_stream(spark, sf_dir)
+        .select("user_id")
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

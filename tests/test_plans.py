@@ -105,6 +105,7 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "bfs", "sssp", "pagerank", "connected_components",
         "graph_check", "dedup_minhash_lsh", "hypertable_daily",
         "dedup_canonical", "simhash_pairs", "corpus_curation_manifest",
+        "shortest_path_route",  # iterative sssp + checkpointed pred
         # these two write bucketed tables at plan time
         "bucketed_join_revenue", "graph_adjacency_bucketed",
     }

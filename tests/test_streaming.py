@@ -242,3 +242,36 @@ def test_streaming_cdc_upsert_equals_batch_compaction(spark, sf_dir, tmp_path):
     want = cdc_latest_state(spark, sf_dir)
     assert got.count() == want.count()
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_streaming_hll_state_equals_batch_registers(spark, sf_dir, tmp_path):
+    """The incrementally-maintained HLL register state must equal the
+    single-pass batch registers row-for-row (MAX-merge associativity),
+    and therefore yield the identical estimate."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from smile_spark.streaming.events import streaming_hll_registers
+    from smile_spark.tables import table
+
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+    streaming_hll_registers(spark, sf_dir, state, ckpt)
+
+    users = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("tok")
+    )
+    batch_regs = hll_registers(users)
+    stream_regs = spark.read.parquet(state)
+    assert batch_regs.exceptAll(stream_regs).count() == 0
+    assert stream_regs.exceptAll(batch_regs).count() == 0
+
+    exact = users.distinct().agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    est = hll_estimate_from_registers(stream_regs, exact).collect()[0]
+    rel_err = abs(est.est_distinct - est.exact_distinct) / est.exact_distinct
+    assert rel_err < 0.2, est
