@@ -286,3 +286,163 @@ SNAPSHOT_DIFF_SQL = (
     " SELECT o_orderkey, change_type, old_price, new_price"
     " FROM c WHERE change_type <> 'unchanged'"
 )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-join
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 16_384          # m: filter width
+BLOOM_WORD_BITS = 32         # packed into BIGINT words, shift-safe range
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_K = 3                  # independent hash functions
+BLOOM_BUILD_MIN_BAL = 9000.0  # selective build-side predicate
+
+
+def _bloom_hash_spark(i: int, key: str) -> str:
+    return (
+        f"cast(conv(substr(md5(concat('{i}|', cast({key} as string))),"
+        f" 1, 8), 16, 10) as bigint) % {BLOOM_BITS}"
+    )
+
+
+def _bloom_hash_duck(i: int, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5(concat('{i}|', CAST({key} AS VARCHAR))),"
+        f" 1, 8))::BIGINT) % {BLOOM_BITS}"
+    )
+
+
+def bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join: build a Bloom filter over a selective
+    build-side key set (customers with balance > 9000), probe the fact
+    side against it BEFORE any join, and account for the outcome
+    (rows passed, true matches, false positives).
+
+    This is the shuffle-elimination trick for selective joins at
+    100 TB: the filter is m/32 BIGINT words built with ONE bit_or
+    aggregate (mergeable partial state, like every sketch here), small
+    enough to broadcast at any corpus size, and the probe-side check
+    is a broadcast join + bit tests — fact rows that cannot match
+    never reach the real join's shuffle.  Catalyst's runtime row-group
+    Bloom pushdown is this same idea below the API; doing it
+    relationally makes the filter a first-class, persistable artifact.
+    Fixed md5 row hashes keep the bit pattern — and therefore the
+    exact false-positive count — deterministic and oracle-checkable.
+
+    Returns one row (n_probe, n_bloom_pass, n_true_match,
+    n_false_pos, fp_pct).
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_acctbal") > BLOOM_BUILD_MIN_BAL).select(
+        F.col("c_custkey").alias("key")
+    )
+    # filter build: k bit positions per key, packed (word, bits) rows
+    bits = build.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_hash_spark(i, "key")).alias("b")
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("b")
+    )
+    bitmap = (
+        bits.select(
+            (F.col("b") / BLOOM_WORD_BITS).cast("bigint").alias("word"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(b % {BLOOM_WORD_BITS}"
+                " as int))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    # probe: all k bits must be set
+    probes = orders.select(F.col("o_custkey").alias("pkey")).select(
+        "pkey",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_hash_spark(i, "pkey")).alias("b")
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("b"),
+    )
+    checked = (
+        probes.select(
+            "pkey",
+            (F.col("b") / BLOOM_WORD_BITS).cast("bigint").alias("word"),
+            (F.col("b") % BLOOM_WORD_BITS).cast("int").alias("bit"),
+        )
+        .join(F.broadcast(bitmap), "word", "left")
+        .select(
+            "pkey",
+            F.coalesce(
+                F.expr("(shiftright(bits, bit) & 1) = 1"), F.lit(False)
+            ).alias("hit"),
+        )
+        .groupBy("pkey")
+        .agg(F.min("hit").alias("bloom_pass"))
+    )
+    truth = orders.select(F.col("o_custkey").alias("pkey")).join(
+        F.broadcast(build), F.col("pkey") == F.col("key"), "left"
+    ).select("pkey", F.col("key").isNotNull().alias("is_match"))
+    audited = checked.join(truth, "pkey")
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("bloom_pass").cast("bigint")).alias("n_bloom_pass"),
+        F.sum(F.col("is_match").cast("bigint")).alias("n_true_match"),
+        F.sum(
+            (F.col("bloom_pass") & ~F.col("is_match")).cast("bigint")
+        ).alias("n_false_pos"),
+        F.round(
+            100.0
+            * F.sum((F.col("bloom_pass") & ~F.col("is_match")).cast("bigint"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("fp_pct"),
+    )
+
+
+def bloom_prejoin_sql() -> str:
+    build_hashes = " UNION ALL ".join(
+        f"SELECT {_bloom_hash_duck(i, 'key')} AS b FROM build"
+        for i in range(BLOOM_K)
+    )
+    probe_hashes = " UNION ALL ".join(
+        f"SELECT pkey, {_bloom_hash_duck(i, 'pkey')} AS b FROM pkeys"
+        for i in range(BLOOM_K)
+    )
+    return (
+        "WITH build AS (SELECT c_custkey AS key FROM customer"
+        f"  WHERE c_acctbal > {BLOOM_BUILD_MIN_BAL}),"
+        f" bits AS ({build_hashes}),"
+        f" bitmap AS (SELECT b // {BLOOM_WORD_BITS} AS word,"
+        f"  bit_or(1::BIGINT << CAST(b % {BLOOM_WORD_BITS} AS INT))"
+        "   AS bits"
+        "  FROM bits GROUP BY 1),"
+        " pkeys AS (SELECT o_custkey AS pkey FROM orders),"
+        f" probes AS ({probe_hashes}),"
+        " checked AS (SELECT p.pkey,"
+        "  MIN(COALESCE((m.bits >> CAST(p.b %"
+        f" {BLOOM_WORD_BITS} AS INT)) & 1 = 1, FALSE)) AS bloom_pass"
+        f"  FROM probes p LEFT JOIN bitmap m"
+        f"  ON m.word = p.b // {BLOOM_WORD_BITS}"
+        "  GROUP BY p.pkey),"
+        " truth AS (SELECT p.pkey, b.key IS NOT NULL AS is_match"
+        "  FROM pkeys p LEFT JOIN build b ON p.pkey = b.key)"
+        " SELECT COUNT(*) AS n_probe,"
+        " CAST(SUM(CASE WHEN c.bloom_pass THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_bloom_pass,"
+        " CAST(SUM(CASE WHEN t.is_match THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_true_match,"
+        " CAST(SUM(CASE WHEN c.bloom_pass AND NOT t.is_match THEN 1"
+        "  ELSE 0 END) AS BIGINT) AS n_false_pos,"
+        " ROUND(100.0 * SUM(CASE WHEN c.bloom_pass AND NOT t.is_match"
+        "  THEN 1 ELSE 0 END) / COUNT(*), 4) AS fp_pct"
+        " FROM checked c JOIN truth t ON c.pkey = t.pkey"
+    )

@@ -115,15 +115,15 @@ def hll_registers(toks: DataFrame) -> DataFrame:
     ).groupBy("bucket").agg(F.max("rho").alias("mj"))
 
 
-def _hll_est_col():
+def _hll_est_col(nreg: str = "n_registers", zp: str = "z_present"):
     """The estimate expression over (n_registers, z_present) columns:
     raw harmonic-mean estimate with the small-range linear-counting
     branch."""
     est_raw = (
         F.lit(HLL_ALPHA * HLL_M * HLL_M)
-        / (F.col("z_present") + (F.lit(HLL_M) - F.col("n_registers")))
+        / (F.col(zp) + (F.lit(HLL_M) - F.col(nreg)))
     )
-    n_empty = F.lit(HLL_M) - F.col("n_registers")
+    n_empty = F.lit(HLL_M) - F.col(nreg)
     return F.when(
         (est_raw <= 2.5 * HLL_M) & (n_empty > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_empty),
@@ -383,4 +383,122 @@ def hll_per_source_sql() -> str:
         f"  ELSE {est_raw} END, 4) AS est_distinct,"
         " exact_distinct"
         " FROM state JOIN exact USING (source)"
+    )
+
+
+OVERLAP_SRC_A = "src0"
+OVERLAP_SRC_B = "src1"
+
+
+def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: estimate the distinct-token overlap between
+    two sources from their HLL registers alone — union by register-wise
+    MAX, intersection by inclusion–exclusion — next to the exact
+    intersection for comparison.
+
+    This is why sketch state matters at 100 TB: per-shard registers
+    answer cross-shard overlap questions ("how much of source B is
+    already in source A?") WITHOUT ever co-shuffling the raw values —
+    the whole comparison runs on 2×256 register rows.  Deterministic
+    md5 hashing makes every estimate oracle-checkable bit-for-bit.
+
+    Returns one row (est_a, est_b, est_union, est_intersect,
+    exact_intersect).
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(OVERLAP_SRC_A, OVERLAP_SRC_B)
+    )
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    regs = (
+        toks.select(
+            "source",
+            (F.expr(_HASH_SPARK) % HLL_M).alias("bucket"),
+            F.expr(
+                _hll_rho_spark(f"({_HASH_SPARK}) div {HLL_M}")
+            ).alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("mj"))
+        .persist()  # three consumers: state_a, state_b, merged union
+    )
+
+    def _state(df: DataFrame, suffix: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n_registers_{suffix}"),
+            F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias(
+                f"z_present_{suffix}"
+            ),
+        )
+
+    sa = _state(regs.filter(F.col("source") == OVERLAP_SRC_A), "a")
+    sb = _state(regs.filter(F.col("source") == OVERLAP_SRC_B), "b")
+    su = _state(
+        regs.groupBy("bucket").agg(F.max("mj").alias("mj")), "u"
+    )
+    exact = (
+        toks.filter(F.col("source") == OVERLAP_SRC_A)
+        .select("tok")
+        .join(
+            toks.filter(F.col("source") == OVERLAP_SRC_B).select("tok"),
+            "tok",
+            "semi",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    est_a = F.round(_hll_est_col("n_registers_a", "z_present_a"), 4)
+    est_b = F.round(_hll_est_col("n_registers_b", "z_present_b"), 4)
+    est_u = F.round(_hll_est_col("n_registers_u", "z_present_u"), 4)
+    return (
+        sa.crossJoin(sb).crossJoin(su).crossJoin(exact).select(
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            est_u.alias("est_union"),
+            F.round(est_a + est_b - est_u, 4).alias("est_intersect"),
+            "exact_intersect",
+        )
+    )
+
+
+def hll_source_overlap_sql() -> str:
+    def est(nreg: str, zp: str) -> str:
+        est_raw = (
+            f"{HLL_ALPHA * HLL_M * HLL_M!r} / ({zp} + ({HLL_M} - {nreg}))"
+        )
+        n_empty = f"({HLL_M} - {nreg})"
+        return (
+            f"ROUND(CASE WHEN {est_raw} <= {2.5 * HLL_M}"
+            f" AND {n_empty} > 0"
+            f" THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / {n_empty})"
+            f" ELSE {est_raw} END, 4)"
+        )
+
+    ea = est("n_registers_a", "z_present_a")
+    eb = est("n_registers_b", "z_present_b")
+    eu = est("n_registers_u", "z_present_u")
+    return (
+        "WITH toks AS (SELECT DISTINCT source, tok FROM documents,"
+        " unnest(string_split(text, ' ')) t(tok)"
+        f" WHERE source IN ('{OVERLAP_SRC_A}', '{OVERLAP_SRC_B}')),"
+        f" regs AS (SELECT source, {_HASH_DUCK} % {HLL_M} AS bucket,"
+        f"  MAX({_hll_rho_duck(f'({_HASH_DUCK}) // {HLL_M}')}) AS mj"
+        "  FROM toks GROUP BY 1, 2),"
+        " sa AS (SELECT COUNT(*) AS n_registers_a,"
+        "  SUM(power(2.0, -mj)) AS z_present_a FROM regs"
+        f"  WHERE source = '{OVERLAP_SRC_A}'),"
+        " sb AS (SELECT COUNT(*) AS n_registers_b,"
+        "  SUM(power(2.0, -mj)) AS z_present_b FROM regs"
+        f"  WHERE source = '{OVERLAP_SRC_B}'),"
+        " mu AS (SELECT bucket, MAX(mj) AS mj FROM regs GROUP BY bucket),"
+        " su AS (SELECT COUNT(*) AS n_registers_u,"
+        "  SUM(power(2.0, -mj)) AS z_present_u FROM mu),"
+        " exact AS (SELECT COUNT(*) AS exact_intersect FROM ("
+        f"  SELECT tok FROM toks WHERE source = '{OVERLAP_SRC_A}'"
+        "  INTERSECT"
+        f"  SELECT tok FROM toks WHERE source = '{OVERLAP_SRC_B}'))"
+        f" SELECT {ea} AS est_a, {eb} AS est_b, {eu} AS est_union,"
+        f" ROUND({ea} + {eb} - {eu}, 4) AS est_intersect,"
+        " exact_intersect"
+        " FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN exact"
     )

@@ -138,3 +138,33 @@ def test_hll_registers_merge_like_shards(spark, sf_dir):
     # out of the same groupBy) — estimate must be identical
     est_merged = hll_estimate(shard_a.union(shard_b)).collect()[0].est_distinct
     assert est_full == est_merged
+
+
+def test_bloom_prejoin_no_false_negatives(spark, sf_dir):
+    """A Bloom filter may pass non-members but must NEVER drop a
+    member: every true match passes, so n_false_pos is exactly
+    n_bloom_pass - n_true_match.  Also pin the false-positive rate
+    under the m/n/k design point's theoretical bound with slack."""
+    from smile_spark.operators.quality import bloom_prejoin
+
+    row = bloom_prejoin(spark, sf_dir).collect()[0]
+    assert row.n_bloom_pass >= row.n_true_match
+    assert row.n_false_pos == row.n_bloom_pass - row.n_true_match
+    # (1 - e^(-kn/m))^k with n = build keys; generous 3x slack since
+    # the fixture build set is small
+    assert row.fp_pct < 25.0, row
+
+
+def test_hll_overlap_union_bounds(spark, sf_dir):
+    """Sketch set algebra must satisfy the lattice bounds:
+    max(est_a, est_b) <= est_union <= est_a + est_b, and the
+    inclusion-exclusion intersection lands near truth on the
+    small-vocabulary fixture (linear-counting regime)."""
+    from smile_spark.operators.sketch import hll_source_overlap
+
+    row = hll_source_overlap(spark, sf_dir).collect()[0]
+    assert row.est_union >= max(row.est_a, row.est_b) - 1e-9
+    assert row.est_union <= row.est_a + row.est_b + 1e-9
+    assert abs(row.est_intersect - row.exact_intersect) <= max(
+        5.0, 0.3 * row.exact_intersect
+    ), row
