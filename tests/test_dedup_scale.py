@@ -75,3 +75,40 @@ def test_dedup_canonical_accepts_persisted_pairs(spark, sf_dir, tmp_path):
     pairs.write.parquet(path)
     via_path = dedup_canonical(spark, sf_dir, pairs=path).collect()
     assert sorted(default) == sorted(via_df) == sorted(via_path)
+
+
+def test_chunk_dedup_16x_duplication_canary(spark, sf_dir, tmp_path):
+    """16× stress for chunk-level dedup: unioning the corpus with
+    itself 16 times (fresh doc_ids, same text) must drive the
+    duplicate-chunk ratio to ~100% — every chunk now occurs ≥16 times
+    — while per-source chunk counts scale exactly 16×.  Catches both
+    silent candidate loss and accidental all-pairs blowup (the 16×
+    run must finish in bounded time for the suite to stay green)."""
+    from smile_spark.operators.dedup import chunk_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    base_chunks = {
+        r.source: r.n_chunks
+        for r in chunk_dedup(spark, sf_dir).collect()
+    }
+    big = docs
+    for i in range(1, 16):
+        big = big.union(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10**6))
+        )
+    big_dir = str(tmp_path / "sf16x_docs")
+    os.makedirs(big_dir)
+    big.write.parquet(os.path.join(big_dir, "documents.parquet"))
+    for name in TABLE_NAMES:
+        if name == "documents":
+            continue
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        dst = os.path.join(big_dir, f"{name}.parquet")
+        os.symlink(src, dst)
+
+    rows = chunk_dedup(spark, big_dir).collect()
+    for r in rows:
+        assert r.n_chunks == 16 * base_chunks[r.source]
+        # every chunk occurs >= 16 times globally now
+        assert r.n_dup_chunks == r.n_chunks, r
+        assert r.dup_chunk_pct == 100.0, r
