@@ -388,3 +388,69 @@ def streaming_hll_registers(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def streaming_cms_counters(
+    spark: SparkSession, sf_dir: str, state_dir: str, ckpt_dir: str
+) -> None:
+    """Streaming frequency-sketch maintenance: keep Count-Min counters
+    over the event-type stream fresh with ``foreachBatch`` — the
+    SUM-merge sibling of :func:`streaming_hll_registers`'s MAX-merge
+    (together they cover both sketch merge algebras).
+
+    Per micro-batch: build the batch's (d, b) counter grid, union with
+    persisted state, and SUM per cell.  Counter addition is
+    associative, so the final state equals the single-pass batch
+    counters regardless of batching (asserted in tests).  State is
+    depth×width rows forever; a heavy-hitter query reads it at any
+    time without touching history.
+    """
+    import os
+
+    def counters_of(df: DataFrame) -> DataFrame:
+        from smile_spark.operators.sketch import (
+            CMS_DEPTH,
+            _cms_hash_spark,
+        )
+
+        toks = df.select(F.col("event_type").alias("tok"))
+        hits = toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.expr(_cms_hash_spark(d)).alias("b"),
+                        )
+                        for d in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("h")
+        )
+        return hits.groupBy("h.d", "h.b").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        grid = counters_of(batch)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            state = bspark.read.parquet(state_dir)
+            grid = (
+                state.unionByName(grid)
+                .groupBy("d", "b")
+                .agg(F.sum("c").alias("c"))
+            )
+        tmp = state_dir + ".tmp"
+        grid.write.mode("overwrite").parquet(tmp)
+        bspark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        read_event_stream(spark, sf_dir)
+        .select("event_type")
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -275,3 +275,41 @@ def test_streaming_hll_state_equals_batch_registers(spark, sf_dir, tmp_path):
     est = hll_estimate_from_registers(stream_regs, exact).collect()[0]
     rel_err = abs(est.est_distinct - est.exact_distinct) / est.exact_distinct
     assert rel_err < 0.2, est
+
+
+def test_streaming_cms_state_equals_batch_counters(spark, sf_dir, tmp_path):
+    """The incrementally-maintained CMS counter grid must equal the
+    single-pass batch grid cell-for-cell (SUM-merge associativity)."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.operators.sketch import CMS_DEPTH, _cms_hash_spark
+    from smile_spark.streaming.events import streaming_cms_counters
+    from smile_spark.tables import table
+
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "cms_ckpt")
+    streaming_cms_counters(spark, sf_dir, state, ckpt)
+
+    toks = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("tok")
+    )
+    batch_grid = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.expr(_cms_hash_spark(d)).alias("b"),
+                        )
+                        for d in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("h")
+        )
+        .groupBy("h.d", "h.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stream_grid = spark.read.parquet(state)
+    assert batch_grid.exceptAll(stream_grid).count() == 0
+    assert stream_grid.exceptAll(batch_grid).count() == 0
