@@ -414,6 +414,13 @@ def sssp(
     what the hop-capped recursive oracle computes.  Fixing the round
     count (vs. converging) keeps cross-engine semantics exact; at
     scale you'd iterate to fixpoint with the same per-round plan.
+
+    Full relaxation is deliberate for the SHORT-round expanding
+    regime benchmarked here; :func:`sssp_frontier` is the
+    result-identical queue-based form whose per-round join shrinks
+    with the frontier — the right variant for high-diameter graphs /
+    the convergence tail (equivalence-tested; measured 2× slower at
+    sf0.1's 4 expanding rounds, which is why it is not the default).
     Returns (source, id, dist).
     """
     e = weighted_edges(spark, sf_dir).localCheckpoint()
@@ -433,6 +440,78 @@ def sssp(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
+    return dist
+
+
+def sssp_frontier(
+    spark: SparkSession,
+    sf_dir: str,
+    sources: Sequence[int] = SSSP_SOURCES,
+    rounds: int = SSSP_ROUNDS,
+) -> DataFrame:
+    """Queue-based (frontier-limited) Bellman-Ford: each round relaxes
+    ONLY the nodes whose distance improved last round.  A node
+    improving via a longer prefix is still reached, because that
+    prefix node sat in an earlier frontier — so after k rounds this is
+    exactly min over ≤ k-edge walks, identical to :func:`sssp`
+    (asserted in tests/test_graph.py).
+
+    This is the form that wins when frontier ≪ |dist|: high-diameter
+    graphs (road networks — the reference's routing domain) and the
+    convergence tail of iterate-to-fixpoint runs, where full
+    relaxation rescans every settled distance every round forever.
+    The cost is one extra improvement anti-join per round, which is
+    why the short-round expanding benchmark keeps full relaxation.
+    Returns (source, id, dist).
+    """
+    e = weighted_edges(spark, sf_dir).localCheckpoint()
+    dist = (
+        spark.createDataFrame([(int(s),) for s in sources], "source bigint")
+        .select(
+            "source",
+            F.col("source").alias("id"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(rounds):
+        candidates = (
+            frontier.join(e, frontier.id == e.src)
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            candidates.alias("c")
+            .join(
+                dist.alias("d"),
+                (F.col("c.source") == F.col("d.source"))
+                & (F.col("c.id") == F.col("d.id")),
+                "left",
+            )
+            .filter(
+                F.col("d.dist").isNull()
+                | (F.col("c.dist") < F.col("d.dist"))
+            )
+            .select(
+                F.col("c.source").alias("source"),
+                F.col("c.id").alias("id"),
+                F.col("c.dist").alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        dist = (
+            dist.union(improved)
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = improved
     return dist
 
 

@@ -56,3 +56,14 @@ def test_edges_deterministic(spark, sf_dir):
     a = edges(spark, sf_dir).orderBy("src", "dst").collect()
     b = edges(spark, sf_dir).orderBy("src", "dst").collect()
     assert a == b
+
+
+def test_sssp_frontier_equals_full_relaxation(spark, sf_dir):
+    """Queue-based Bellman-Ford must produce exactly the full-
+    relaxation distance table (same hop cap, same sources)."""
+    from smile_spark.operators.graph import sssp, sssp_frontier
+
+    full = sssp(spark, sf_dir)
+    frontier = sssp_frontier(spark, sf_dir)
+    assert full.exceptAll(frontier).count() == 0
+    assert frontier.exceptAll(full).count() == 0
