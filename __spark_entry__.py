@@ -44,16 +44,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-4 window: (1) the 11 operators NEW this
+    insertion order.  Round-4 window: (1) the 12 operators NEW this
     round (bucketed adjacency, approx winsorize, HLL global/grouped/
     set-algebra, chunk dedup, snapshot diff, k-means, weighted
-    sampling, route reconstruction, Bloom pre-join); (2) the 10
-    queries whose code changed this round; (3) the 25 entries whose
-    newest green verdict was still round 1 (VERDICT r03 "What's
-    missing" #2 — the promised rotation); (4) the first 4 r02-green
-    entries oldest-first.  The displaced r02 entries
-    (text_stats..embedding_norms, window_*/hypertable) lead the tail
-    for round 5; the r03-green block sits at the very back.
+    sampling, route reconstruction, Bloom pre-join, ER golden
+    records); (2) the 10 queries whose code changed this round;
+    (3) the 25 entries whose newest green verdict was still round 1
+    (VERDICT r03 "What's missing" #2 — the promised rotation); (4) the
+    first 3 r02-green entries oldest-first.  The displaced r02 entries
+    (ngram_jaccard_topk..embedding_norms, window_*/hypertable) lead
+    the tail for round 5; the r03-green block sits at the very back.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- (1) NEW this round ---
@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_path_route": G.shortest_path_route,
         "bloom_prejoin": Q.bloom_prejoin,
         "hll_source_overlap": K.hll_source_overlap,
+        "golden_part_records": P.golden_part_records,
         # --- (2) code changed this round (re-verify) ---
         "vocab_coverage": T.vocab_coverage,
         "pii_redact": C.pii_redact,
@@ -121,11 +122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round; r05 NOTE: rotate the displaced r02-green entries
-        # (text_stats, token_count, lang_id, fingerprint,
-        # kmv_distinct_tokens, ann_cosine_topk, ann_ivf_topk,
-        # embedding_norms — just above this line — plus the
-        # window_*/hypertable block here) into the next window first,
-        # then the r03 block.
+        # (ngram_jaccard_topk, text_stats, token_count, lang_id,
+        # fingerprint, kmv_distinct_tokens, ann_cosine_topk,
+        # ann_ivf_topk, embedding_norms — just above this line — plus
+        # the window_*/hypertable block here) into the next window
+        # first, then the r03 block.
         # ------------------------------------------------------------------
         "window_tumbling": W.window_tumbling,
         "hypertable_daily": W.hypertable_daily,
@@ -452,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "shortest_path_route": G.shortest_path_route_sql(),
         "bloom_prejoin": Q.bloom_prejoin_sql(),
         "hll_source_overlap": K.hll_source_overlap_sql(),
+        "golden_part_records": P.golden_part_records_sql(),
         "ann_cosine_topk": S.ANN_COSINE_SQL,
         # ann_ivf_topk is APPROXIMATE vs brute force (recall-tested in
         # tests/test_similarity.py) but fully DETERMINISTIC given its

@@ -41,6 +41,58 @@ TOKENS_MIN, TOKENS_MAX = 5, 5000
 LANG_KEEP = "en"
 
 
+def min_label_components(
+    pairs: DataFrame, max_iter: int = CANONICAL_MAX_ITER
+) -> DataFrame:
+    """Connected components of a small (a, b) pair graph by min-label
+    propagation.  Returns (id, component) for every node appearing in
+    a pair.
+
+    The iteration state deliberately lives in ONE partition: callers
+    pass pair graphs that are a vanishing fraction of their corpus by
+    construction (LSH candidates, within-block fuzzy matches), so each
+    round is a single-task job instead of shuffle-partition-many tiny
+    tasks.  If a pathological input ever produced a huge pair graph,
+    drop the coalesce — the loop is partitioning-agnostic."""
+    pairs = pairs.select("a", "b").coalesce(1).localCheckpoint()
+    und = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).coalesce(1)
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            labels.join(und, labels.id == und.a)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_component", "component")
+                    < F.col("component")
+                ).alias("changed"),
+            )
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        converged = new_labels.filter("changed").isEmpty()
+        labels = new_labels.select("id", "component")
+        if converged:
+            break
+    return labels
+
+
 def dedup_canonical(
     spark: SparkSession,
     sf_dir: str,
@@ -79,42 +131,7 @@ def dedup_canonical(
         pairs = D.lsh_pairs_cached(spark, sf_dir)
     elif isinstance(pairs, str):
         pairs = spark.read.parquet(pairs)
-    pairs = pairs.select("a", "b").coalesce(1).localCheckpoint()
-    und = pairs.union(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).coalesce(1)
-    labels = (
-        und.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
-        .coalesce(1)
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            labels.join(und, labels.id == und.a)
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    "component", F.coalesce("nbr_component", "component")
-                ).alias("component"),
-                (
-                    F.coalesce("nbr_component", "component")
-                    < F.col("component")
-                ).alias("changed"),
-            )
-            .coalesce(1)
-            .localCheckpoint()
-        )
-        converged = new_labels.filter("changed").isEmpty()
-        labels = new_labels.select("id", "component")
-        if converged:
-            break
+    labels = min_label_components(pairs, max_iter)
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("canonical_id"),
@@ -312,4 +329,71 @@ def corpus_curation_manifest_sql() -> str:
         " SELECT source, n_total, keep_pct, COUNT(*) AS n_docs,"
         " CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws_tokens"
         " FROM mixed GROUP BY source, n_total, keep_pct"
+    )
+
+
+def golden_part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — the MDM "golden record" flow:
+    blocked fuzzy match (text.fuzzy_name_match: brand-blocked
+    levenshtein ≤ 3) → duplicate clusters (min-label components over
+    the match graph) → ONE golden record per entity, singletons
+    included.
+
+    The composition mirrors ``dedup_canonical`` with a different pair
+    source: any blocked pairwise matcher plugs into the same
+    cluster/survivorship machinery.  Survivorship rule: minimum key
+    wins (deterministic; production swaps in recency/completeness
+    rules as an ordering).  Corpus-sized tables move only through
+    equi-joins on the entity key; the cluster iteration runs over the
+    within-block match graph, a vanishing fraction of the catalog.
+
+    Returns (canonical_pk, canonical_name, brand, n_members).
+    """
+    pairs = T.fuzzy_name_match(spark, sf_dir).select(
+        F.col("pk_a").alias("a"), F.col("pk_b").alias("b")
+    )
+    labels = min_label_components(pairs)
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+    )
+    enriched = p.join(
+        labels.withColumnRenamed("id", "pk"), "pk", "left"
+    ).select(
+        "pk", F.coalesce("component", "pk").alias("canonical_pk")
+    )
+    grouped = enriched.groupBy("canonical_pk").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return grouped.join(
+        p.select(
+            F.col("pk").alias("canonical_pk"),
+            F.col("name").alias("canonical_name"),
+            "brand",
+        ),
+        "canonical_pk",
+    ).select("canonical_pk", "canonical_name", "brand", "n_members")
+
+
+def golden_part_records_sql() -> str:
+    return (
+        "WITH RECURSIVE pairs AS ("
+        f" SELECT pk_a AS a, pk_b AS b FROM ({T.FUZZY_NAME_MATCH_SQL}) fz),"
+        " und AS (SELECT a, b FROM pairs"
+        "  UNION ALL SELECT b AS a, a AS b FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS id FROM und),"
+        " reach(id, r) AS ("
+        "  SELECT id, id FROM nodes"
+        "  UNION"
+        "  SELECT rr.id, u.b FROM reach rr JOIN und u ON u.a = rr.r),"
+        " comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),"
+        " enriched AS (SELECT p.p_partkey AS pk,"
+        "  COALESCE(c.component, p.p_partkey) AS canonical_pk"
+        "  FROM part p LEFT JOIN comp c ON c.id = p.p_partkey),"
+        " g AS (SELECT canonical_pk, COUNT(*) AS n_members"
+        "  FROM enriched GROUP BY canonical_pk)"
+        " SELECT g.canonical_pk, p.p_name AS canonical_name,"
+        "  p.p_brand AS brand, g.n_members"
+        " FROM g JOIN part p ON p.p_partkey = g.canonical_pk"
     )

@@ -106,6 +106,7 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "graph_check", "dedup_minhash_lsh", "hypertable_daily",
         "dedup_canonical", "simhash_pairs", "corpus_curation_manifest",
         "shortest_path_route",  # iterative sssp + checkpointed pred
+        "golden_part_records",  # min-label component loop at plan time
         # these two write bucketed tables at plan time
         "bucketed_join_revenue", "graph_adjacency_bucketed",
     }
