@@ -168,3 +168,37 @@ def test_hll_overlap_union_bounds(spark, sf_dir):
     assert abs(row.est_intersect - row.exact_intersect) <= max(
         5.0, 0.3 * row.exact_intersect
     ), row
+
+
+def test_hll_register_algebra_on_known_overlap(spark, sf_dir):
+    """Register set algebra on a SYNTHETIC 50%-overlap pair (the
+    fixture sources share the whole vocabulary, which makes the
+    registered query's bounds trivial): A = 0..30k, B = 15k..45k,
+    |A∩B| = 15k.  Union estimate must track |A∪B| and the
+    inclusion-exclusion intersection must land within sketch error
+    (~6.5% sigma at m=256; allow 4 sigma on the subtraction, which
+    compounds three estimates)."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    def toks(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("t"), F.col("id")).alias("tok")
+        )
+
+    a, b = toks(0, 30_000), toks(15_000, 45_000)
+    exact1 = spark.range(1).select(
+        F.lit(None).cast("bigint").alias("exact_distinct")
+    )
+    ra, rb = hll_registers(a), hll_registers(b)
+    ru = ra.union(rb).groupBy("bucket").agg(F.max("mj").alias("mj"))
+    ea = hll_estimate_from_registers(ra, exact1).collect()[0].est_distinct
+    eb = hll_estimate_from_registers(rb, exact1).collect()[0].est_distinct
+    eu = hll_estimate_from_registers(ru, exact1).collect()[0].est_distinct
+    assert abs(eu - 45_000) / 45_000 < 0.26  # 4 sigma
+    inter = ea + eb - eu
+    assert abs(inter - 15_000) / 15_000 < 0.6, (ea, eb, eu, inter)
