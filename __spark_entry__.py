@@ -44,15 +44,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-4 window: (1) the 12 operators NEW this
+    insertion order.  Round-4 window: (1) the 13 operators NEW this
     round (bucketed adjacency, approx winsorize, HLL global/grouped/
     set-algebra, chunk dedup, snapshot diff, k-means, weighted
     sampling, route reconstruction, Bloom pre-join, ER golden
-    records); (2) the 10 queries whose code changed this round;
-    (3) the 25 entries whose newest green verdict was still round 1
-    (VERDICT r03 "What's missing" #2 — the promised rotation); (4) the
-    first 3 r02-green entries oldest-first.  The displaced r02 entries
-    (ngram_jaccard_topk..embedding_norms, window_*/hypertable) lead
+    records, PSI drift); (2) the 10 queries whose code changed this
+    round; (3) the 25 entries whose newest green verdict was still
+    round 1 (VERDICT r03 "What's missing" #2 — the promised rotation);
+    (4) the first 2 r02-green entries oldest-first.  The displaced r02
+    entries (simhash_pairs..embedding_norms, window_*/hypertable) lead
     the tail for round 5; the r03-green block sits at the very back.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prejoin": Q.bloom_prejoin,
         "hll_source_overlap": K.hll_source_overlap,
         "golden_part_records": P.golden_part_records,
+        "distribution_drift": Q.distribution_drift,
         # --- (2) code changed this round (re-verify) ---
         "vocab_coverage": T.vocab_coverage,
         "pii_redact": C.pii_redact,
@@ -454,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prejoin": Q.bloom_prejoin_sql(),
         "hll_source_overlap": K.hll_source_overlap_sql(),
         "golden_part_records": P.golden_part_records_sql(),
+        "distribution_drift": Q.DISTRIBUTION_DRIFT_SQL,
         "ann_cosine_topk": S.ANN_COSINE_SQL,
         # ann_ivf_topk is APPROXIMATE vs brute force (recall-tested in
         # tests/test_similarity.py) but fully DETERMINISTIC given its

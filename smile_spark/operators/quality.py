@@ -446,3 +446,82 @@ def bloom_prejoin_sql() -> str:
         "  THEN 1 ELSE 0 END) / COUNT(*), 4) AS fp_pct"
         " FROM checked c JOIN truth t ON c.pkey = t.pkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI)
+# ---------------------------------------------------------------------------
+
+DRIFT_BIN_W = 25_000.0   # o_totalprice bin width
+DRIFT_MAX_BIN = 19       # cap: values above pool into the top bin
+
+
+def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index (PSI) drift profile between two
+    snapshots of a measure — the monitoring verb that catches a
+    feature or upstream-data distribution shifting before a model
+    quietly degrades.
+
+    Baseline = the keys-≡0 (mod 10)-removed snapshot (snapshot_diff's
+    "yesterday"); current = all orders; measure = o_totalprice in
+    fixed-width bins with a pooled top bin.  Per bin:
+    contribution = (p_cur - p_base) · ln(p_cur / p_base), Laplace-
+    smoothed so empty bins are defined; PSI = Σ contributions (< 0.1
+    stable, > 0.25 drifted, by the usual rule of thumb).
+
+    ONE pass per snapshot (conditional aggregation off a shared scan),
+    shuffle = #bins rows of partials; probabilities are quotients of
+    exact integer counts and the single ln rounds to 6 — the
+    engine-portability discipline every score here follows.
+
+    Returns per bin: (bin, n_base, n_cur, psi_contrib).
+    """
+    orders = table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / DRIFT_BIN_W),
+            F.lit(DRIFT_MAX_BIN),
+        ).cast("bigint").alias("bin"),
+        (F.col("o_orderkey") % 10 != 0).alias("in_base"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("in_base").cast("bigint")).alias("n_base"),
+        F.count(F.lit(1)).alias("n_cur"),
+    )
+    totals = counts.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+    )
+    n_bins = DRIFT_MAX_BIN + 1
+    p_base = (F.col("n_base") + 1) / (F.col("t_base") + n_bins)
+    p_cur = (F.col("n_cur") + 1) / (F.col("t_cur") + n_bins)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_base",
+        "n_cur",
+        F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias(
+            "psi_contrib"
+        ),
+    )
+
+
+DISTRIBUTION_DRIFT_SQL = (
+    "WITH binned AS (SELECT"
+    f"  LEAST(CAST(FLOOR(o_totalprice / {DRIFT_BIN_W}) AS BIGINT),"
+    f"   {DRIFT_MAX_BIN}) AS bin,"
+    "  o_orderkey % 10 <> 0 AS in_base FROM orders),"
+    " counts AS (SELECT bin,"
+    "  CAST(SUM(CASE WHEN in_base THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_base,"
+    "  COUNT(*) AS n_cur FROM binned GROUP BY bin),"
+    " totals AS (SELECT SUM(n_base) AS t_base, SUM(n_cur) AS t_cur"
+    "  FROM counts)"
+    " SELECT bin, n_base, n_cur,"
+    " ROUND(("
+    f"  (n_cur + 1)::DOUBLE / (t_cur + {DRIFT_MAX_BIN + 1})"
+    f"  - (n_base + 1)::DOUBLE / (t_base + {DRIFT_MAX_BIN + 1})"
+    " ) * ln("
+    f"  ((n_cur + 1)::DOUBLE / (t_cur + {DRIFT_MAX_BIN + 1}))"
+    f"  / ((n_base + 1)::DOUBLE / (t_base + {DRIFT_MAX_BIN + 1}))"
+    " ), 6) AS psi_contrib"
+    " FROM counts CROSS JOIN totals"
+)

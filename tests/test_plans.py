@@ -117,6 +117,7 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # single-row sketch state x single-row exact count
         "hll_distinct", "hll_source_overlap",
         # crossJoins of SINGLE-ROW aggregate legs into one summary row
+        "distribution_drift",
         "graph_metadata", "join_variants", "set_ops", "set_ops_all",
         "kmv_distinct_tokens", "source_temperature_mix", "bigram_pmi",
         "vocab_coverage", "column_profile", "tfidf_top_terms",
