@@ -508,3 +508,40 @@ def embedding_kmeans_sql() -> str:
         "  AS inertia"
         " FROM a2 GROUP BY cid"
     )
+
+
+def ivf_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    new_vectors: DataFrame,
+) -> None:
+    """Incrementally add vectors to a persisted IVF index: assign ONLY
+    the new batch to cells (one broadcast join against the centroid
+    set) and append into the cell-partitioned layout.
+
+    The index lifecycle at 100 TB: the initial build is a full-corpus
+    job (``ivf_build``), but fresh embeddings arrive continuously and
+    re-building per batch is a non-starter — appending writes only the
+    partitions the batch's cells touch, existing files are never
+    rewritten, and queries see the union immediately (the parquet
+    source lists files per probed cell directory at scan time).
+    Compaction of small appended files is the same
+    ``sources/compaction.py`` pass any streaming sink needs.
+
+    ``new_vectors`` must carry (vec_id, v: array<double>).
+    """
+    cents = _cells(spark, sf_dir)
+    scored = new_vectors.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cid",
+        (_dot("v", "cv") / (_norm("v") * _norm("cv"))).alias("sim"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    assigned.write.mode("append").partitionBy("cid").parquet(index_path)

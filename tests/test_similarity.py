@@ -82,3 +82,49 @@ def test_kmeans_partition_of_corpus(spark, sf_dir):
     sizes = embedding_kmeans(spark, sf_dir).collect()
     assert sum(r.n_points for r in sizes) == n
     assert all(r.inertia >= 0 for r in sizes)
+
+
+def test_ivf_upsert_appends_into_assigned_cells(spark, sf_dir, tmp_path):
+    """Upserted vectors must land in exactly the cells the in-memory
+    assignment rule picks, without disturbing existing index rows."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.operators.similarity import (
+        _cells,
+        _dot,
+        _norm,
+        _vectors,
+        ivf_build,
+        ivf_upsert,
+    )
+    from pyspark.sql.window import Window
+
+    index = str(tmp_path / "ivf")
+    ivf_build(spark, sf_dir, index)
+    n0 = spark.read.parquet(index).count()
+
+    batch = (
+        _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 10**6).alias("vec_id"), "v")
+    )
+    ivf_upsert(spark, sf_dir, index, batch)
+
+    idx = spark.read.parquet(index)
+    assert idx.count() == n0 + 50
+    # expected assignment, recomputed in memory
+    cents = _cells(spark, sf_dir)
+    scored = batch.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        (_dot("v", "cv") / (_norm("v") * _norm("cv"))).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    expected = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "cid")
+    )
+    got = idx.filter(F.col("vec_id") >= 10**6).select("vec_id", "cid")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
