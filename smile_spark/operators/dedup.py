@@ -183,6 +183,95 @@ NGRAM_JACCARD_SQL = (
 )
 
 
+CONTAINMENT_TOP_K = 30
+
+
+def containment_topk(
+    spark: SparkSession, sf_dir: str, k: int = CONTAINMENT_TOP_K
+) -> DataFrame:
+    """Top-k DIRECTED containment pairs: |A∩B| / |A| over word token
+    sets within the deterministic block — the asymmetric sibling of
+    :func:`ngram_jaccard_topk`.
+
+    Containment is the subset/quote detector symmetric Jaccard
+    misses: a short document quoted verbatim inside a long one has
+    Jaccard |A|/|B| (near zero when B is large) but containment 1.0.
+    Training-data pipelines run both — Jaccard for near-identical
+    pairs, containment for boilerplate/quotation absorption.
+
+    Same scale shape as the Jaccard form: the intersection is a token
+    equi-join on the blocked candidate set (never a cross join), each
+    undirected intersection row fans out to its two directed
+    containments map-side, and top-k is sort-limit
+    (TakeOrderedAndProject), not a global window.
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = _word_tokens(docs, JACCARD_SUBSET_MOD)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("b"), "tok")
+    inter = (
+        ta.join(tb, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sized = inter.join(
+        sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a"
+    ).join(
+        sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b"
+    )
+    directed = sized.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        (F.col("i").cast("double") / F.col("na")).alias("containment"),
+    ).unionByName(
+        sized.select(
+            F.col("b").alias("src"),
+            F.col("a").alias("dst"),
+            (F.col("i").cast("double") / F.col("nb")).alias("containment"),
+        )
+    )
+    top = directed.orderBy(
+        F.desc("containment"), F.asc("src"), F.asc("dst")
+    ).limit(k)
+    w = Window.orderBy(F.desc("containment"), F.asc("src"), F.asc("dst"))
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "src", "dst", "containment", F.col("rn").cast("bigint").alias("rn")
+    )
+
+
+CONTAINMENT_TOPK_SQL = (
+    "WITH toks AS ("
+    "  SELECT DISTINCT doc_id, tok FROM documents,"
+    "  unnest(string_split(text, ' ')) t(tok)"
+    f"  WHERE doc_id % {JACCARD_SUBSET_MOD} = 0"
+    "),"
+    " sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),"
+    " inter AS ("
+    "  SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS i"
+    "  FROM toks ta JOIN toks tb ON ta.tok = tb.tok"
+    "   AND ta.doc_id < tb.doc_id GROUP BY 1, 2),"
+    " sized AS ("
+    "  SELECT a, b, i, sa.n AS na, sb.n AS nb"
+    "  FROM inter JOIN sizes sa ON sa.doc_id = a"
+    "   JOIN sizes sb ON sb.doc_id = b),"
+    " directed AS ("
+    "  SELECT a AS src, b AS dst, CAST(i AS DOUBLE) / na AS containment"
+    "   FROM sized"
+    "  UNION ALL"
+    "  SELECT b AS src, a AS dst, CAST(i AS DOUBLE) / nb AS containment"
+    "   FROM sized)"
+    " SELECT src, dst, containment, rn FROM ("
+    "  SELECT src, dst, containment, ROW_NUMBER() OVER"
+    "   (ORDER BY containment DESC, src ASC, dst ASC) AS rn"
+    "  FROM directed)"
+    f" WHERE rn <= {CONTAINMENT_TOP_K}"
+)
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH candidate pairs
 # ---------------------------------------------------------------------------

@@ -638,30 +638,27 @@ def pagerank_sql() -> str:
     )
 
 
-def connected_components(
-    spark: SparkSession, sf_dir: str, max_iter: int = 30
+def cc_labels(
+    nodes: DataFrame, e: DataFrame, max_iter: int = 30
 ) -> DataFrame:
-    """Min-label propagation connected components (beyond-reference;
-    licensed by the north star's Pregel-analytics direction).
+    """Distributed connected-components core: min-label propagation
+    with POINTER JUMPING over ``nodes(id)`` and undirected-expanded
+    ``edges(src, dst)``.  Returns (id, component = min node id).
 
-    Every node starts labeled with its own id; each round a node takes
-    the min of its label and its neighbors' labels; fixpoint when no
-    label changes.  Each round = one join + one aggregate, both on the
-    ``src`` key — the canonical Pregel iteration shape.
-    Returns (id, component).
+    Each round: (1) hook — every node takes the min of its own and its
+    neighbors' labels (join + agg on ``src``, the Pregel shape);
+    (2) shortcut — ``component := component's component``, which
+    halves every node's distance-to-root, so convergence is O(log D)
+    rounds instead of O(D).  Plain propagation needs DIAMETER rounds —
+    fine on the bipartite fixture graph (diameter ~4), the slow
+    algorithm on a long-path graph; the shortcut is what makes the cap
+    safe for any graph with D <= 2^max_iter (tested on a >2^5-hop path
+    in tests/test_graph.py).  Convergence detection stays on the hook
+    phase: its fixpoint (labels constant across every edge = component
+    min everywhere) is the answer; the shortcut is pure acceleration
+    and is label-stable at that fixpoint.
     """
-    e = edges(spark, sf_dir, undirected=True).localCheckpoint()
-    customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
-    nodes = (
-        customer.select(F.col("c_custkey").alias("id"))
-        .union(
-            orders.select((F.lit(NODE_OFFSET) + F.col("o_orderkey")).alias("id"))
-        )
-        # disjoint unique key ranges — already a set, no dedup exchange
-    )
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
-
     for _ in range(max_iter):
         nbr_min = (
             labels.join(e, labels.id == e.src)
@@ -670,7 +667,7 @@ def connected_components(
         )
         # Carry the changed flag through the same pass so convergence is
         # a filter over the checkpointed result, not a second join.
-        new_labels = (
+        propagated = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
@@ -681,12 +678,52 @@ def connected_components(
                     F.coalesce("nbr_component", "component") < F.col("component")
                 ).alias("changed"),
             )
+        )
+        new_labels = (
+            propagated.alias("x")
+            .join(
+                propagated.select(
+                    F.col("id").alias("cid"),
+                    F.col("component").alias("ccomp"),
+                ).alias("y"),
+                F.col("x.component") == F.col("y.cid"),
+                "left",
+            )
+            .select(
+                F.col("x.id").alias("id"),
+                F.least(
+                    F.col("x.component"),
+                    F.coalesce(F.col("ccomp"), F.col("x.component")),
+                ).alias("component"),
+                F.col("x.changed").alias("changed"),
+            )
         ).localCheckpoint()
         converged = new_labels.filter("changed").isEmpty()
         labels = new_labels.select("id", "component")
         if converged:
             break
     return labels
+
+
+def connected_components(
+    spark: SparkSession, sf_dir: str, max_iter: int = 30
+) -> DataFrame:
+    """Connected components over the customer-order bipartite graph
+    (beyond-reference; licensed by the north star's Pregel-analytics
+    direction).  Delegates to :func:`cc_labels` — min-label
+    propagation + pointer jumping, O(log D) rounds.
+    Returns (id, component)."""
+    e = edges(spark, sf_dir, undirected=True).localCheckpoint()
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nodes = (
+        customer.select(F.col("c_custkey").alias("id"))
+        .union(
+            orders.select((F.lit(NODE_OFFSET) + F.col("o_orderkey")).alias("id"))
+        )
+        # disjoint unique key ranges — already a set, no dedup exchange
+    )
+    return cc_labels(nodes, e, max_iter)
 
 
 # ---------------------------------------------------------------------------
@@ -852,7 +889,14 @@ def shortest_path_route(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("pred", "cur").alias("cur"),
             )
         )
-    return route.filter(F.col("cur") == F.col("source")).select(
+    # Routes whose predecessor chain fails to close on the source
+    # within SSSP_ROUNDS backtrack steps (possible: the min-uid pred
+    # tie-break can pick a chain with more hops than the walk that
+    # realized the capped distance) are NOT dropped — they are emitted
+    # with closed=false so a change to the hop cap or tie-break can
+    # never silently shrink the result.  Deterministic on both
+    # engines: the oracle runs the identical chain walk.
+    return route.select(
         "source",
         "target",
         "dist",
@@ -861,6 +905,7 @@ def shortest_path_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             "->",
             F.expr("transform(reverse(path), x -> cast(x as string))"),
         ).alias("path"),
+        (F.col("cur") == F.col("source")).alias("closed"),
     )
 
 
@@ -917,8 +962,9 @@ def shortest_path_route_sql() -> str:
         f" SELECT source, target, dist,"
         "  CAST(len(path) - 1 AS BIGINT) AS n_hops,"
         "  array_to_string(list_transform(list_reverse(path),"
-        "   x -> CAST(x AS VARCHAR)), '->') AS path"
-        f" FROM {prev} WHERE cur = source"
+        "   x -> CAST(x AS VARCHAR)), '->') AS path,"
+        "  cur = source AS closed"
+        f" FROM {prev}"
     )
 
 

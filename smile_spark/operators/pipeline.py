@@ -362,6 +362,38 @@ def corpus_curation_manifest_sql() -> str:
 GOLDEN_MAX_DIST = 3
 
 
+def _golden_candidate_pairs(groups: DataFrame) -> DataFrame:
+    """Brand-blocked fuzzy match BETWEEN distinct (brand, name) groups:
+    length pre-filter then levenshtein ≤ GOLDEN_MAX_DIST, emitting
+    (a, b) representative-key pairs.
+
+    No broadcast hint on the group table: it is ALL distinct groups,
+    which grows with catalog cardinality — a forced broadcast is an
+    OOM hazard at 100x scale.  It is a plain key equi-join on the
+    brand block, so AQE picks broadcast when the table is actually
+    small and a shuffled join otherwise (plan-asserted either way in
+    tests/test_plans.py)."""
+    from smile_spark.tables import fan_out
+
+    a = fan_out(
+        groups.select(
+            "brand", F.col("rep_pk").alias("ra"), F.col("name").alias("na")
+        )
+    )
+    b = groups.select(
+        "brand", F.col("rep_pk").alias("rb"), F.col("name").alias("nb")
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("ra") < F.col("rb"))
+        .filter(
+            F.abs(F.length("na") - F.length("nb")) <= GOLDEN_MAX_DIST
+        )
+        .filter(F.levenshtein("na", "nb") <= GOLDEN_MAX_DIST)
+        .select(F.col("ra").alias("a"), F.col("rb").alias("b"))
+    )
+
+
 def golden_part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end — the MDM "golden record" flow,
     TWO-LEVEL: exact-key collapse, then fuzzy match over distinct
@@ -385,8 +417,6 @@ def golden_part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (canonical_pk, canonical_name, brand, n_members).
     """
-    from smile_spark.tables import fan_out
-
     p = table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pk"),
         F.col("p_name").alias("name"),
@@ -396,24 +426,7 @@ def golden_part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pk").alias("rep_pk"),
         F.count(F.lit(1)).alias("n_in_group"),
     )
-    a = fan_out(
-        groups.select(
-            "brand", F.col("rep_pk").alias("ra"), F.col("name").alias("na")
-        )
-    )
-    b = groups.select(
-        "brand", F.col("rep_pk").alias("rb"), F.col("name").alias("nb")
-    )
-    pairs = (
-        a.join(F.broadcast(b), "brand")
-        .filter(F.col("ra") < F.col("rb"))
-        .filter(
-            F.abs(F.length("na") - F.length("nb")) <= GOLDEN_MAX_DIST
-        )
-        .filter(F.levenshtein("na", "nb") <= GOLDEN_MAX_DIST)
-        .select(F.col("ra").alias("a"), F.col("rb").alias("b"))
-    )
-    labels = min_label_components(pairs)
+    labels = min_label_components(_golden_candidate_pairs(groups))
     enriched = groups.join(
         labels.withColumnRenamed("id", "rep_pk"), "rep_pk", "left"
     ).select(

@@ -846,7 +846,8 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 < p2 pairs map-side — per-basket cost quadratic in basket SIZE
     (bounded, ~4 items), never in catalog or corpus size, and TWO
     fewer exchanges than the distinct + self-join formulation
-    (measured 2.2s -> ~1s at sf0.1).  Support counting is a
+    (measured 2.2s -> 1.7s at sf0.1, BENCH_LOCAL r04).  Support
+    counting is a
     partial/final aggregate on the pair key; top-k is
     TakeOrderedAndProject.  The same shape computes token
     co-occurrence at 100 TB (documents as baskets)."""

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smile_spark.tables import table
+from smile_spark.tables import persisted_once, table
 
 KMV_K = 256
 HASH_SPACE = 2**32
@@ -411,8 +411,13 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).distinct()
-    regs = (
-        toks.select(
+    # three consumers (state_a, state_b, merged union); memoized per
+    # application so repeated invocations reuse ONE cache entry
+    regs = persisted_once(
+        spark,
+        "hll_overlap_regs",
+        sf_dir,
+        lambda: toks.select(
             "source",
             (F.expr(_HASH_SPARK) % HLL_M).alias("bucket"),
             F.expr(
@@ -420,8 +425,7 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rho"),
         )
         .groupBy("source", "bucket")
-        .agg(F.max("rho").alias("mj"))
-        .persist()  # three consumers: state_a, state_b, merged union
+        .agg(F.max("rho").alias("mj")),
     )
 
     def _state(df: DataFrame, suffix: str) -> DataFrame:

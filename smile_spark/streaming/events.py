@@ -364,20 +364,21 @@ def streaming_hll_registers(
     from smile_spark.operators.sketch import hll_registers
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        bspark = batch.sparkSession
         regs = hll_registers(
             batch.select(F.col("user_id").cast("string").alias("tok"))
+        ).withColumn("batch_id", F.lit(batch_id))
+        # Idempotent per-batch partials: each micro-batch owns its own
+        # batch_id=N partition (dynamic overwrite rewrites ONLY that
+        # partition), so an at-least-once replay after a crash — or a
+        # crash mid-write — just rewrites the same partition instead
+        # of corrupting or double-merging a global state table.  The
+        # merged view is produced at READ time (hll_state_registers).
+        (
+            regs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
         )
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            state = bspark.read.parquet(state_dir)
-            regs = (
-                state.unionByName(regs)
-                .groupBy("bucket")
-                .agg(F.max("mj").alias("mj"))
-            )
-        tmp = state_dir + ".tmp"
-        regs.write.mode("overwrite").parquet(tmp)
-        bspark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
 
     q = (
         read_event_stream(spark, sf_dir)
@@ -390,6 +391,18 @@ def streaming_hll_registers(
     q.stop()
 
 
+def hll_state_registers(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged view of the streaming HLL state: register-wise MAX over
+    the per-batch partials.  O(#batches x 256) rows scanned — if batch
+    count ever mattered, MAX-merge associativity licenses folding old
+    partials into one base partition (compaction), same as any LSM."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+
+
 def streaming_cms_counters(
     spark: SparkSession, sf_dir: str, state_dir: str, ckpt_dir: str
 ) -> None:
@@ -398,14 +411,20 @@ def streaming_cms_counters(
     SUM-merge sibling of :func:`streaming_hll_registers`'s MAX-merge
     (together they cover both sketch merge algebras).
 
-    Per micro-batch: build the batch's (d, b) counter grid, union with
-    persisted state, and SUM per cell.  Counter addition is
-    associative, so the final state equals the single-pass batch
-    counters regardless of batching (asserted in tests).  State is
-    depth×width rows forever; a heavy-hitter query reads it at any
-    time without touching history.
+    Per micro-batch: build the batch's (d, b) counter grid and write
+    it as an idempotent per-batch partial (its own ``batch_id=N``
+    partition, dynamic overwrite).  Unlike the HLL sibling — whose
+    MAX merge is idempotent and could tolerate in-place re-merge —
+    SUM would DOUBLE-COUNT a replayed batch under the at-least-once
+    ``foreachBatch`` contract, so the global grid is never mutated in
+    place: a replay rewrites the same partition, and the merged grid
+    is summed at read time (:func:`cms_state_counters`), making the
+    maintained counters equal the single-pass batch counters
+    regardless of batching, crashes, or replays (asserted in tests).
+    Per-batch partials are depth×width rows; compaction (folding old
+    partials into one base partition) is licensed by SUM
+    associativity if batch count ever mattered.
     """
-    import os
 
     def counters_of(df: DataFrame) -> DataFrame:
         from smile_spark.operators.sketch import (
@@ -432,18 +451,13 @@ def streaming_cms_counters(
         )
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        bspark = batch.sparkSession
-        grid = counters_of(batch)
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            state = bspark.read.parquet(state_dir)
-            grid = (
-                state.unionByName(grid)
-                .groupBy("d", "b")
-                .agg(F.sum("c").alias("c"))
-            )
-        tmp = state_dir + ".tmp"
-        grid.write.mode("overwrite").parquet(tmp)
-        bspark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+        grid = counters_of(batch).withColumn("batch_id", F.lit(batch_id))
+        (
+            grid.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
 
     q = (
         read_event_stream(spark, sf_dir)
@@ -454,3 +468,14 @@ def streaming_cms_counters(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def cms_state_counters(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged view of the streaming CMS state: per-cell SUM over the
+    per-batch partials (the read-time half of the idempotent-partial
+    design — see :func:`streaming_cms_counters`)."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("d", "b")
+        .agg(F.sum("c").alias("c"))
+    )

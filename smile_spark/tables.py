@@ -95,6 +95,27 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(partitions)
 
 
+# Persisted intermediates memoized per (application, tag, sf_dir):
+# query functions that .persist() a multi-consumer intermediate would
+# otherwise leak one cache entry PER INVOCATION for the application's
+# lifetime (the bench harness calls each query several times).  Same
+# build-once contract as dedup._LSH_PAIR_CACHE.
+_PERSIST_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def persisted_once(
+    spark: SparkSession, tag: str, sf_dir: str, build
+) -> DataFrame:
+    """Build → persist a DataFrame once per (application, tag, sf_dir)
+    and hand every later invocation the SAME cached instance.
+    ``build`` is a zero-arg callable returning the DataFrame;
+    StorageLevel is MEMORY_AND_DISK (spills rather than OOMs)."""
+    key = (spark.sparkContext.applicationId, tag, sf_dir)
+    if key not in _PERSIST_CACHE:
+        _PERSIST_CACHE[key] = build().persist()
+    return _PERSIST_CACHE[key]
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table; keys are table names."""
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}

@@ -70,7 +70,7 @@ def test_winsorize_approx_tracks_exact(spark, sf_dir):
     the winsorized mean within 0.5%."""
     from smile_spark.operators.analytics import (
         winsorize_prices,
-        winsorize_prices_approx,
+        winsorize_prices_approx_summary,
     )
 
     exact = {
@@ -79,7 +79,7 @@ def test_winsorize_approx_tracks_exact(spark, sf_dir):
     }
     approx = {
         r.l_returnflag: r
-        for r in winsorize_prices_approx(spark, sf_dir).collect()
+        for r in winsorize_prices_approx_summary(spark, sf_dir).collect()
     }
     li = table(spark, sf_dir, "lineitem")
     sizes = {
@@ -98,6 +98,20 @@ def test_winsorize_approx_tracks_exact(spark, sf_dir):
         assert abs(a.n_clipped_high - e.n_clipped_high) <= 0.015 * n
         rel = abs(a.winsorized_avg - e.winsorized_avg) / e.winsorized_avg
         assert rel < 0.005, (flag, e.winsorized_avg, a.winsorized_avg)
+
+
+def test_winsorize_approx_certificate_all_true(spark, sf_dir):
+    """The registered certificate query must emit lo/hi_in_tolerance
+    TRUE for every group (matching the oracle's literal TRUE): the
+    sketch's bounds sit within WINSOR_RANK_EPS rank error of the
+    target quantiles.  A sketch regression flips a boolean and fails
+    both this test and the driver's value-hash gate."""
+    from smile_spark.operators.analytics import winsorize_prices_approx
+
+    rows = winsorize_prices_approx(spark, sf_dir).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r.lo_in_tolerance and r.hi_in_tolerance, r
 
 
 def test_hll_error_bound_on_large_domain(spark, sf_dir):

@@ -59,9 +59,15 @@ def test_route_paths_are_well_formed(spark, sf_dir):
 
     rows = shortest_path_route(spark, sf_dir).collect()
     assert rows, "route set must be non-empty on the fixture graph"
+    closed = [r for r in rows if r.closed]
+    assert closed, "at least one closed route on the fixture graph"
     for r in rows:
         hops = r.path.split("->")
-        assert int(hops[0]) == r.source
+        # unclosed routes (pred chain did not reach the source within
+        # the backtrack cap) are flagged, not dropped: their partial
+        # path still ends at the target but starts mid-chain
+        if r.closed:
+            assert int(hops[0]) == r.source
         assert int(hops[-1]) == r.target
         assert len(hops) - 1 == r.n_hops
         assert 1 <= r.n_hops <= SSSP_ROUNDS

@@ -49,6 +49,25 @@ def test_ivf_index_search_matches_inmemory(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "cid" in plan
 
 
+def test_ann_ivf_indexed_registered(spark, sf_dir):
+    """The driver-registered ann_ivf_indexed (build-once cached index
+    + pruned probe) must match the in-memory IVF path exactly AND keep
+    the partition-prune plan shape — the plan assert promoted into the
+    registered query, not just the raw ivf_search_indexed helper."""
+    from smile_spark.operators.similarity import (
+        ann_ivf_indexed,
+        ann_ivf_topk,
+    )
+    from smile_spark.plans.audit import formatted_plan
+
+    indexed = ann_ivf_indexed(spark, sf_dir)
+    inmem = ann_ivf_topk(spark, sf_dir)
+    assert indexed.exceptAll(inmem).isEmpty()
+    assert inmem.exceptAll(indexed).isEmpty()
+    plan = formatted_plan(indexed)
+    assert "PartitionFilters" in plan and "cid" in plan
+
+
 def test_kmeans_lloyd_iteration_improves_inertia(spark, sf_dir):
     """One Lloyd update must not increase total inertia (the textbook
     monotonicity guarantee) — checked on the real fixture corpus."""

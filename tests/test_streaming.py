@@ -254,7 +254,10 @@ def test_streaming_hll_state_equals_batch_registers(spark, sf_dir, tmp_path):
         hll_estimate_from_registers,
         hll_registers,
     )
-    from smile_spark.streaming.events import streaming_hll_registers
+    from smile_spark.streaming.events import (
+        hll_state_registers,
+        streaming_hll_registers,
+    )
     from smile_spark.tables import table
 
     state = str(tmp_path / "hll_state")
@@ -265,7 +268,7 @@ def test_streaming_hll_state_equals_batch_registers(spark, sf_dir, tmp_path):
         F.col("user_id").cast("string").alias("tok")
     )
     batch_regs = hll_registers(users)
-    stream_regs = spark.read.parquet(state)
+    stream_regs = hll_state_registers(spark, state)
     assert batch_regs.exceptAll(stream_regs).count() == 0
     assert stream_regs.exceptAll(batch_regs).count() == 0
 
@@ -283,7 +286,10 @@ def test_streaming_cms_state_equals_batch_counters(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from smile_spark.operators.sketch import CMS_DEPTH, _cms_hash_spark
-    from smile_spark.streaming.events import streaming_cms_counters
+    from smile_spark.streaming.events import (
+        cms_state_counters,
+        streaming_cms_counters,
+    )
     from smile_spark.tables import table
 
     state = str(tmp_path / "cms_state")
@@ -310,6 +316,16 @@ def test_streaming_cms_state_equals_batch_counters(spark, sf_dir, tmp_path):
         .groupBy("h.d", "h.b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    stream_grid = spark.read.parquet(state)
+    stream_grid = cms_state_counters(spark, state)
     assert batch_grid.exceptAll(stream_grid).count() == 0
     assert stream_grid.exceptAll(batch_grid).count() == 0
+
+    # At-least-once replay: re-running the whole stream against the
+    # SAME state dir (fresh checkpoint = every batch re-delivered)
+    # must leave the merged grid unchanged — per-batch partials are
+    # overwritten in place, never re-summed into a global table.  The
+    # previous in-place SUM-merge design would double every counter.
+    streaming_cms_counters(spark, sf_dir, state, str(tmp_path / "ckpt2"))
+    replayed = cms_state_counters(spark, state)
+    assert batch_grid.exceptAll(replayed).count() == 0
+    assert replayed.exceptAll(batch_grid).count() == 0
