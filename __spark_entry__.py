@@ -113,13 +113,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": AN.date_parts,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r06 NOTE: rotate the r03-green block (grouping_sets_
-        # summary .. zscore_normalize, immediately below — 41 entries,
+        # round; r06 NOTE: rotate (a) token_entropy + equi_depth_bins
+        # (NEW in r05, first driver verdict pending — pytest parity
+        # green at sf0.001/sf0.01), then (b) the r03-green block
+        # (grouping_sets_summary .. zscore_normalize — 41 entries,
         # newest verdicts then 3 rounds old) plus bigram_pmi /
         # decontaminate / hll_source_overlap (memoization-only change
         # in r05) into the next window first; the r04-green block sits
         # at the very back.
         # ------------------------------------------------------------------
+        "token_entropy": T.token_entropy,
+        "equi_depth_bins": AN.equi_depth_bins,
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -474,6 +478,8 @@ def oracle_sql() -> dict[str, str]:
         # physical access path differs), so it shares the oracle
         "ann_ivf_indexed": S.ann_ivf_sql(),
         "containment_topk": D.CONTAINMENT_TOPK_SQL,
+        "token_entropy": T.TOKEN_ENTROPY_SQL,
+        "equi_depth_bins": AN.EQUI_DEPTH_BINS_SQL,
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

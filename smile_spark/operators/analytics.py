@@ -1275,6 +1275,65 @@ WINSORIZE_PRICES_SQL = (
 )
 
 
+EQUI_DEPTH_NBINS = 10
+_EQUI_DEPTH_QS = [i / EQUI_DEPTH_NBINS for i in range(1, EQUI_DEPTH_NBINS)]
+
+
+def equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-DEPTH (quantile) binning of l_extendedprice — the
+    histogram a profiler wants when the distribution is skewed and
+    equal-width bins (price_histogram) put everything in two buckets.
+
+    Bin bounds are the exact deciles rounded to cents (prices are
+    2-decimal, so the rounded bound compares identically on both
+    engines — the winsorize discipline); each row's bin is the count
+    of bounds strictly below it, computed by a higher-order filter
+    over the broadcast single-row bounds array — NO per-row join, no
+    sort.  Plan: one tiny percentile aggregate broadcast onto the
+    scan, then one partial/final aggregate keyed by the ≤NBINS bin
+    ids.  At 100 TB the bounds pass switches to approx_percentile
+    (the winsorize_prices_approx certificate pattern applies
+    unchanged)."""
+    li = table(spark, sf_dir, "lineitem")
+    qlist = ", ".join(f"{q}D" for q in _EQUI_DEPTH_QS)
+    bounds = li.agg(
+        F.expr(
+            f"transform(percentile(l_extendedprice, array({qlist})),"
+            " b -> round(b, 2))"
+        ).alias("qs")
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.expr("size(filter(qs, b -> l_extendedprice > b))") + 1
+        ).cast("bigint").alias("bin"),
+        "l_extendedprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        dsum("l_extendedprice", "sum_price"),
+    )
+
+
+EQUI_DEPTH_BINS_SQL = (
+    "WITH bounds AS (SELECT list_transform("
+    "  quantile_cont(l_extendedprice,"
+    f"  [{', '.join(str(q) for q in _EQUI_DEPTH_QS)}]),"
+    "  b -> ROUND(b, 2)) AS qs FROM lineitem),"
+    " binned AS (SELECT"
+    "  CAST(len(list_filter(qs, b -> l_extendedprice > b)) + 1 AS BIGINT)"
+    "   AS bin,"
+    "  l_extendedprice"
+    "  FROM lineitem CROSS JOIN bounds)"
+    " SELECT bin, COUNT(*) AS n,"
+    "  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,"
+    "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    "   AS sum_price"
+    " FROM binned GROUP BY bin"
+)
+
+
 def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score standardization of l_quantity — the feature-
     scaling verb of a training pipeline.  Group moments accumulate

@@ -204,6 +204,79 @@ def lang_id_sql() -> str:
     )
 
 
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy — the perplexity-proxy
+    quality signal (low entropy = repetitive/boilerplate text, the
+    docs a training pipeline down-weights before any model-based
+    scoring).  Emits (doc_id, n_tokens, n_distinct, ttr, entropy):
+    type-token ratio and Shannon entropy -Σ p·log2(p) over the
+    token frequency distribution.
+
+    Cross-engine determinism: each entropy term p·log2(p) is the
+    IDENTICAL double expression in both engines, quantized to
+    DECIMAL(18,12) per term so the per-group SUM is exact and
+    order-independent (float summation order across engines is not) —
+    the corr_stats moment discipline applied to an information
+    measure.
+
+    Shape: explode → (doc, token) count (map-side partial) → per-doc
+    totals → term sum; the joined tables are vocabulary-sized, never
+    corpus-text-sized, and there is no per-row Python anywhere.
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("nd")
+    )
+    p = F.col("c") / F.col("n")  # bigint/bigint → double in both engines
+    terms = (
+        counts.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n",
+            "nd",
+            F.round(p * F.log2(p), 12).cast("decimal(18,12)").alias("term"),
+        )
+        .groupBy("doc_id", "n", "nd")
+        .agg(F.sum("term").alias("tsum"))
+    )
+    return terms.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("nd").cast("bigint").alias("n_distinct"),
+        F.round(F.col("nd") / F.col("n").cast("double"), 6).alias("ttr"),
+        F.round(-F.col("tsum").cast("double"), 6).alias("entropy"),
+    )
+
+
+TOKEN_ENTROPY_SQL = (
+    "WITH toks AS ("
+    "  SELECT doc_id, tok FROM documents,"
+    "  unnest(string_split(text, ' ')) t(tok)),"
+    " counts AS (SELECT doc_id, tok, COUNT(*) AS c"
+    "  FROM toks GROUP BY 1, 2),"
+    " totals AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd"
+    "  FROM counts GROUP BY 1),"
+    " terms AS ("
+    "  SELECT c.doc_id, t.n, t.nd,"
+    "   CAST(ROUND((c.c / CAST(t.n AS DOUBLE))"
+    "    * log2(c.c / CAST(t.n AS DOUBLE)), 12) AS DECIMAL(18,12))"
+    "    AS term"
+    "  FROM counts c JOIN totals t ON t.doc_id = c.doc_id),"
+    " sums AS (SELECT doc_id, n, nd, SUM(term) AS tsum"
+    "  FROM terms GROUP BY 1, 2, 3)"
+    " SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,"
+    "  CAST(nd AS BIGINT) AS n_distinct,"
+    "  ROUND(nd / CAST(n AS DOUBLE), 6) AS ttr,"
+    "  ROUND(-CAST(tsum AS DOUBLE), 6) AS entropy"
+    " FROM sums"
+)
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 content hash + a rolling polynomial
     hash (Rabin-Karp-style, base 31 mod 1e9+7) computed as a fold over

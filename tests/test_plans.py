@@ -126,6 +126,8 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "vocab_coverage", "column_profile", "tfidf_top_terms",
         # salt replication: crossJoin against a broadcast 8-row salt table
         "skew_salted_revenue",
+        # crossJoin against the broadcast SINGLE-ROW decile-bounds array
+        "equi_depth_bins",
     }
     for name, fn in sorted(entry_mod.queries().items()):
         if name in skip:

@@ -1,0 +1,68 @@
+"""Semantic invariants for the round-5 operators (oracle parity is in
+test_parity.py; these pin the properties parity alone can't see)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from smile_spark.tables import table
+
+
+def test_token_entropy_information_bounds(spark, sf_dir):
+    """Shannon bounds: 0 <= H <= log2(n_distinct); ttr in (0, 1];
+    distinct count never exceeds token count; a single-type document
+    (if any) has H = 0."""
+    from smile_spark.operators.text import token_entropy
+
+    rows = token_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.entropy <= math.log2(r.n_distinct) + 1e-6, r
+        assert 0 < r.ttr <= 1.0 + 1e-12, r
+        assert r.n_distinct <= r.n_tokens, r
+        if r.n_distinct == 1:
+            assert r.entropy == 0.0, r
+
+
+def test_token_entropy_uniform_doc_hits_log2(spark, sf_dir):
+    """All-distinct-token documents must hit the upper bound
+    H = log2(n) exactly (to rounding): ttr == 1 → uniform
+    distribution."""
+    from smile_spark.operators.text import token_entropy
+
+    uni = token_entropy(spark, sf_dir).filter(F.col("ttr") >= 1.0)
+    for r in uni.collect():
+        assert abs(r.entropy - math.log2(r.n_tokens)) < 1e-5, r
+
+
+def test_equi_depth_bins_partition_and_order(spark, sf_dir):
+    """The decile bins must partition the scan (counts sum to the row
+    count), stay in 1..NBINS, be roughly equal-depth (each within 25%
+    of the mean — 2-decimal price ties blur exact equality), and be
+    value-ordered: hi of bin k <= lo of bin k+1."""
+    from smile_spark.operators.analytics import (
+        EQUI_DEPTH_NBINS,
+        equi_depth_bins,
+    )
+
+    rows = sorted(equi_depth_bins(spark, sf_dir).collect(),
+                  key=lambda r: r.bin)
+    total = table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n for r in rows) == total
+    assert [r.bin for r in rows] == list(range(1, EQUI_DEPTH_NBINS + 1))
+    mean = total / EQUI_DEPTH_NBINS
+    for r in rows:
+        assert abs(r.n - mean) < 0.25 * mean, r
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo, (a, b)
+
+
+def test_containment_at_least_jaccard(spark, sf_dir):
+    """For any directed pair, containment >= the pair's Jaccard
+    (|A∩B|/|A| >= |A∩B|/|A∪B|), and containment is in (0, 1]."""
+    from smile_spark.operators.dedup import containment_topk
+
+    rows = containment_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.containment <= 1.0 + 1e-12, r
