@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round; r06 NOTE: rotate (a) token_entropy + equi_depth_bins
+        # + skyline_pareto + mad_outliers + the other NEW-in-r05 tail
+        # entries below them
         # (NEW in r05, first driver verdict pending — pytest parity
         # green at sf0.001/sf0.01), then (b) the r03-green block
         # (grouping_sets_summary .. zscore_normalize — 41 entries,
@@ -124,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         "token_entropy": T.token_entropy,
         "equi_depth_bins": AN.equi_depth_bins,
+        "skyline_pareto": AN.skyline_pareto,
+        "mad_outliers": Q.mad_outliers,
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -480,6 +484,8 @@ def oracle_sql() -> dict[str, str]:
         "containment_topk": D.CONTAINMENT_TOPK_SQL,
         "token_entropy": T.TOKEN_ENTROPY_SQL,
         "equi_depth_bins": AN.EQUI_DEPTH_BINS_SQL,
+        "skyline_pareto": AN.SKYLINE_PARETO_SQL,
+        "mad_outliers": Q.MAD_OUTLIERS_SQL,
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

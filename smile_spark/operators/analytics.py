@@ -1509,3 +1509,80 @@ WEIGHTED_SAMPLE_TOPK_SQL = (
     "  FROM documents))"
     f" WHERE rn <= {WEIGHTED_SAMPLE_K}"
 )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+SKYLINE_BUCKETS = 64
+
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts by (avg_price minimize, total_qty
+    maximize) — the skyline operator (Borzsony/Kossmann/Stocker,
+    ICDE'01): a part survives iff no other part is at-least-as-good in
+    both dimensions and strictly better in one.
+
+    Naive skyline is an O(N²) dominance self-join.  The 2-D case
+    admits an O(N log N) sort-based form, and — because the union of
+    per-partition skylines always contains the global skyline — it
+    distributes as a lossless two-level prune:
+
+    1. LOCAL: hash parts into SKYLINE_BUCKETS salt buckets; inside
+       each bucket collapse to per-price groups (gmax = best qty at
+       that price), then one rows-frame running max over strictly
+       lower prices (prevmax).  A part is bucket-locally dominated
+       iff prevmax ≥ qty (strictly cheaper, no worse) or
+       gmax > qty (same price, strictly better).  64-way parallel
+       windows, each over N/64 rows.
+    2. GLOBAL: re-run the identical logic on the survivors (frontier-
+       sized, ≤ a few points per bucket in practice) in one tiny
+       window.
+
+    At 100 TB the local stage is the only pass that touches the full
+    aggregate table, and it is embarrassment-parallel; the global pass
+    sees kilobytes.  No dominance join ever materializes.  The
+    reference has no such operator (SURVEY.md §2.2 — no sorts); this
+    is produced by the same window machinery as window_rank.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        davg("l_extendedprice", "avg_price"),
+        dsum("l_quantity", "total_qty"),
+    )
+
+    def _skyline(df: DataFrame, part_cols: list[str]) -> DataFrame:
+        grp = part_cols + ["avg_price"]
+        pg = df.groupBy(*grp).agg(F.max("total_qty").alias("gmax"))
+        w = (
+            Window.partitionBy(*part_cols)
+            if part_cols
+            else Window.partitionBy(F.lit(1))
+        ).orderBy("avg_price").rowsBetween(Window.unboundedPreceding, -1)
+        pg = pg.withColumn("prevmax", F.max("gmax").over(w))
+        out = df.join(pg, grp)
+        return out.filter(
+            (F.col("prevmax").isNull() | (F.col("prevmax") < F.col("total_qty")))
+            & (F.col("gmax") <= F.col("total_qty"))
+        ).drop("gmax", "prevmax")
+
+    salted = per_part.withColumn(
+        "bkt", F.pmod(F.hash("l_partkey"), F.lit(SKYLINE_BUCKETS))
+    )
+    local = _skyline(salted, ["bkt"]).drop("bkt")
+    return _skyline(local, []).select("l_partkey", "avg_price", "total_qty")
+
+
+SKYLINE_PARETO_SQL = (
+    "WITH pp AS (SELECT l_partkey,"
+    "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    "   / COUNT(l_extendedprice) AS avg_price,"
+    "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+    "   AS total_qty"
+    "  FROM lineitem GROUP BY l_partkey)"
+    " SELECT p.l_partkey, p.avg_price, p.total_qty FROM pp p"
+    " WHERE NOT EXISTS (SELECT 1 FROM pp q"
+    "  WHERE q.avg_price <= p.avg_price AND q.total_qty >= p.total_qty"
+    "   AND (q.avg_price < p.avg_price OR q.total_qty > p.total_qty))"
+)

@@ -525,3 +525,85 @@ DISTRIBUTION_DRIFT_SQL = (
     " ), 6) AS psi_contrib"
     " FROM counts CROSS JOIN totals"
 )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier profiling (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0  # flag |x - median| > K * MAD
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust outlier profile of l_extendedprice via median
+    absolute deviation — the outlier rule that, unlike z-scores, is
+    not itself corrupted by the outliers it hunts (Hampel / robust
+    statistics 101; the data-quality screen a curation pipeline runs
+    before trusting numeric columns).
+
+    Emits one row per l_returnflag: median, MAD, row count, and the
+    count of rows with |x - med| > MAD_K·MAD.
+
+    Determinism: both medians interpolate identically (percentile ≡
+    quantile_cont — the percentiles precedent); every downstream
+    comparison evaluates the same IEEE ops on the same doubles in both
+    engines, and only the final report columns round.
+
+    Plan: percentile aggregate (3 groups) → broadcast back onto the
+    scan → second percentile aggregate → broadcast → conditional
+    count.  Two scans, two tiny broadcasts, zero row shuffles beyond
+    the 3-group aggregates.  At 100 TB the exact percentile buffers
+    every group's values — swap both medians for approx_percentile and
+    certify with the winsorize_prices_approx envelope pattern; the
+    operator shape is unchanged."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("med_price")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med_price"))
+    )
+    mad = dev.groupBy("l_returnflag", "med_price").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad_raw")
+    )
+    scored = dev.join(F.broadcast(mad), ["l_returnflag", "med_price"])
+    return (
+        scored.groupBy("l_returnflag", "med_price", "mad_raw")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("adev") > MAD_K * F.col("mad_raw")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("med_price", 6).alias("med_price"),
+            F.round("mad_raw", 6).alias("mad"),
+            "n_rows",
+            "n_outliers",
+        )
+    )
+
+
+MAD_OUTLIERS_SQL = (
+    "WITH med AS (SELECT l_returnflag,"
+    "  quantile_cont(l_extendedprice, 0.5) AS med_price"
+    "  FROM lineitem GROUP BY l_returnflag),"
+    " dev AS (SELECT l.l_returnflag, m.med_price,"
+    "  ABS(l.l_extendedprice - m.med_price) AS adev"
+    "  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),"
+    " mad AS (SELECT l_returnflag, med_price,"
+    "  quantile_cont(adev, 0.5) AS mad_raw"
+    "  FROM dev GROUP BY l_returnflag, med_price)"
+    " SELECT d.l_returnflag,"
+    "  ROUND(d.med_price, 6) AS med_price,"
+    "  ROUND(m.mad_raw, 6) AS mad,"
+    "  COUNT(*) AS n_rows,"
+    f" CAST(SUM(CASE WHEN d.adev > {MAD_K} * m.mad_raw THEN 1 ELSE 0 END)"
+    "   AS BIGINT) AS n_outliers"
+    " FROM dev d JOIN mad m"
+    "  ON d.l_returnflag = m.l_returnflag AND d.med_price = m.med_price"
+    " GROUP BY d.l_returnflag, d.med_price, m.mad_raw"
+)

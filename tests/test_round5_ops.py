@@ -66,3 +66,69 @@ def test_containment_at_least_jaccard(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 < r.containment <= 1.0 + 1e-12, r
+
+
+def test_skyline_pareto_mutual_nondominance(spark, sf_dir):
+    """No skyline member dominates another member, and every member
+    beats (or ties) the global best in at least one dimension."""
+    from smile_spark.operators.analytics import skyline_pareto
+
+    rows = skyline_pareto(spark, sf_dir).collect()
+    assert rows
+    for p in rows:
+        for q in rows:
+            dominated = (
+                q.avg_price <= p.avg_price
+                and q.total_qty >= p.total_qty
+                and (q.avg_price < p.avg_price or q.total_qty > p.total_qty)
+            )
+            assert not dominated, (p, q)
+    # frontier endpoints present: the global min-price and max-qty parts
+    best_price = min(r.avg_price for r in rows)
+    best_qty = max(r.total_qty for r in rows)
+    assert any(r.avg_price == best_price for r in rows)
+    assert any(r.total_qty == best_qty for r in rows)
+
+
+def test_skyline_pareto_members_undominated_globally(spark, sf_dir):
+    """Recompute the per-part aggregate directly; every emitted member
+    must be undominated against the FULL table, and every non-member
+    must be dominated by someone (completeness + soundness)."""
+    from smile_spark.operators.analytics import skyline_pareto
+    from smile_spark.functions.numeric import davg, dsum
+
+    li = table(spark, sf_dir, "lineitem")
+    pp = {
+        r.l_partkey: (r.avg_price, r.total_qty)
+        for r in li.groupBy("l_partkey")
+        .agg(davg("l_extendedprice", "avg_price"),
+             dsum("l_quantity", "total_qty"))
+        .collect()
+    }
+    members = {r.l_partkey for r in skyline_pareto(spark, sf_dir).collect()}
+
+    def dominated(pk):
+        px, py = pp[pk]
+        return any(
+            qx <= px and qy >= py and (qx < px or qy > py)
+            for qk, (qx, qy) in pp.items()
+            if qk != pk
+        )
+
+    for pk in pp:
+        assert (pk in members) == (not dominated(pk)), pk
+
+
+def test_mad_outliers_robustness_bounds(spark, sf_dir):
+    """MAD >= 0; outliers are a strict minority (by construction at
+    most half the group can sit beyond the median deviation, and 3x
+    that); counts are consistent with the raw table."""
+    from smile_spark.operators.quality import mad_outliers
+
+    rows = mad_outliers(spark, sf_dir).collect()
+    li_n = table(spark, sf_dir, "lineitem").count()
+    assert rows
+    assert sum(r.n_rows for r in rows) == li_n
+    for r in rows:
+        assert r.mad >= 0, r
+        assert 0 <= r.n_outliers < r.n_rows / 2, r
