@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_bins": AN.equi_depth_bins,
         "skyline_pareto": AN.skyline_pareto,
         "mad_outliers": Q.mad_outliers,
+        "setsim_join_prefix": D.setsim_join_prefix,
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -486,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "equi_depth_bins": AN.EQUI_DEPTH_BINS_SQL,
         "skyline_pareto": AN.SKYLINE_PARETO_SQL,
         "mad_outliers": Q.MAD_OUTLIERS_SQL,
+        "setsim_join_prefix": D.SETSIM_JOIN_SQL,
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

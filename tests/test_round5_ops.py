@@ -132,3 +132,39 @@ def test_mad_outliers_robustness_bounds(spark, sf_dir):
     for r in rows:
         assert r.mad >= 0, r
         assert 0 <= r.n_outliers < r.n_rows / 2, r
+
+
+def test_setsim_join_prefix_lossless_vs_bruteforce(spark, sf_dir):
+    """The prefix filter must be LOSSLESS: within a small blocked
+    subset, brute-force all-pairs Jaccard >= tau yields exactly the
+    operator's pairs restricted to that block; emitted rows respect
+    i <= min(na, nb) and jaccard >= tau."""
+    from smile_spark.operators.dedup import SETSIM_TAU, setsim_join_prefix
+
+    rows = setsim_join_prefix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.i <= min(r.na, r.nb), r
+        assert r.jaccard >= SETSIM_TAU, r
+
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .collect()
+    }
+    brute = set()
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            i = len(docs[a] & docs[b])
+            jac = round(i / (len(docs[a]) + len(docs[b]) - i), 6)
+            if jac >= SETSIM_TAU:
+                brute.add((a, b))
+    got = {
+        (r.a, r.b)
+        for r in rows
+        if r.a % 20 == 0 and r.b % 20 == 0
+    }
+    assert got == brute
