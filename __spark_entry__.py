@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_pareto": AN.skyline_pareto,
         "mad_outliers": Q.mad_outliers,
         "setsim_join_prefix": D.setsim_join_prefix,
+        "kcore_peel": G.kcore_peel,
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -488,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_pareto": AN.SKYLINE_PARETO_SQL,
         "mad_outliers": Q.MAD_OUTLIERS_SQL,
         "setsim_join_prefix": D.SETSIM_JOIN_SQL,
+        "kcore_peel": G.kcore_peel_sql(),
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

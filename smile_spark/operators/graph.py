@@ -980,3 +980,129 @@ def _sssp_field_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SSSP_FIELD_CACHE:
         _SSSP_FIELD_CACHE[key] = sssp(spark, sf_dir).localCheckpoint()
     return _SSSP_FIELD_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# k-core peel profile
+# ---------------------------------------------------------------------------
+
+KCORE_K = 80
+KCORE_ROUNDS = 8
+
+
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition peel profile of the part co-purchase graph
+    (parts adjacent when they share an order): iteratively delete
+    nodes with surviving degree < KCORE_K and emit one row per peel
+    round — (round, n_dropped, n_alive) — until the KCORE_ROUNDS-round
+    budget is spent.  The k-core (Seidman 1983) is the standard
+    density screen for community/cohesion analysis; the PROFILE is
+    what an operator dashboards (how fast the graph collapses says
+    more than the final core alone).
+
+    Determinism across engines: the peel sequence is a pure fixpoint
+    iteration — no tie-breaks, no ordering — so a FIXED number of
+    unrolled rounds yields identical rows on both engines even when
+    convergence lands early (post-convergence rounds emit n_dropped=0
+    deterministically).  The DuckDB oracle is the same peel unrolled
+    as KCORE_ROUNDS chained CTEs.
+
+    Scale: pair generation is the copurchase in-basket combinations
+    shape (quadratic only in basket size); each peel round is one
+    semi-join of edges against the alive set on BOTH endpoints plus a
+    count aggregate — all key equi-joins, localCheckpoint cuts the
+    per-round lineage exactly like bfs/pagerank.  Rounds are bounded
+    by the budget, not the graph: at 100 TB the same loop runs with
+    the alive set shrinking monotonically, and each dropped node
+    leaves the join inputs forever (work DEcreases per round).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    baskets = li.groupBy("ok").agg(
+        F.expr("array_sort(collect_set(pk))").alias("ps")
+    )
+    und = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    "  y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+        .distinct()
+    )
+    edges = (
+        und.select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .union(und.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+        .localCheckpoint()
+    )
+    alive = edges.select(F.col("u").alias("id")).distinct().localCheckpoint()
+    profile = None
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.join(alive, edges.u == alive.id, "left_semi")
+            .join(
+                alive.select(F.col("id").alias("vid")),
+                F.col("v") == F.col("vid"),
+                "left_semi",
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nxt = (
+            deg.filter(F.col("deg") >= KCORE_K)
+            .select(F.col("u").alias("id"))
+            .localCheckpoint()
+        )
+        row = (
+            alive.agg(F.count(F.lit(1)).alias("n_prev"))
+            .crossJoin(nxt.agg(F.count(F.lit(1)).alias("n_alive")))
+            .select(
+                F.lit(r).cast("bigint").alias("round"),
+                (F.col("n_prev") - F.col("n_alive"))
+                .cast("bigint")
+                .alias("n_dropped"),
+                F.col("n_alive").cast("bigint").alias("n_alive"),
+            )
+        )
+        profile = row if profile is None else profile.unionByName(row)
+        alive = nxt
+    return profile
+
+
+def kcore_peel_sql() -> str:
+    """Oracle: the identical peel unrolled as chained CTEs.  Every CTE
+    is MATERIALIZED — each a{r} is referenced three times (both join
+    sides of a{r+1} plus the profile counts), and DuckDB's default
+    CTE inlining re-evaluates per reference, which turns the chain
+    exponential (the un-hinted form did not finish at sf0.001;
+    materialized it is 0.1 s)."""
+    parts = [
+        "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
+        "  l_partkey AS pk FROM lineitem),",
+        " und AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v"
+        "  FROM lp a JOIN lp b"
+        "  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),",
+        " e AS MATERIALIZED (SELECT u, v FROM und"
+        "  UNION ALL SELECT v, u FROM und),",
+        " a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM e)",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f", a{r} AS MATERIALIZED (SELECT e.u AS id FROM e"
+            f" JOIN a{r - 1} x ON e.u = x.id"
+            f" JOIN a{r - 1} y ON e.v = y.id"
+            f" GROUP BY e.u HAVING COUNT(*) >= {KCORE_K})"
+        )
+    sels = [
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" CAST((SELECT COUNT(*) FROM a{r - 1})"
+        f"  - (SELECT COUNT(*) FROM a{r}) AS BIGINT) AS n_dropped,"
+        f" CAST((SELECT COUNT(*) FROM a{r}) AS BIGINT) AS n_alive"
+        for r in range(1, KCORE_ROUNDS + 1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(sels)

@@ -168,3 +168,46 @@ def test_setsim_join_prefix_lossless_vs_bruteforce(spark, sf_dir):
         if r.a % 20 == 0 and r.b % 20 == 0
     }
     assert got == brute
+
+
+def test_kcore_peel_profile_invariants(spark, sf_dir):
+    """Peel profile sanity: rounds 1..R in order; n_alive monotone
+    non-increasing; n_dropped consistent with consecutive n_alive;
+    once a round drops nothing, every later round drops nothing (the
+    peel is a fixpoint iteration); and a direct single-machine peel of
+    the same graph reproduces the profile exactly."""
+    import collections
+
+    from smile_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        kcore_peel,
+    )
+
+    rows = sorted(kcore_peel(spark, sf_dir).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == list(range(1, KCORE_ROUNDS + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_alive <= a.n_alive
+        assert b.n_dropped == a.n_alive - b.n_alive
+        if a.n_dropped == 0:
+            assert b.n_dropped == 0
+    # direct reference peel
+    li = table(spark, sf_dir, "lineitem")
+    baskets = collections.defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    adj = collections.defaultdict(set)
+    for ps in baskets.values():
+        ps = sorted(ps)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                adj[x].add(y)
+                adj[y].add(x)
+    alive = set(adj)
+    expect = []
+    for _ in range(KCORE_ROUNDS):
+        deg = {n: sum(1 for m in adj[n] if m in alive) for n in alive}
+        nxt = {n for n in alive if deg[n] >= KCORE_K}
+        expect.append((len(alive) - len(nxt), len(nxt)))
+        alive = nxt
+    assert [(r.n_dropped, r.n_alive) for r in rows] == expect
