@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": Q.mad_outliers,
         "setsim_join_prefix": D.setsim_join_prefix,
         "kcore_peel": G.kcore_peel,
+        "ewma_anomaly": B.ewma_anomaly,
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -490,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": Q.MAD_OUTLIERS_SQL,
         "setsim_join_prefix": D.SETSIM_JOIN_SQL,
         "kcore_peel": G.kcore_peel_sql(),
+        "ewma_anomaly": B.EWMA_ANOMALY_SQL,
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

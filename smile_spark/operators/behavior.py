@@ -355,3 +355,86 @@ SEASONALITY_PROFILE_SQL = (
     " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
     " FROM events GROUP BY 1, 2"
 )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-EWMA spike detection
+# ---------------------------------------------------------------------------
+
+EWMA_W = 8  # history window (lags); weights 0.5^1 .. 0.5^W
+EWMA_SPIKE_MULT = 2.0  # flag value > MULT * ewma of its history
+
+
+def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    with spike flags — the streaming-monitoring anomaly primitive
+    (is this event far above this user's recent level?), in batch
+    form.
+
+    The EWMA is TRUNCATED at EWMA_W lags: s_t = Σ_{k=1..W} 0.5^k ·
+    x_{t-k}.  Truncation is what makes the operator both scale-safe
+    (a bounded rows-frame window, state never grows with history
+    length) and cross-engine deterministic: each term x·0.5^d is the
+    identical double product on both engines (0.5^d is exact in
+    binary), quantized to DECIMAL(24,12) so the per-row SUM is
+    order-independent.  Rows with no history (rn = 1) are omitted —
+    there is nothing to compare against.
+
+    Plan: ONE shuffle by user_id, one sort per partition, then a
+    bounded collect_list frame folded JVM-side (higher-order
+    aggregate, no Python, no self-join).  The oracle computes the
+    same terms via a banded self-join — different plan, identical
+    quantized terms, identical sums.  At 100 TB this is the
+    hot-path shape for per-entity monitoring: window state is W
+    values per user regardless of corpus size."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist_w = w.rowsBetween(-EWMA_W, -1)
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.collect_list("value").over(hist_w).alias("hist"),
+    ).filter(F.size("hist") >= 1)
+    # hist is frame-ordered (oldest first); element i (0-based) sits
+    # size-i lags before the current row
+    term_sum = F.expr(
+        "aggregate(transform(hist, (x, i) ->"
+        " cast(round(x * power(0.5D, size(hist) - i), 12)"
+        "  as decimal(24,12))),"
+        " cast(0 as decimal(24,12)),"
+        " (acc, t) -> cast(acc + t as decimal(24,12)))"
+    )
+    # round in DECIMAL space (exact half-up on both engines), THEN cast:
+    # rounding after the double cast loses the half-case (65.8096875
+    # has no exact double and rounds down on one engine)
+    out = seq.withColumn("ewma_prev", F.round(term_sum, 6).cast("double"))
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("rn").cast("bigint").alias("rn"),
+        "value",
+        "ewma_prev",
+        (F.col("value") > EWMA_SPIKE_MULT * F.col("ewma_prev")).alias(
+            "is_spike"
+        ),
+    )
+
+
+EWMA_ANOMALY_SQL = (
+    "WITH seq AS (SELECT user_id, event_id, value,"
+    "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    "   AS rn FROM events),"
+    " terms AS (SELECT c.user_id, c.event_id, c.rn, c.value,"
+    "  CAST(ROUND(p.value * POWER(0.5, c.rn - p.rn), 12)"
+    "   AS DECIMAL(24,12)) AS term"
+    "  FROM seq c JOIN seq p ON p.user_id = c.user_id"
+    f"  AND p.rn BETWEEN c.rn - {EWMA_W} AND c.rn - 1),"
+    " agg AS (SELECT user_id, event_id, rn, value,"
+    "  CAST(ROUND(SUM(term), 6) AS DOUBLE) AS ewma_prev"
+    "  FROM terms GROUP BY 1, 2, 3, 4)"
+    " SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn, value,"
+    f" ewma_prev, value > {EWMA_SPIKE_MULT} * ewma_prev AS is_spike"
+    " FROM agg"
+)

@@ -211,3 +211,49 @@ def test_kcore_peel_profile_invariants(spark, sf_dir):
         expect.append((len(alive) - len(nxt), len(nxt)))
         alive = nxt
     assert [(r.n_dropped, r.n_alive) for r in rows] == expect
+
+
+def test_ewma_anomaly_matches_direct_recurrence(spark, sf_dir):
+    """Recompute the truncated EWMA directly per user in Python and
+    compare every row; ewma never exceeds the max of its history
+    (weights sum < 1); spike flags are consistent with the emitted
+    ewma."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from smile_spark.operators.behavior import (
+        EWMA_SPIKE_MULT,
+        EWMA_W,
+        ewma_anomaly,
+    )
+
+    rows = ewma_anomaly(spark, sf_dir).collect()
+    assert rows
+    ev = sorted(
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    hist = {}
+    expect = {}
+    prev_user = None
+    seq = []
+    for r in ev:
+        if r.user_id != prev_user:
+            seq = []
+            prev_user = r.user_id
+        if seq:
+            window = seq[-EWMA_W:]
+            n = len(window)
+            s = sum(
+                Decimal(str(round(x * 0.5 ** (n - i), 12)))
+                for i, x in enumerate(window)
+            )
+            expect[(r.user_id, r.event_id)] = float(
+                s.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+        seq.append(r.value)
+    for r in rows:
+        want = expect[(r.user_id, r.event_id)]
+        assert abs(r.ewma_prev - want) < 1e-9, (r, want)
+        assert r.is_spike == (r.value > EWMA_SPIKE_MULT * r.ewma_prev), r
