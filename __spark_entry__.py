@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_join_prefix": D.setsim_join_prefix,
         "kcore_peel": G.kcore_peel,
         "ewma_anomaly": B.ewma_anomaly,
+        "ann_sq8_topk": S.ann_sq8_topk,
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -492,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "setsim_join_prefix": D.SETSIM_JOIN_SQL,
         "kcore_peel": G.kcore_peel_sql(),
         "ewma_anomaly": B.EWMA_ANOMALY_SQL,
+        "ann_sq8_topk": S.ANN_SQ8_SQL,
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

@@ -257,3 +257,30 @@ def test_ewma_anomaly_matches_direct_recurrence(spark, sf_dir):
         want = expect[(r.user_id, r.event_id)]
         assert abs(r.ewma_prev - want) < 1e-9, (r, want)
         assert r.is_spike == (r.value > EWMA_SPIKE_MULT * r.ewma_prev), r
+
+
+def test_ann_sq8_recall_vs_bruteforce(spark, sf_dir):
+    """SQ8 + exact re-rank must recover most of the true top-k
+    (recall >= 0.8 per query here; the re-rank pool is 3x k), and the
+    emitted cos_r values are the EXACT cosines (they come from the
+    re-rank, not the quantized scores)."""
+    from smile_spark.operators.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        ann_sq8_topk,
+    )
+
+    truth = {}
+    for r in ann_cosine_topk(spark, sf_dir).collect():
+        truth.setdefault(r.qid, {})[r.vec_id] = r.cos_r
+    got = {}
+    for r in ann_sq8_topk(spark, sf_dir).collect():
+        got.setdefault(r.qid, {})[r.vec_id] = r.cos_r
+    assert set(got) == set(truth)
+    for qid, t in truth.items():
+        g = got[qid]
+        assert len(g) == TOP_K
+        recall = len(set(g) & set(t)) / len(t)
+        assert recall >= 0.8, (qid, recall)
+        for vid in set(g) & set(t):
+            assert g[vid] == t[vid], (qid, vid)
