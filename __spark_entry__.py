@@ -27,6 +27,7 @@ from smile_spark.operators import pipeline as P
 from smile_spark.operators import quality as Q
 from smile_spark.operators import relational as R
 from smile_spark.operators import similarity as S
+from smile_spark.operators import spatial as SP
 from smile_spark.operators import sketch as K
 from smile_spark.operators import text as T
 from smile_spark.operators import windows as W
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel": G.kcore_peel,
         "ewma_anomaly": B.ewma_anomaly,
         "ann_sq8_topk": S.ann_sq8_topk,
+        "spatial_grid_join": SP.spatial_grid_join,
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -494,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_peel": G.kcore_peel_sql(),
         "ewma_anomaly": B.EWMA_ANOMALY_SQL,
         "ann_sq8_topk": S.ANN_SQ8_SQL,
+        "spatial_grid_join": SP.SPATIAL_GRID_JOIN_SQL,
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

@@ -284,3 +284,41 @@ def test_ann_sq8_recall_vs_bruteforce(spark, sf_dir):
         assert recall >= 0.8, (qid, recall)
         for vid in set(g) & set(t):
             assert g[vid] == t[vid], (qid, vid)
+
+
+def test_spatial_grid_join_complete_vs_bruteforce(spark, sf_dir):
+    """The 3x3 grid neighborhood must be COMPLETE: a direct all-pairs
+    distance computation over the synthesized coordinates produces
+    exactly the operator's pair set; all emitted d2 <= r^2."""
+    from smile_spark.operators.spatial import (
+        SPATIAL_RADIUS,
+        _KNUTH,
+        _TWO32,
+        spatial_grid_join,
+    )
+
+    def coord(key, salt):
+        return ((key * _KNUTH + salt) % _TWO32) / _TWO32
+
+    cust = [
+        r.c_custkey
+        for r in table(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+    supp = [
+        r.s_suppkey
+        for r in table(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    ]
+    r2 = SPATIAL_RADIUS * SPATIAL_RADIUS
+    brute = set()
+    for c in cust:
+        x, y = coord(c, 1), coord(c, 2)
+        for s in supp:
+            sx, sy = coord(s, 3), coord(s, 4)
+            if (x - sx) ** 2 + (y - sy) ** 2 <= r2:
+                brute.add((c, s))
+    rows = spatial_grid_join(spark, sf_dir).collect()
+    assert rows
+    got = {(r.c_custkey, r.s_suppkey) for r in rows}
+    assert got == brute
+    for r in rows:
+        assert r.d2 <= r2 + 1e-12, r
