@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_anomaly": B.ewma_anomaly,
         "ann_sq8_topk": S.ann_sq8_topk,
         "spatial_grid_join": SP.spatial_grid_join,
+        "join_size_estimate": K.join_size_estimate,
+        "clustering_coefficient": G.clustering_coefficient,
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -497,6 +499,8 @@ def oracle_sql() -> dict[str, str]:
         "ewma_anomaly": B.EWMA_ANOMALY_SQL,
         "ann_sq8_topk": S.ANN_SQ8_SQL,
         "spatial_grid_join": SP.SPATIAL_GRID_JOIN_SQL,
+        "join_size_estimate": K.JOIN_SIZE_ESTIMATE_SQL,
+        "clustering_coefficient": G.CLUSTERING_COEFFICIENT_SQL,
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

@@ -1106,3 +1106,107 @@ def kcore_peel_sql() -> str:
         for r in range(1, KCORE_ROUNDS + 1)
     ]
     return "".join(parts) + " " + " UNION ALL ".join(sels)
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the part
+    co-purchase graph: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the
+    Watts–Strogatz cohesion measure, the per-node refinement of a
+    global triangle count.
+
+    Triangle enumeration is the ORIENTED wedge join: undirected edges
+    stored once as (u < v); wedges (a<b<c) come from joining the edge
+    list with itself on the middle node, and each triangle closes by
+    ONE equi-join probe into the same edge list on (a, c) — every
+    triangle found exactly once, no cross join, no per-node adjacency
+    materialization.  Per-node counts then explode each triangle to
+    its three members (bounded 3x).  The id-orientation keeps the
+    wedge join quadratic only in per-node ORIENTED out-degree (half
+    the true degree on average; a production variant orients by
+    (degree, id) to bound it by O(sqrt(m)) on skewed graphs).
+
+    Returns (part, deg, n_tri, cc) for every node of the graph.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    baskets = li.groupBy("ok").agg(
+        F.expr("array_sort(collect_set(pk))").alias("ps")
+    )
+    und = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    "  y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.u", "pr.v")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(
+            F.explode(F.array("a", "b", "c")).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            F.col("id").alias("part"),
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("deg").cast("double") * (F.col("deg") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cc"),
+        )
+    )
+
+
+CLUSTERING_COEFFICIENT_SQL = (
+    "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
+    "  l_partkey AS pk FROM lineitem),"
+    " und AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v"
+    "  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),"
+    " deg AS (SELECT id, COUNT(*) AS deg FROM ("
+    "  SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id),"
+    " tri AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c"
+    "  FROM und e1 JOIN und e2 ON e1.v = e2.u"
+    "  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),"
+    " pertri AS (SELECT id, COUNT(*) AS n_tri FROM ("
+    "  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri"
+    "  UNION ALL SELECT c FROM tri) GROUP BY id)"
+    " SELECT deg.id AS part, CAST(deg.deg AS BIGINT) AS deg,"
+    " CAST(COALESCE(pertri.n_tri, 0) AS BIGINT) AS n_tri,"
+    " ROUND(CASE WHEN deg.deg >= 2 THEN"
+    "  2.0 * COALESCE(pertri.n_tri, 0)"
+    "   / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1))"
+    "  ELSE 0.0 END, 6) AS cc"
+    " FROM deg LEFT JOIN pertri ON pertri.id = deg.id"
+)

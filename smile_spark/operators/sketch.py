@@ -506,3 +506,92 @@ def hll_source_overlap_sql() -> str:
         " exact_intersect"
         " FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN exact"
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation by correlated sampling
+# ---------------------------------------------------------------------------
+
+JSE_RATE = 16  # sample keys with h(key) < HASH_SPACE / JSE_RATE
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |orders ⋈ high-balance customers| WITHOUT running the
+    join — the sketch a cost-based optimizer consults before picking
+    join order.  Correlated sampling (Vengerov et al., VLDB'15): both
+    sides keep only keys whose shared hash falls under 1/JSE_RATE of
+    the hash space, the surviving per-key count products are summed
+    and scaled back up.  Because the SAME hash selects both sides,
+    matching keys survive together — unlike independent Bernoulli
+    sampling, which squares the survival probability and ruins join
+    estimates.
+
+    Emits the estimate NEXT TO the exact join size (the validation
+    column a production planner would not compute): (est_join_rows,
+    exact_join_rows, n_sampled_keys, rel_err).
+
+    Scale: the sketch path touches 1/16 of DISTINCT keys — the
+    shuffle is count-per-key rows on the sampled keys only, and the
+    filter h < threshold pushes to each side BEFORE the join.
+    Deterministic: the md5-prefix hash is the engine-portable pair
+    used by every sketch in this module."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    cnt_a = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cnt_b = c.groupBy(F.col("c_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    h = (
+        "cast(conv(substr(md5(cast(key as string)), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    thresh = HASH_SPACE // JSE_RATE
+    sa = cnt_a.filter(F.expr(h) < thresh)
+    sb = cnt_b.filter(F.expr(h) < thresh)
+    est = sa.join(sb, "key").agg(
+        (F.sum(F.col("ca") * F.col("cb")) * JSE_RATE)
+        .cast("bigint")
+        .alias("est_join_rows"),
+        F.count(F.lit(1)).alias("n_sampled_keys"),
+    )
+    exact = cnt_a.join(cnt_b, "key").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias(
+            "exact_join_rows"
+        )
+    )
+    return est.crossJoin(exact).select(
+        "est_join_rows",
+        "exact_join_rows",
+        "n_sampled_keys",
+        F.round(
+            (F.col("est_join_rows") - F.col("exact_join_rows"))
+            / F.col("exact_join_rows").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+JOIN_SIZE_ESTIMATE_SQL = (
+    "WITH cnt_a AS (SELECT o_custkey AS key, COUNT(*) AS ca"
+    "  FROM orders GROUP BY 1),"
+    " cnt_b AS (SELECT c_custkey AS key, COUNT(*) AS cb"
+    "  FROM customer WHERE c_acctbal > 5000 GROUP BY 1),"
+    " sa AS (SELECT * FROM cnt_a WHERE"
+    "  ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT"
+    f"  < {HASH_SPACE // JSE_RATE}),"
+    " sb AS (SELECT * FROM cnt_b WHERE"
+    "  ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT"
+    f"  < {HASH_SPACE // JSE_RATE}),"
+    " est AS (SELECT"
+    f"  CAST(SUM(ca * cb) * {JSE_RATE} AS BIGINT) AS est_join_rows,"
+    "  COUNT(*) AS n_sampled_keys"
+    "  FROM sa JOIN sb USING (key)),"
+    " exact AS (SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_join_rows"
+    "  FROM cnt_a JOIN cnt_b USING (key))"
+    " SELECT est_join_rows, exact_join_rows, n_sampled_keys,"
+    " ROUND((est_join_rows - exact_join_rows)"
+    "  / CAST(exact_join_rows AS DOUBLE), 6) AS rel_err"
+    " FROM est CROSS JOIN exact"
+)

@@ -322,3 +322,55 @@ def test_spatial_grid_join_complete_vs_bruteforce(spark, sf_dir):
     assert got == brute
     for r in rows:
         assert r.d2 <= r2 + 1e-12, r
+
+
+def test_join_size_estimate_accuracy(spark, sf_dir):
+    """The exact column must equal the actually-executed join count;
+    the correlated-sampling estimate must land within 50% (1/16
+    sampling over hundreds of matching keys)."""
+    from smile_spark.operators.sketch import join_size_estimate
+
+    row = join_size_estimate(spark, sf_dir).collect()[0]
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    true_n = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert row.exact_join_rows == true_n
+    assert row.n_sampled_keys > 0
+    assert abs(row.rel_err) <= 0.5, row
+
+
+def test_clustering_coefficient_bounds_and_closure(spark, sf_dir):
+    """cc in [0, 1]; per-node triangle counts sum to 3x the global
+    triangle count; a direct adjacency-set recomputation reproduces
+    (deg, n_tri) for every node."""
+    import collections
+
+    from smile_spark.operators.graph import clustering_coefficient
+
+    rows = clustering_coefficient(spark, sf_dir).collect()
+    assert rows
+    li = table(spark, sf_dir, "lineitem")
+    baskets = collections.defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    adj = collections.defaultdict(set)
+    for ps in baskets.values():
+        ps = sorted(ps)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                adj[x].add(y)
+                adj[y].add(x)
+    total_tri = 0
+    for r in rows:
+        assert 0.0 <= r.cc <= 1.0, r
+        nbrs = adj[r.part]
+        assert r.deg == len(nbrs), r
+        tri = sum(
+            1
+            for u in nbrs
+            for w in nbrs
+            if u < w and w in adj[u]
+        )
+        assert r.n_tri == tri, (r, tri)
+        total_tri += r.n_tri
+    assert total_tri % 3 == 0
