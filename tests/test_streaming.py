@@ -329,3 +329,24 @@ def test_streaming_cms_state_equals_batch_counters(spark, sf_dir, tmp_path):
     replayed = cms_state_counters(spark, state)
     assert batch_grid.exceptAll(replayed).count() == 0
     assert replayed.exceptAll(batch_grid).count() == 0
+
+
+def test_streaming_ewma_equals_batch(spark, sf_dir):
+    """The online truncated-EWMA must emit exactly the batch
+    ewma_anomaly rows (same scores, same spike flags) once the stream
+    drains — the batch/stream equality contract of the sketch
+    maintainers applied to a per-entity window operator."""
+    from smile_spark.operators.behavior import ewma_anomaly
+    from smile_spark.streaming.events import streaming_ewma
+
+    out = run_stream_to_memory(
+        streaming_ewma(spark, sf_dir), "t_ewma", output_mode="update"
+    ).toPandas()
+    batch = ewma_anomaly(spark, sf_dir).toPandas()
+    assert len(out) == len(batch)
+    key = ["user_id", "event_id"]
+    m = out.merge(batch, on=key, suffixes=("_s", "_b"))
+    assert len(m) == len(batch)
+    assert (m.rn_s == m.rn_b).all()
+    assert (m.ewma_prev_s == m.ewma_prev_b).all()
+    assert (m.is_spike_s == m.is_spike_b).all()
