@@ -114,10 +114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": AN.date_parts,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r06 NOTE: rotate (a) token_entropy + equi_depth_bins
-        # + skyline_pareto + mad_outliers + the other NEW-in-r05 tail
-        # entries below them
-        # (NEW in r05, first driver verdict pending — pytest parity
+        # round; r06 NOTE: rotate (a) the 11 NEW-in-r05 tail entries
+        # first — token_entropy, equi_depth_bins, skyline_pareto,
+        # mad_outliers, setsim_join_prefix, kcore_peel, ewma_anomaly,
+        # ann_sq8_topk, spatial_grid_join, join_size_estimate,
+        # clustering_coefficient
+        # (first driver verdict pending — pytest parity
         # green at sf0.001/sf0.01), then (b) the r03-green block
         # (grouping_sets_summary .. zscore_normalize — 41 entries,
         # newest verdicts then 3 rounds old) plus bigram_pmi /

@@ -112,6 +112,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # builds the persisted IVF index at plan time; its
         # partition-prune plan is asserted in test_similarity
         "ann_ivf_indexed",
+        # localCheckpoint the co-purchase edge set at plan time
+        # (kcore additionally iterates its peel rounds)
+        "kcore_peel", "clustering_coefficient",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set
@@ -128,6 +131,10 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "skew_salted_revenue",
         # crossJoin against the broadcast SINGLE-ROW decile-bounds array
         "equi_depth_bins",
+        # broadcast-crossJoin against the 1-row SQ8 stats + 3-row query set
+        "ann_sq8_topk",
+        # crossJoin of the two SINGLE-ROW estimate/exact aggregate legs
+        "join_size_estimate",
     }
     for name, fn in sorted(entry_mod.queries().items()):
         if name in skip:
