@@ -114,11 +114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": AN.date_parts,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r06 NOTE: rotate (a) the 11 NEW-in-r05 tail entries
+        # round; r06 NOTE: rotate (a) the 15 NEW-in-r05 tail entries
         # first — token_entropy, equi_depth_bins, skyline_pareto,
         # mad_outliers, setsim_join_prefix, kcore_peel, ewma_anomaly,
         # ann_sq8_topk, spatial_grid_join, join_size_estimate,
-        # clustering_coefficient
+        # clustering_coefficient, bm25_topk, bitmap_distinct,
+        # pattern_match_events, inverted_index_stats
         # (first driver verdict pending — pytest parity
         # green at sf0.001/sf0.01), then (b) the r03-green block
         # (grouping_sets_summary .. zscore_normalize — 41 entries,
@@ -138,6 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_grid_join": SP.spatial_grid_join,
         "join_size_estimate": K.join_size_estimate,
         "clustering_coefficient": G.clustering_coefficient,
+        "bm25_topk": T.bm25_topk,
+        "bitmap_distinct": K.bitmap_distinct,
+        "pattern_match_events": B.pattern_match_events,
+        "inverted_index_stats": T.inverted_index_stats,
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -503,6 +508,10 @@ def oracle_sql() -> dict[str, str]:
         "spatial_grid_join": SP.SPATIAL_GRID_JOIN_SQL,
         "join_size_estimate": K.JOIN_SIZE_ESTIMATE_SQL,
         "clustering_coefficient": G.CLUSTERING_COEFFICIENT_SQL,
+        "bm25_topk": T.bm25_topk_sql(),
+        "bitmap_distinct": K.BITMAP_DISTINCT_SQL,
+        "pattern_match_events": B.PATTERN_MATCH_EVENTS_SQL,
+        "inverted_index_stats": T.INVERTED_INDEX_STATS_SQL,
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

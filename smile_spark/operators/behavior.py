@@ -438,3 +438,56 @@ EWMA_ANOMALY_SQL = (
     f" ewma_prev, value > {EWMA_SPIKE_MULT} * ewma_prev AS is_spike"
     " FROM agg"
 )
+
+
+# ---------------------------------------------------------------------------
+# Consecutive-pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+PATTERN = ("view", "click", "purchase")
+
+
+def pattern_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of STRICTLY CONSECUTIVE view→click→purchase
+    event runs — the MATCH_RECOGNIZE / CEP primitive.  Differs from
+    funnel_conversion, which asks "did each stage EVER happen in
+    order"; here the three events must be adjacent in the user's
+    stream, the pattern a clickstream analyst means by "impulse
+    conversion".
+
+    Plan: ONE exchange on user_id, one per-partition sort, two LEAD
+    frames, conditional count — the sessionize shape; per-user cost ∝
+    that user's events.  Longer patterns add LEAD columns, not
+    passes; at 100 TB this is the window-reuse argument (all frames
+    share the single (user_id, ts) sort).  Emits users with ≥1 match:
+    (user_id, n_matches)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt1 = F.lead("event_type", 1).over(w)
+    nxt2 = F.lead("event_type", 2).over(w)
+    hit = (
+        (F.col("event_type") == PATTERN[0])
+        & (nxt1 == PATTERN[1])
+        & (nxt2 == PATTERN[2])
+    )
+    return (
+        ev.select("user_id", hit.cast("bigint").alias("hit"))
+        .groupBy("user_id")
+        .agg(F.sum("hit").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+PATTERN_MATCH_EVENTS_SQL = (
+    "WITH seq AS (SELECT user_id, event_type,"
+    "  LEAD(event_type, 1) OVER w AS nxt1,"
+    "  LEAD(event_type, 2) OVER w AS nxt2"
+    "  FROM events"
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
+    " SELECT user_id, CAST(SUM(CASE WHEN event_type = 'view'"
+    "  AND nxt1 = 'click' AND nxt2 = 'purchase'"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS n_matches"
+    " FROM seq GROUP BY user_id"
+    " HAVING SUM(CASE WHEN event_type = 'view' AND nxt1 = 'click'"
+    "  AND nxt2 = 'purchase' THEN 1 ELSE 0 END) > 0"
+)

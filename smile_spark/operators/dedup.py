@@ -987,19 +987,46 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(wdoc))
     )
     plen = F.col("n") - F.ceil(F.lit(SETSIM_TAU) * F.col("n")) + 1
-    prefix = ranked.filter(F.col("pos") <= plen).select("doc_id", "tok", "n")
-    pa = prefix.select(
-        F.col("doc_id").alias("a"), "tok", F.col("n").alias("na")
+    prefix = ranked.filter(F.col("pos") <= plen).select(
+        "doc_id", "tok", "n", "pos"
+    )
+    pa = fan_out(
+        prefix.select(
+            F.col("doc_id").alias("a"),
+            "tok",
+            F.col("n").alias("na"),
+            F.col("pos").alias("ia"),
+        )
     )
     pb = prefix.select(
-        F.col("doc_id").alias("b"), "tok", F.col("n").alias("nb")
+        F.col("doc_id").alias("b"),
+        "tok",
+        F.col("n").alias("nb"),
+        F.col("pos").alias("ib"),
+    )
+    # PPJoin positional filter: a shared prefix token at positions
+    # (ia, ib) bounds the overlap by 1 + min(na-ia, nb-ib); pairs that
+    # cannot reach the required alpha = ceil(tau/(1+tau)*(na+nb)) are
+    # dropped INSIDE the join (lossless: the bound holds for the first
+    # shared token of any qualifying pair).  On this template-heavy
+    # corpus the raw prefix join upper bound is 44M rows at sf0.1 —
+    # the inline filters keep that from ever reaching the distinct.
+    alpha = F.ceil(
+        F.lit(SETSIM_TAU / (1.0 + SETSIM_TAU)) * (F.col("na") + F.col("nb"))
     )
     cand = (
-        pa.join(pb, "tok")
+        pa.join(F.broadcast(pb), "tok")
         .filter(
             (F.col("a") < F.col("b"))
             & (F.col("nb") >= F.lit(SETSIM_TAU) * F.col("na"))
             & (F.col("na") >= F.lit(SETSIM_TAU) * F.col("nb"))
+            & (
+                1
+                + F.least(
+                    F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")
+                )
+                >= alpha
+            )
         )
         .select("a", "b", "na", "nb")
         .distinct()
@@ -1007,11 +1034,14 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays = toks.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tok")).alias("toks")
     )
+    # arrays is corpus-rows x ~doc-size strings (MBs) — broadcast both
+    # probes so verification is map-side and the candidate table never
+    # shuffles again
     verified = (
-        cand.join(arrays.select(F.col("doc_id").alias("a"),
-                                F.col("toks").alias("ta")), "a")
-        .join(arrays.select(F.col("doc_id").alias("b"),
-                            F.col("toks").alias("tb")), "b")
+        cand.join(F.broadcast(arrays.select(F.col("doc_id").alias("a"),
+                                F.col("toks").alias("ta"))), "a")
+        .join(F.broadcast(arrays.select(F.col("doc_id").alias("b"),
+                            F.col("toks").alias("tb"))), "b")
         .withColumn(
             "i", F.size(F.array_intersect("ta", "tb")).cast("bigint")
         )

@@ -595,3 +595,56 @@ JOIN_SIZE_ESTIMATE_SQL = (
     "  / CAST(exact_join_rows AS DOUBLE), 6) AS rel_err"
     " FROM est CROSS JOIN exact"
 )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index distinct counting (dense-id exact NDV)
+# ---------------------------------------------------------------------------
+
+
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via word-packed bitmaps —
+    the Roaring/groupBitmap technique (Druid, ClickHouse): when ids
+    are dense integers, COUNT(DISTINCT) becomes bit_or over packed
+    words followed by popcount, and the per-group state is id_range/32
+    words instead of one row per distinct value.  (32 ids per BIGINT
+    word: shift position 63 overflows DuckDB's checked <<, so the top
+    half of each word stays unused — same asymptotics.)
+
+    Why it beats COUNT(DISTINCT) at 100 TB: the shuffle carries
+    (group, word_idx, word) partials — mergeable by BIT_OR, which is
+    idempotent, so partial aggregation combines map-side AND the same
+    merge serves shards/streams/snapshots (set union = OR, the HLL
+    register contract made exact).  Intersections (users doing BOTH
+    event types) come from AND on the same words with no rescan.
+
+    Emits (event_type, n_users, n_words): popcount total and bitmap
+    state size; deterministic integer arithmetic end to end."""
+    ev = table(spark, sf_dir, "events")
+    packed = ev.select(
+        "event_type",
+        (F.col("user_id") / 32).cast("bigint").alias("word_idx"),
+        F.expr(
+            "shiftleft(cast(1 as bigint), cast(user_id % 32 as int))"
+        ).alias("mask"),
+    )
+    words = packed.groupBy("event_type", "word_idx").agg(
+        F.bit_or("mask").alias("w")
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("w")).cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+
+
+BITMAP_DISTINCT_SQL = (
+    "WITH packed AS (SELECT event_type,"
+    " CAST(user_id // 32 AS BIGINT) AS word_idx,"
+    " (CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS mask"
+    " FROM events),"
+    " words AS (SELECT event_type, word_idx, BIT_OR(mask) AS w"
+    "  FROM packed GROUP BY event_type, word_idx)"
+    " SELECT event_type, CAST(SUM(BIT_COUNT(w)) AS BIGINT) AS n_users,"
+    " COUNT(*) AS n_words"
+    " FROM words GROUP BY event_type"
+)

@@ -513,3 +513,162 @@ def vocab_coverage_sql() -> str:
         "  (ORDER BY c DESC, tok ASC) AS r FROM counts)"
         f" {selects}"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("scan", "merge", "window")
+BM25_TOP_K = 15
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed query term set — the
+    search-engine relevance function proper (Robertson & Zaragoza),
+    the saturating upgrade of tfidf_top_terms: tf gains diminish past
+    k1 and long documents are penalized by b·dl/avgdl.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Determinism: tf/df/dl are integers, avgdl and every per-term score
+    evaluate as the IDENTICAL double expression on both engines (ln is
+    the one libm call — the tfidf treatment), each term's contribution
+    quantizes to DECIMAL(18,12) so the per-doc sum over query terms is
+    order-independent, and the final score rounds to 6 digits before
+    ranking.
+
+    Plan: the tf table filters to the QUERY TERMS before any join —
+    at 100 TB the posting-list fetch touches |q| terms' rows, never
+    the corpus vocabulary; doc lengths are one doc-keyed aggregate
+    (computed anyway by any quality pass); N/avgdl are broadcast
+    1-row aggregates; top-k is TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    tf_q = (
+        toks.filter(F.expr(f"tok IN ({terms})"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_q = tf_q.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        (F.col("sum_dl") / F.col("n_docs").cast("double")).alias("avgdl"),
+        F.col("n_docs").cast("double").alias("n_docs"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf_q.join(F.broadcast(df_q), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 12).cast("decimal(18,12)").alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c"), 6).cast("double").alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "score", F.col("rn").cast("bigint").alias("rn")
+    )
+
+
+def bm25_topk_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        "WITH toks AS (SELECT doc_id, tok FROM documents,"
+        " unnest(string_split(text, ' ')) t(tok)),"
+        f" tf_q AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks"
+        f"  WHERE tok IN ({terms}) GROUP BY doc_id, tok),"
+        " df_q AS (SELECT tok, COUNT(*) AS df FROM tf_q GROUP BY tok),"
+        " dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),"
+        " stats AS (SELECT SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+        "  CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dl),"
+        " contrib AS (SELECT tf_q.doc_id,"
+        "  CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+        f"   * (tf * ({BM25_K1} + 1)) / (tf + {BM25_K1}"
+        f"    * (1 - {BM25_B} + {BM25_B} * dl / avgdl)), 12)"
+        "   AS DECIMAL(18,12)) AS c"
+        "  FROM tf_q JOIN df_q USING (tok) JOIN dl USING (doc_id)"
+        "  CROSS JOIN stats),"
+        " scored AS (SELECT doc_id,"
+        "  CAST(ROUND(SUM(c), 6) AS DOUBLE) AS score"
+        "  FROM contrib GROUP BY doc_id),"
+        " ranked AS (SELECT doc_id, score, ROW_NUMBER() OVER"
+        "  (ORDER BY score DESC, doc_id ASC) AS rn FROM scored)"
+        f" SELECT doc_id, score, rn FROM ranked WHERE rn <= {BM25_TOP_K}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary table of an inverted index: per token, document
+    frequency, collection frequency, posting-list span, and an md5
+    FINGERPRINT of the full sorted posting list — the artifact a
+    search/RAG pipeline materializes once and serves lookups from
+    (bm25_topk reads conceptually from this).
+
+    Hashing the posting list instead of emitting it keeps output rows
+    O(vocabulary) while still pinning every posting byte-for-byte
+    across engines (a lost or reordered doc id flips the md5) — the
+    same fingerprint-not-payload trick as graph_check.
+
+    Plan: one (doc_id, tok) count shuffle, one tok-keyed aggregate
+    whose list state is per-token df-bounded.  At 100 TB boilerplate
+    tokens make that state corpus-sized — production splits postings
+    into fixed-size blocks (tok, block_no) and fingerprints per
+    block; the fixture vocabulary needs no blocking."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(doc_id)),"
+                " x -> cast(x as string)), ',')"
+            )
+        ).alias("postings_md5"),
+    )
+
+
+INVERTED_INDEX_STATS_SQL = (
+    "WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM documents,"
+    " unnest(string_split(text, ' ')) t(tok) GROUP BY doc_id, tok)"
+    " SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,"
+    " MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,"
+    " md5(array_to_string(list(doc_id ORDER BY doc_id), ','))"
+    "  AS postings_md5"
+    " FROM tf GROUP BY tok"
+)

@@ -374,3 +374,108 @@ def test_clustering_coefficient_bounds_and_closure(spark, sf_dir):
         assert r.n_tri == tri, (r, tri)
         total_tri += r.n_tri
     assert total_tri % 3 == 0
+
+
+def test_bm25_monotone_and_positive(spark, sf_dir):
+    """BM25 scores are positive, ranked descending, and k rows come
+    back; a doc containing NO query term never outranks one that
+    does (scores of term-free docs are absent entirely)."""
+    from smile_spark.operators.text import (
+        BM25_QUERY_TERMS,
+        BM25_TOP_K,
+        bm25_topk,
+    )
+
+    rows = sorted(bm25_topk(spark, sf_dir).collect(), key=lambda r: r.rn)
+    assert len(rows) == BM25_TOP_K
+    assert all(r.score > 0 for r in rows)
+    assert all(a.score >= b.score for a, b in zip(rows, rows[1:]))
+    # every returned doc really contains >= 1 query term
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        assert docs[r.doc_id] & set(BM25_QUERY_TERMS), r
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    """The bitmap popcount must equal COUNT(DISTINCT) exactly, and the
+    word-state size must be <= ceil(max_id/32)+1 per group."""
+    from smile_spark.operators.sketch import bitmap_distinct
+
+    rows = {r.event_type: r for r in bitmap_distinct(spark, sf_dir).collect()}
+    truth = {
+        r.event_type: r.nd
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(rows) == set(truth)
+    max_id = (
+        table(spark, sf_dir, "events").agg(F.max("user_id")).collect()[0][0]
+    )
+    for et, r in rows.items():
+        assert r.n_users == truth[et], (et, r)
+        assert r.n_words <= max_id // 32 + 1, r
+
+
+def test_pattern_match_events_direct_scan(spark, sf_dir):
+    """A direct per-user ordered scan reproduces every match count;
+    no user with zero matches is emitted."""
+    from smile_spark.operators.behavior import PATTERN, pattern_match_events
+
+    ev = sorted(
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    seqs = {}
+    for r in ev:
+        seqs.setdefault(r.user_id, []).append(r.event_type)
+    expect = {}
+    for uid, seq in seqs.items():
+        n = sum(
+            1
+            for i in range(len(seq) - len(PATTERN) + 1)
+            if tuple(seq[i : i + len(PATTERN)]) == PATTERN
+        )
+        if n:
+            expect[uid] = n
+    got = {
+        r.user_id: r.n_matches
+        for r in pattern_match_events(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_inverted_index_stats_fingerprints(spark, sf_dir):
+    """df/cf/posting fingerprints agree with a direct recomputation
+    for a sample of tokens; df <= cf; first_doc <= last_doc."""
+    import collections
+    import hashlib
+
+    from smile_spark.operators.text import inverted_index_stats
+
+    rows = {r.tok: r for r in inverted_index_stats(spark, sf_dir).collect()}
+    assert rows
+    postings = collections.defaultdict(list)
+    cf = collections.Counter()
+    for r in table(spark, sf_dir, "documents").collect():
+        seen = collections.Counter(r.text.split(" "))
+        for tok, c in seen.items():
+            postings[tok].append(r.doc_id)
+            cf[tok] += c
+    assert set(rows) == set(postings)
+    for tok in list(sorted(postings))[::7]:
+        r = rows[tok]
+        ids = sorted(postings[tok])
+        assert r.df == len(ids) and r.cf == cf[tok], (tok, r)
+        assert r.first_doc == ids[0] and r.last_doc == ids[-1]
+        want = hashlib.md5(
+            ",".join(str(i) for i in ids).encode()
+        ).hexdigest()
+        assert r.postings_md5 == want, tok
+        assert r.df <= r.cf
