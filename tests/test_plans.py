@@ -568,3 +568,49 @@ def test_containment_topk_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_plan_is_takeordered(spark, sf_dir):
+    """BM25's global top-k must be TakeOrderedAndProject (k rows per
+    partition), never a global sort; df/length stats reach the scorer
+    by broadcast."""
+    from smile_spark.operators.text import bm25_topk
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_setsim_verify_is_broadcast(spark, sf_dir):
+    """The set-similarity verify stage must broadcast the token-array
+    sides — the candidate table may never reshuffle for verification
+    (two BroadcastHashJoins on a/b), and no cartesian anywhere."""
+    from smile_spark.operators.dedup import setsim_join_prefix
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(setsim_join_prefix(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # prefix join + two verify joins, all broadcast-built
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_spatial_grid_join_broadcasts_small_side(spark, sf_dir):
+    """The replicated 3x3 supplier side must broadcast; the customer
+    side joins by cell equi-key with no shuffle of its rows."""
+    from smile_spark.operators.spatial import spatial_grid_join
+    from smile_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(spatial_grid_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bitmap_distinct_partial_aggregation(spark, sf_dir):
+    """Both bitmap aggregates (word BIT_OR, popcount SUM) must combine
+    map-side — the mergeable-state contract that makes the bitmap a
+    sketch-grade operator."""
+    from smile_spark.operators.sketch import bitmap_distinct
+
+    assert_partial_aggregation(bitmap_distinct(spark, sf_dir))

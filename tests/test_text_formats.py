@@ -70,3 +70,20 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
         .fromString("formatted")
     )
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_orc_roundtrip_lossless_all_tables(spark, sf_dir, tmp_path):
+    """parquet → ORC → compare: every fixture table round-trips
+    losslessly through the ORC edge (types, nulls, µs timestamps,
+    nested arrays) — symmetric exceptAll, the graph_check contract."""
+    from smile_spark.sources.text_formats import read_orc, write_orc
+    from smile_spark.tables import table
+
+    for name in ("lineitem", "events", "documents", "embeddings"):
+        src = table(spark, sf_dir, name)
+        path = str(tmp_path / f"orc_{name}")
+        write_orc(src, path, partitions=2)
+        back = read_orc(spark, path)
+        assert back.schema == src.schema, name
+        assert back.exceptAll(src).count() == 0, name
+        assert src.exceptAll(back).count() == 0, name
