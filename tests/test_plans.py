@@ -135,6 +135,8 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "ann_sq8_topk",
         # crossJoin of the two SINGLE-ROW estimate/exact aggregate legs
         "join_size_estimate",
+        # crossJoin against the broadcast SINGLE-ROW avgdl/N stats leg
+        "bm25_topk",
     }
     for name, fn in sorted(entry_mod.queries().items()):
         if name in skip:

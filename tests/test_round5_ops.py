@@ -479,3 +479,27 @@ def test_inverted_index_stats_fingerprints(spark, sf_dir):
         ).hexdigest()
         assert r.postings_md5 == want, tok
         assert r.df <= r.cf
+
+
+def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
+    """Converter count equals funnel_conversion's purchase leg when
+    computed over first-view (not first-click) ordering is relaxed:
+    here we check internal consistency instead — n_converters equals
+    a direct recomputation, percentiles are ordered and positive."""
+    from smile_spark.operators.behavior import funnel_latency
+
+    row = funnel_latency(spark, sf_dir).collect()[0]
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    ).collect()
+    v, p = {}, {}
+    for r in ev:
+        if r.event_type == "view":
+            v[r.user_id] = min(v.get(r.user_id, r.us), r.us)
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in v and r.us > v[r.user_id]:
+            p[r.user_id] = min(p.get(r.user_id, r.us), r.us)
+    lats = sorted((p[u] - v[u]) / 1e6 for u in p)
+    assert row.n_converters == len(lats)
+    assert 0 < row.p50_s <= row.p90_s <= row.p99_s
+    assert row.p99_s <= lats[-1] + 1e-9
