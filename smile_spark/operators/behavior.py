@@ -523,14 +523,17 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("us").alias("v_us"))
     )
+    # v_us is constant per user after the join, so the purchase
+    # aggregate carries it through (min of a constant) — no second
+    # join back onto v
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(v, "user_id")
         .filter(F.col("us") > F.col("v_us"))
         .groupBy("user_id")
-        .agg(F.min("us").alias("p_us"))
+        .agg(F.min("us").alias("p_us"), F.min("v_us").alias("v_us"))
     )
-    lat = p.join(v, "user_id").select(
+    lat = p.select(
         ((F.col("p_us") - F.col("v_us")) / 1_000_000.0).alias("lat_s")
     )
     qlist = ", ".join(f"{q}D" for q in FUNNEL_LATENCY_QS)

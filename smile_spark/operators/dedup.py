@@ -940,6 +940,16 @@ CHUNK_DEDUP_SQL = (
 # ---------------------------------------------------------------------------
 
 SETSIM_TAU = 0.9  # emit pairs with word-set Jaccard >= tau
+# exact rational form of tau (9/10): every threshold below is computed
+# in INTEGER arithmetic.  The float forms are off-by-one at boundary
+# sizes — e.g. ceil(0.9*60) = 55 in doubles (0.9*60 rounds to
+# 54.000000000000007) and ceil((0.9/1.9)*133) = 64 vs the exact 63 —
+# which would silently drop pairs whose Jaccard is EXACTLY tau.
+SETSIM_TAU_NUM = 9
+SETSIM_TAU_DEN = 10
+# tau/(1+tau) = NUM / (NUM + DEN) = 9/19, the overlap fraction
+_SETSIM_ALPHA_NUM = SETSIM_TAU_NUM
+_SETSIM_ALPHA_DEN = SETSIM_TAU_NUM + SETSIM_TAU_DEN
 
 
 def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,7 +996,12 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "doc_id")
         .withColumn("pos", F.row_number().over(wdoc))
     )
-    plen = F.col("n") - F.ceil(F.lit(SETSIM_TAU) * F.col("n")) + 1
+    # plen = n - ceil(tau*n) + 1, ceil in exact integers
+    ceil_tau_n = F.expr(
+        f"({SETSIM_TAU_NUM} * n + {SETSIM_TAU_DEN - 1})"
+        f" div {SETSIM_TAU_DEN}"
+    )
+    plen = F.col("n") - ceil_tau_n + 1
     prefix = ranked.filter(F.col("pos") <= plen).select(
         "doc_id", "tok", "n", "pos"
     )
@@ -1011,15 +1026,22 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared token of any qualifying pair).  On this template-heavy
     # corpus the raw prefix join upper bound is 44M rows at sf0.1 —
     # the inline filters keep that from ever reaching the distinct.
-    alpha = F.ceil(
-        F.lit(SETSIM_TAU / (1.0 + SETSIM_TAU)) * (F.col("na") + F.col("nb"))
+    alpha = F.expr(
+        f"({_SETSIM_ALPHA_NUM} * (na + nb) + {_SETSIM_ALPHA_DEN - 1})"
+        f" div {_SETSIM_ALPHA_DEN}"
     )
     cand = (
         pa.join(F.broadcast(pb), "tok")
         .filter(
             (F.col("a") < F.col("b"))
-            & (F.col("nb") >= F.lit(SETSIM_TAU) * F.col("na"))
-            & (F.col("na") >= F.lit(SETSIM_TAU) * F.col("nb"))
+            & (
+                F.lit(SETSIM_TAU_DEN) * F.col("nb")
+                >= F.lit(SETSIM_TAU_NUM) * F.col("na")
+            )
+            & (
+                F.lit(SETSIM_TAU_DEN) * F.col("na")
+                >= F.lit(SETSIM_TAU_NUM) * F.col("nb")
+            )
             & (
                 1
                 + F.least(

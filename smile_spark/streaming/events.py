@@ -490,12 +490,16 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming state forever) plus the last (ts, event_id) seen, used
     to assert monotone arrival within the group.
 
-    Each trigger sorts its group's rows by (ts, event_id) — the batch
-    operator's window order — scores every event against the deque,
-    then appends it.  A replayed micro-batch would re-emit identical
-    rows (scores are a pure function of the deque prefix), so the
-    contract is idempotent-output / at-least-once, same as the
-    streaming sketch maintainers above."""
+    Each trigger sorts its WHOLE group slice by (ts, event_id) once —
+    the batch operator's window order; per-chunk sorting would
+    interleave when Arrow splits a large group across record batches —
+    scores every event against the deque, then appends it.  Genuinely
+    out-of-order arrival (an event at or before the persisted
+    last-(ts,event_id)) raises rather than silently diverging from the
+    batch result.  Replay after a failure is NOT out-of-order: the
+    state store is versioned per micro-batch, so a replayed batch runs
+    against the rolled-back state and re-emits identical rows (scores
+    are a pure function of the deque prefix)."""
     import pandas as pd
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -508,34 +512,61 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_event_stream(spark, sf_dir)
 
-    def score(hist: list, x: float):
+    def score(hist: list):
         n = len(hist)
+        # term rounding mirrors the engines exactly: Spark/DuckDB
+        # ROUND(double, 12) rounds the SHORTEST DECIMAL REPR half-up
+        # (Scala BigDecimal.decimal); Python round() is half-to-even
+        # and differs on exact-half terms (e.g. 0.03125 * 0.5^8)
         s = sum(
-            Decimal(str(round(v * 0.5 ** (n - i), 12)))
+            Decimal(repr(v * 0.5 ** (n - i))).quantize(
+                Decimal("1e-12"), rounding=ROUND_HALF_UP
+            )
             for i, v in enumerate(hist)
         )
         return float(s.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
     def update(key, pdfs, state: GroupState):
-        hist = list(state.get[0]) if state.exists else []
+        if state.exists:
+            hist, rn, last_us, last_eid = (
+                list(state.get[0]),
+                int(state.get[1]),
+                int(state.get[2]),
+                int(state.get[3]),
+            )
+        else:
+            hist, rn, last_us, last_eid = [], 0, -1, -1
         out_event, out_rn, out_ewma, out_spike, out_val = [], [], [], [], []
-        rn = int(state.get[1]) if state.exists else 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                rn += 1
-                if hist:
-                    e = score(hist, float(row["value"]))
-                    out_event.append(int(row["event_id"]))
-                    out_rn.append(rn)
-                    out_val.append(float(row["value"]))
-                    out_ewma.append(e)
-                    out_spike.append(
-                        bool(float(row["value"]) > EWMA_SPIKE_MULT * e)
-                    )
-                hist.append(float(row["value"]))
-                hist = hist[-EWMA_W:]
-        state.update((hist, rn))
+        # ONE sort over the whole micro-batch slice: Arrow delivers a
+        # group's rows as multiple unordered chunks (maxRecordsPerBatch
+        # splits), so per-chunk sorting would interleave out of order
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            us = int(row["ts"].value) // 1000  # pandas ns -> us
+            eid = int(row["event_id"])
+            if (us, eid) <= (last_us, last_eid):
+                # the monotone-arrival contract: scores already folded
+                # into state cannot be recomputed under reordering —
+                # fail loudly instead of silently diverging from batch
+                raise ValueError(
+                    f"out-of-order arrival for user {key[0]}:"
+                    f" ({us}, {eid}) after ({last_us}, {last_eid})"
+                )
+            last_us, last_eid = us, eid
+            rn += 1
+            if hist:
+                e = score(hist)
+                out_event.append(eid)
+                out_rn.append(rn)
+                out_val.append(float(row["value"]))
+                out_ewma.append(e)
+                out_spike.append(
+                    bool(float(row["value"]) > EWMA_SPIKE_MULT * e)
+                )
+            hist.append(float(row["value"]))
+            hist = hist[-EWMA_W:]
+        state.update((hist, rn, last_us, last_eid))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(out_event),
@@ -553,7 +584,10 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id bigint, event_id bigint, rn bigint,"
             " value double, ewma_prev double, is_spike boolean"
         ),
-        stateStructType="hist array<double>, rn bigint",
+        stateStructType=(
+            "hist array<double>, rn bigint,"
+            " last_us bigint, last_eid bigint"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

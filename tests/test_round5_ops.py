@@ -246,7 +246,9 @@ def test_ewma_anomaly_matches_direct_recurrence(spark, sf_dir):
             window = seq[-EWMA_W:]
             n = len(window)
             s = sum(
-                Decimal(str(round(x * 0.5 ** (n - i), 12)))
+                Decimal(repr(x * 0.5 ** (n - i))).quantize(
+                    Decimal("1e-12"), rounding=ROUND_HALF_UP
+                )
                 for i, x in enumerate(window)
             )
             expect[(r.user_id, r.event_id)] = float(
