@@ -607,3 +607,85 @@ MAD_OUTLIERS_SQL = (
     "  ON d.l_returnflag = m.l_returnflag AND d.med_price = m.med_price"
     " GROUP BY d.l_returnflag, d.med_price, m.mad_raw"
 )
+
+
+MAD_ACCURACY = 10_000
+MAD_RANK_EPS = 5.0 / MAD_ACCURACY
+
+
+def mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance certificate for the approx-percentile MAD path — the
+    100 TB form :func:`mad_outliers`'s docstring promises, made
+    driver-verifiable with the winsorize_prices_approx pattern.
+
+    Both medians (value median, deviation median) come from
+    ``approx_percentile`` (fixed-size mergeable sketch state — the
+    only per-group memory that survives 100 TB groups).  The sketch
+    outputs are engine-specific, so the query emits what IS portable:
+    the exact value-median envelope plus TWO booleans certifying each
+    sketch median sits within MAD_RANK_EPS rank error of 0.5 in its
+    own distribution (value ranks for the median, deviation ranks for
+    the MAD).  The oracle recomputes the exact columns and asserts
+    the booleans TRUE — sketch drift on either level flips a boolean
+    and fails the driver's hash gate.
+
+    Plan: three passes, all map-side-combined — (1) per-group sketch
+    + exact median aggregate, (2) broadcast-back rank count of the
+    sketch median PLUS the deviation-median sketch in one aggregate,
+    (3) broadcast-back rank count of the sketch MAD.  No row ever
+    shuffles; only 3-group aggregates move."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    x = F.col("l_extendedprice")
+    b1 = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, 0.5D, {MAD_ACCURACY})"
+        ).alias("amed"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 6).alias(
+            "med_price"
+        ),
+    )
+    d = li.join(F.broadcast(b1), "l_returnflag")
+    b2 = d.groupBy("l_returnflag", "med_price", "amed").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((x < F.col("amed")).cast("bigint")).alias("lt_amed"),
+        F.sum((x <= F.col("amed")).cast("bigint")).alias("le_amed"),
+        F.expr(
+            f"approx_percentile(abs(l_extendedprice - amed), 0.5D,"
+            f" {MAD_ACCURACY})"
+        ).alias("amad"),
+    )
+    d2 = li.join(F.broadcast(b2), "l_returnflag")
+    adev = F.abs(x - F.col("amed"))
+    ranks = d2.groupBy(
+        "l_returnflag", "med_price", "n", "lt_amed", "le_amed", "amad"
+    ).agg(
+        F.sum((adev < F.col("amad")).cast("bigint")).alias("lt_amad"),
+        F.sum((adev <= F.col("amad")).cast("bigint")).alias("le_amad"),
+    )
+    eps = F.lit(MAD_RANK_EPS)
+    n = F.col("n").cast("double")
+    return ranks.select(
+        "l_returnflag",
+        "med_price",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            (F.col("lt_amed") / n <= 0.5 + eps)
+            & (F.col("le_amed") / n >= 0.5 - eps)
+        ).alias("med_in_tolerance"),
+        (
+            (F.col("lt_amad") / n <= 0.5 + eps)
+            & (F.col("le_amad") / n >= 0.5 - eps)
+        ).alias("mad_in_tolerance"),
+    )
+
+
+MAD_OUTLIERS_APPROX_SQL = (
+    "SELECT l_returnflag,"
+    " ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS med_price,"
+    " CAST(COUNT(*) AS BIGINT) AS n,"
+    " TRUE AS med_in_tolerance,"
+    " TRUE AS mad_in_tolerance"
+    " FROM lineitem GROUP BY l_returnflag"
+)

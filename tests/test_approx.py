@@ -216,3 +216,17 @@ def test_hll_register_algebra_on_known_overlap(spark, sf_dir):
     assert abs(eu - 45_000) / 45_000 < 0.26  # 4 sigma
     inter = ea + eb - eu
     assert abs(inter - 15_000) / 15_000 < 0.6, (ea, eb, eu, inter)
+
+
+def test_mad_approx_certificate_booleans_hold(spark, sf_dir):
+    """Both sketch medians must certify within rank tolerance, and the
+    exact column must match the exact operator's median."""
+    from smile_spark.operators.quality import mad_outliers, mad_outliers_approx
+
+    rows = {r.l_returnflag: r for r in mad_outliers_approx(spark, sf_dir).collect()}
+    exact = {r.l_returnflag: r for r in mad_outliers(spark, sf_dir).collect()}
+    assert set(rows) == set(exact)
+    for flag, r in rows.items():
+        assert r.med_in_tolerance and r.mad_in_tolerance, r
+        assert r.med_price == exact[flag].med_price, (r, exact[flag])
+        assert r.n == exact[flag].n_rows
