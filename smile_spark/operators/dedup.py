@@ -1104,3 +1104,135 @@ SETSIM_JOIN_SQL = (
     "  JOIN sizes sb ON sb.doc_id = inter.b)"
     f" SELECT a, b, na, nb, i, jaccard FROM jacc WHERE jaccard >= {SETSIM_TAU}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Dedup quality evaluation (LSH recall/precision vs exact truth)
+# ---------------------------------------------------------------------------
+
+DEDUP_EVAL_MOD = 2  # evaluation block: doc_id % MOD == 0
+
+
+def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the LSH dedup pipeline against EXACT ground truth — the
+    evaluation harness a production dedup rollout runs before trusting
+    a probabilistic pipeline at 100 TB: within a deterministic audit
+    block (doc_id % DEDUP_EVAL_MOD == 0), compute the true pair set
+    (exact shingle Jaccard >= LSH_VERIFY_THRESHOLD, all pairs) and
+    compare the deployed dedup_minhash_lsh pairs restricted to the
+    same block.
+
+    Emits one row: (n_truth, n_lsh, tp, fp, fn, precision, recall).
+    Structurally fp = 0 (LSH verifies candidates with the same exact
+    Jaccard), so the interesting number is RECALL — the probability a
+    true pair ever collided in a band (≈ 1-(1-j^r)^b); banding misses
+    are exactly what this audit surfaces.
+
+    Scale: the audit block is a tunable fraction of the corpus (the
+    all-pairs truth is quadratic ONLY inside the block), the LSH side
+    reads the memoized pair table, and the comparison is a full-outer
+    join on (a, b) pair keys — block-sized, trivially small."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DEDUP_EVAL_MOD == 0
+    )
+    sh = _shingles(docs).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        sa.join(sb, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"),
+                                F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("n").alias("nb")), "b")
+        .filter(
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i"))
+            >= LSH_VERIFY_THRESHOLD
+        )
+        .select("a", "b", F.lit(1).alias("t"))
+    )
+    lsh = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(
+            (F.col("a") % DEDUP_EVAL_MOD == 0)
+            & (F.col("b") % DEDUP_EVAL_MOD == 0)
+        )
+        .select("a", "b", F.lit(1).alias("l"))
+    )
+    j = truth.join(lsh, ["a", "b"], "full")
+    agg = j.agg(
+        F.sum(F.col("t").isNotNull().cast("bigint")).alias("n_truth"),
+        F.sum(F.col("l").isNotNull().cast("bigint")).alias("n_lsh"),
+        F.sum(
+            (F.col("t").isNotNull() & F.col("l").isNotNull()).cast("bigint")
+        ).alias("tp"),
+        F.sum(
+            (F.col("t").isNull() & F.col("l").isNotNull()).cast("bigint")
+        ).alias("fp"),
+        F.sum(
+            (F.col("t").isNotNull() & F.col("l").isNull()).cast("bigint")
+        ).alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")).cast("double"), 6),
+    )
+    return agg.select(
+        "n_truth", "n_lsh", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"),
+    )
+
+
+def dedup_eval_sql() -> str:
+    return (
+        "WITH lsh_all AS (SELECT a, b FROM ("
+        + dedup_minhash_lsh_sql()
+        + ")),"
+        f" lsh AS (SELECT a, b, 1 AS l FROM lsh_all"
+        f"  WHERE a % {DEDUP_EVAL_MOD} = 0 AND b % {DEDUP_EVAL_MOD} = 0),"
+        " d AS (SELECT doc_id, text FROM documents"
+        f"  WHERE doc_id % {DEDUP_EVAL_MOD} = 0),"
+        " bpos AS (SELECT doc_id, text, unnest(generate_series(1,"
+        f"  greatest(length(text) - {SHINGLE_K - 1}, 1))) AS i FROM d),"
+        " btoks AS (SELECT DISTINCT doc_id,"
+        f"  substr(text, i, {SHINGLE_K}) AS sh FROM bpos),"
+        " bsizes AS (SELECT doc_id, COUNT(*) AS n FROM btoks GROUP BY 1),"
+        " binter AS (SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS i"
+        "  FROM btoks ta JOIN btoks tb ON ta.sh = tb.sh"
+        "   AND ta.doc_id < tb.doc_id GROUP BY 1, 2),"
+        " truth AS (SELECT a, b, 1 AS t FROM binter"
+        "  JOIN bsizes sa ON sa.doc_id = a JOIN bsizes sb ON sb.doc_id = b"
+        "  WHERE i / CAST(sa.n + sb.n - i AS DOUBLE)"
+        f"   >= {LSH_VERIFY_THRESHOLD}),"
+        " j AS (SELECT COALESCE(truth.a, lsh.a) AS a, t, l"
+        "  FROM truth FULL OUTER JOIN lsh"
+        "   ON truth.a = lsh.a AND truth.b = lsh.b),"
+        " agg AS (SELECT"
+        "  CAST(SUM(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_truth,"
+        "  CAST(SUM(CASE WHEN l IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_lsh,"
+        "  CAST(SUM(CASE WHEN t IS NOT NULL AND l IS NOT NULL"
+        "   THEN 1 ELSE 0 END) AS BIGINT) AS tp,"
+        "  CAST(SUM(CASE WHEN t IS NULL AND l IS NOT NULL"
+        "   THEN 1 ELSE 0 END) AS BIGINT) AS fp,"
+        "  CAST(SUM(CASE WHEN t IS NOT NULL AND l IS NULL"
+        "   THEN 1 ELSE 0 END) AS BIGINT) AS fn"
+        "  FROM j)"
+        " SELECT n_truth, n_lsh, tp, fp, fn,"
+        " CASE WHEN tp + fp > 0"
+        "  THEN ROUND(tp / CAST(tp + fp AS DOUBLE), 6) END AS precision,"
+        " CASE WHEN tp + fn > 0"
+        "  THEN ROUND(tp / CAST(tp + fn AS DOUBLE), 6) END AS recall"
+        " FROM agg"
+    )

@@ -505,3 +505,20 @@ def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
     assert row.n_converters == len(lats)
     assert 0 < row.p50_s <= row.p90_s <= row.p99_s
     assert row.p99_s <= lats[-1] + 1e-9
+
+
+def test_dedup_eval_confusion_identities(spark, sf_dir):
+    """Confusion-matrix identities must hold (tp+fn = n_truth,
+    tp+fp = n_lsh); LSH's exact verify makes fp = 0 structurally;
+    precision is 1.0 whenever any pair was emitted."""
+    from smile_spark.operators.dedup import dedup_eval
+
+    r = dedup_eval(spark, sf_dir).collect()[0]
+    assert r.tp + r.fn == r.n_truth
+    assert r.tp + r.fp == r.n_lsh
+    assert r.fp == 0
+    assert r.n_truth > 0  # the audit block must contain true pairs
+    if r.n_lsh > 0:
+        assert r.precision == 1.0
+    if r.n_truth > 0 and r.recall is not None:
+        assert 0.0 <= r.recall <= 1.0
