@@ -114,13 +114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": AN.date_parts,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r06 NOTE: rotate (a) the 18 NEW-in-r05 tail entries
+        # round; r06 NOTE: rotate (a) the 19 NEW-in-r05 tail entries
         # first — token_entropy, equi_depth_bins, skyline_pareto,
         # mad_outliers, setsim_join_prefix, kcore_peel, ewma_anomaly,
         # ann_sq8_topk, spatial_grid_join, join_size_estimate,
         # clustering_coefficient, bm25_topk, bitmap_distinct,
         # pattern_match_events, inverted_index_stats, funnel_latency,
-        # mad_outliers_approx, dedup_eval
+        # mad_outliers_approx, dedup_eval, stratified_kfold
         # (first driver verdict pending — pytest parity
         # green at sf0.001/sf0.01), then (b) the r03-green block
         # (grouping_sets_summary .. zscore_normalize — 41 entries,
@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": B.funnel_latency,
         "mad_outliers_approx": Q.mad_outliers_approx,
         "dedup_eval": D.dedup_eval,
+        "stratified_kfold": C.stratified_kfold,
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -519,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_latency": B.FUNNEL_LATENCY_SQL,
         "mad_outliers_approx": Q.MAD_OUTLIERS_APPROX_SQL,
         "dedup_eval": D.dedup_eval_sql(),
+        "stratified_kfold": C.STRATIFIED_KFOLD_SQL,
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,
         # answered from the persisted hourly rollup; oracle hits raw events —

@@ -685,3 +685,74 @@ SAMPLE_PACKING_SQL = (
     f" CAST(before % {PACK_BUDGET_TOKENS} AS BIGINT) AS offset_in_bin"
     " FROM c"
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold split assignment with per-stratum balance
+    accounting — the train/eval split primitive: every document gets a
+    stable fold from a hash of its id (NOT df.randomSplit, whose
+    assignment changes with partitioning and re-runs), and the output
+    reports per (source, fold) counts plus each stratum's imbalance
+    ratio so a skewed split fails review before training does.
+
+    Within each source stratum the fold is rank-based — row_number by
+    (md5(doc_id), doc_id) mod K per stratum — so folds are balanced to
+    ±1 document PER STRATUM by construction, not just in expectation
+    (pure hash-mod assignment drifts several % on small strata).  The
+    per-stratum window is the only shuffle and partitions by source;
+    at 100 TB the same plan holds because window cost is per-stratum.
+
+    Emits (source, fold, n_docs, sum_chars, stratum_imbalance) where
+    stratum_imbalance = (max-min fold count within the stratum) — 0
+    or 1 by construction, asserted in pytest."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    folds = docs.select(
+        "source",
+        "n_chars",
+        ((F.row_number().over(w) - 1) % KFOLD_K).cast("bigint").alias(
+            "fold"
+        ),
+    )
+    counts = folds.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    wsrc = Window.partitionBy("source")
+    return counts.select(
+        "source",
+        "fold",
+        "n_docs",
+        "sum_chars",
+        (
+            F.max("n_docs").over(wsrc) - F.min("n_docs").over(wsrc)
+        ).cast("bigint").alias("stratum_imbalance"),
+    )
+
+
+STRATIFIED_KFOLD_SQL = (
+    "WITH folds AS (SELECT source, n_chars,"
+    " CAST((ROW_NUMBER() OVER (PARTITION BY source"
+    "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)"
+    f"  % {KFOLD_K} AS BIGINT) AS fold"
+    " FROM documents),"
+    " counts AS (SELECT source, fold, COUNT(*) AS n_docs,"
+    "  CAST(SUM(n_chars) AS BIGINT) AS sum_chars"
+    "  FROM folds GROUP BY source, fold)"
+    " SELECT source, fold, n_docs, sum_chars,"
+    " CAST(MAX(n_docs) OVER (PARTITION BY source)"
+    "  - MIN(n_docs) OVER (PARTITION BY source) AS BIGINT)"
+    "  AS stratum_imbalance"
+    " FROM counts"
+)

@@ -522,3 +522,21 @@ def test_dedup_eval_confusion_identities(spark, sf_dir):
         assert r.precision == 1.0
     if r.n_truth > 0 and r.recall is not None:
         assert 0.0 <= r.recall <= 1.0
+
+
+def test_stratified_kfold_balance_and_stability(spark, sf_dir):
+    """Folds are balanced to at most 1 document per stratum BY
+    CONSTRUCTION; total docs conserved; and the assignment is stable
+    across invocations (the property df.randomSplit lacks)."""
+    from smile_spark.operators.curation import KFOLD_K, stratified_kfold
+
+    rows = stratified_kfold(spark, sf_dir).collect()
+    assert rows
+    total = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert 0 <= r.fold < KFOLD_K
+        assert r.stratum_imbalance <= 1, r
+    again = {(r.source, r.fold): r.n_docs
+             for r in stratified_kfold(spark, sf_dir).collect()}
+    assert again == {(r.source, r.fold): r.n_docs for r in rows}
