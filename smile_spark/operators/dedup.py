@@ -1,7 +1,7 @@
 """Deduplication operators (north-star extension; no reference analogue
 — SURVEY.md §2.2 confirms the reference has no string/dedup surface).
 
-Four families over the ``documents`` table:
+Families over the ``documents`` table:
 
 * exact          — content-hash groupBy (the 100 TB-scale baseline:
                    one shuffle on a 16-byte key).
@@ -12,6 +12,12 @@ Four families over the ``documents`` table:
                    scale path: candidate generation is an equi-join on
                    (band, bucket-key), never a cross join.
 * SimHash        — 32-bit sign-of-sum fingerprint per document.
+* prefix-filter  — EXACT Jaccard-threshold join (AllPairs/PPJoin):
+                   lossless candidate pruning by rarest-token
+                   prefixes + positional bounds; and the directed
+                   containment variant for subset/quote detection.
+* evaluation     — dedup_eval measures LSH recall/precision against
+                   exact ground truth on a blocked audit fraction.
 
 Determinism strategy: every hash is built from ``md5`` via SQL
 expression strings shared VERBATIM between the Spark plan
