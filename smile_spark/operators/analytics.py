@@ -1551,27 +1551,38 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("l_extendedprice", "avg_price"),
         dsum("l_quantity", "total_qty"),
     )
-
-    def _skyline(df: DataFrame, part_cols: list[str]) -> DataFrame:
-        grp = part_cols + ["avg_price"]
-        pg = df.groupBy(*grp).agg(F.max("total_qty").alias("gmax"))
-        w = (
-            Window.partitionBy(*part_cols)
-            if part_cols
-            else Window.partitionBy(F.lit(1))
-        ).orderBy("avg_price").rowsBetween(Window.unboundedPreceding, -1)
-        pg = pg.withColumn("prevmax", F.max("gmax").over(w))
-        out = df.join(pg, grp)
-        return out.filter(
-            (F.col("prevmax").isNull() | (F.col("prevmax") < F.col("total_qty")))
-            & (F.col("gmax") <= F.col("total_qty"))
-        ).drop("gmax", "prevmax")
-
-    salted = per_part.withColumn(
-        "bkt", F.pmod(F.hash("l_partkey"), F.lit(SKYLINE_BUCKETS))
+    return skyline_frame(per_part, "l_partkey").select(
+        "l_partkey", "avg_price", "total_qty"
     )
-    local = _skyline(salted, ["bkt"]).drop("bkt")
-    return _skyline(local, []).select("l_partkey", "avg_price", "total_qty")
+
+
+def _skyline_pass(df: DataFrame, part_cols: list[str]) -> DataFrame:
+    """One sort-based 2-D skyline pass over (avg_price min, total_qty
+    max) within each partition key combination (global when empty)."""
+    grp = part_cols + ["avg_price"]
+    pg = df.groupBy(*grp).agg(F.max("total_qty").alias("gmax"))
+    w = (
+        Window.partitionBy(*part_cols)
+        if part_cols
+        else Window.partitionBy(F.lit(1))
+    ).orderBy("avg_price").rowsBetween(Window.unboundedPreceding, -1)
+    pg = pg.withColumn("prevmax", F.max("gmax").over(w))
+    out = df.join(pg, grp)
+    return out.filter(
+        (F.col("prevmax").isNull() | (F.col("prevmax") < F.col("total_qty")))
+        & (F.col("gmax") <= F.col("total_qty"))
+    ).drop("gmax", "prevmax")
+
+
+def skyline_frame(df: DataFrame, key_col: str) -> DataFrame:
+    """Two-level lossless skyline of any (key, avg_price, total_qty)
+    frame — the distributed core of :func:`skyline_pareto`, exposed
+    for reuse and property testing."""
+    salted = df.withColumn(
+        "bkt", F.pmod(F.hash(key_col), F.lit(SKYLINE_BUCKETS))
+    )
+    local = _skyline_pass(salted, ["bkt"]).drop("bkt")
+    return _skyline_pass(local, [])
 
 
 SKYLINE_PARETO_SQL = (
