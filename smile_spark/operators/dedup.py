@@ -987,7 +987,14 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join or bounded window (per-doc rank); nothing is quadratic
     in the corpus beyond the true result size.
     """
-    docs = table(spark, sf_dir, "documents")
+    return setsim_join_frame(table(spark, sf_dir, "documents"))
+
+
+def setsim_join_frame(docs: DataFrame) -> DataFrame:
+    """The prefix-filtered exact Jaccard join over any (doc_id, text)
+    frame — the core of :func:`setsim_join_prefix`, exposed for reuse
+    and boundary testing (pairs with Jaccard EXACTLY tau are the cases
+    the integer thresholds exist for)."""
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
