@@ -631,13 +631,20 @@ def ann_sq8_topk(
             " s -> s.mx)"
         ).alias("maxs"),
     )
+    # Constant dimensions (mx == mn) would make (x-mn)/(mx-mn) NaN —
+    # Spark folds NaN casts to 0 while DuckDB's checked CAST raises,
+    # so the engines would diverge (ADVICE r05).  Emit code 0 for a
+    # zero-range dimension; dequantization then reproduces mn exactly.
     codes = emb.crossJoin(F.broadcast(stats)).select(
         "vec_id",
         F.expr(
-            "transform(v, (x, i) -> cast(floor("
+            "transform(v, (x, i) -> case"
+            " when element_at(maxs, i + 1) = element_at(mins, i + 1)"
+            " then 0"
+            " else cast(floor("
             " (x - element_at(mins, i + 1))"
             f" / (element_at(maxs, i + 1) - element_at(mins, i + 1))"
-            f" * {SQ8_LEVELS}D + 0.5D) as int))"
+            f" * {SQ8_LEVELS}D + 0.5D) as int) end)"
         ).alias("codes"),
         "mins",
         "maxs",
@@ -693,11 +700,14 @@ ANN_SQ8_SQL = (
     " dims AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY pos),"
     " stats AS (SELECT list(mn ORDER BY pos) AS mins,"
     "  list(mx ORDER BY pos) AS maxs FROM dims),"
+    # zero-range guard mirrors the Spark CASE: a constant dimension
+    # dequantizes to mn on both engines instead of NaN/raise
     " deq AS (SELECT vec_id,"
-    "  list_transform(v, (x, i) -> mins[i]"
+    "  list_transform(v, (x, i) -> CASE WHEN maxs[i] = mins[i]"
+    "   THEN mins[i] ELSE mins[i]"
     "   + CAST(FLOOR((x - mins[i]) / (maxs[i] - mins[i])"
     f"     * {SQ8_LEVELS} + 0.5) AS INT)"
-    f"   * (maxs[i] - mins[i]) / {SQ8_LEVELS}) AS vq"
+    f"   * (maxs[i] - mins[i]) / {SQ8_LEVELS} END) AS vq"
     "  FROM e CROSS JOIN stats),"
     " uq AS (SELECT qid, deq.vec_id AS vec_id,"
     "  unnest(deq.vq) AS a, unnest(q.qv) AS b FROM deq, q),"

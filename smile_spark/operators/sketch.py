@@ -621,9 +621,12 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits (event_type, n_users, n_words): popcount total and bitmap
     state size; deterministic integer arithmetic end to end."""
     ev = table(spark, sf_dir, "events")
+    # Integer `div`, not a double division + truncating cast: doubles
+    # lose exactness for ids >= 2^53 and truncate toward zero instead
+    # of flooring, silently merging/splitting words (ADVICE r05).
     packed = ev.select(
         "event_type",
-        (F.col("user_id") / 32).cast("bigint").alias("word_idx"),
+        F.expr("cast(user_id as bigint) div 32").alias("word_idx"),
         F.expr(
             "shiftleft(cast(1 as bigint), cast(user_id % 32 as int))"
         ).alias("mask"),

@@ -31,16 +31,33 @@ _KNUTH = 2654435761     # Knuth multiplicative hash constant
 _TWO32 = 4294967296
 
 
+_TWO16 = 65536
+
+
 def _coord(key: str, salt: int):
     """Deterministic uniform coordinate in [0, 1): exact bigint
-    mixing, then one double division."""
-    mixed = (F.col(key).cast("bigint") * _KNUTH + salt) % _TWO32
+    mixing, then one double division.
+
+    The multiply is SPLIT into 16-bit halves so every intermediate
+    stays far below 2^63 for any non-negative bigint key: a direct
+    ``key * KNUTH`` overflows int64 for keys above ~3.46e9, where
+    Spark (non-ANSI) wraps silently but DuckDB raises — the two
+    engines would diverge at large scale factors (ADVICE r05).
+    ``(hi*2^16 + lo) * KNUTH ≡ (hi*KNUTH mod 2^32)*2^16 + lo*KNUTH
+    (mod 2^32)``; worst intermediate < 2^49.
+    """
+    k = F.col(key).cast("bigint") % _TWO32
+    hi = F.expr(f"(cast({key} as bigint) % {_TWO32}) div {_TWO16}")
+    lo = k % _TWO16
+    mixed = ((hi * _KNUTH) % _TWO32 * _TWO16 + lo * _KNUTH + salt) % _TWO32
     return mixed.cast("double") / float(_TWO32)
 
 
 def _coord_sql(key: str, salt: int) -> str:
+    k = f"(CAST({key} AS BIGINT) % {_TWO32})"
     return (
-        f"(CAST({key} AS BIGINT) * {_KNUTH} + {salt}) % {_TWO32}"
+        f"(({k} // {_TWO16} * {_KNUTH}) % {_TWO32} * {_TWO16}"
+        f" + {k} % {_TWO16} * {_KNUTH} + {salt}) % {_TWO32}"
         f" / {float(_TWO32)!r}"
     )
 
