@@ -584,17 +584,22 @@ def test_bm25_topk_plan_is_takeordered(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
 
 
-def test_setsim_verify_is_broadcast(spark, sf_dir):
-    """The set-similarity verify stage must broadcast the token-array
-    sides — the candidate table may never reshuffle for verification
-    (two BroadcastHashJoins on a/b), and no cartesian anywhere."""
-    from smile_spark.operators.dedup import setsim_join_prefix
+def test_setsim_verify_is_candidate_bounded(spark, sf_dir):
+    """The set-similarity verify side must be CANDIDATE-bounded: the
+    token-array table is semi-joined down to candidate ids before the
+    verify join (a LeftSemi in the plan), no table carries a forced
+    broadcast hint that grows with the corpus, and no cartesian
+    anywhere.  (r05 broadcast the FULL prefix + token-array tables —
+    corpus-proportional, an executor OOM at 100 TB; the semi-join is
+    the structural guarantee that can't regress silently.)"""
+    from smile_spark.operators.dedup import setsim_join_frame
     from smile_spark.plans.audit import formatted_plan
+    from smile_spark.tables import table
 
-    plan = formatted_plan(setsim_join_prefix(spark, sf_dir))
+    docs = table(spark, sf_dir, "documents")
+    plan = formatted_plan(setsim_join_frame(docs, checkpoint=False))
     assert "CartesianProduct" not in plan, plan
-    # prefix join + two verify joins, all broadcast-built
-    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "LeftSemi" in plan, plan
 
 
 def test_spatial_grid_join_broadcasts_small_side(spark, sf_dir):
