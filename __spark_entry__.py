@@ -32,6 +32,7 @@ from smile_spark.operators import sketch as K
 from smile_spark.operators import text as T
 from smile_spark.operators import windows as W
 from smile_spark.sources import bucketed as BK
+from smile_spark.streaming import events as ST
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -45,90 +46,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-5 window (exactly 50): (1) the 6 entries
-    NEW or semantically changed this round — winsorize_prices_approx
-    (now a deterministic tolerance certificate with a real oracle),
-    ann_ivf_indexed (persisted IVF lifecycle, driver-registered),
-    containment_topk (new asymmetric dedup), golden_part_records
-    (broadcast hint dropped), shortest_path_route (closed flag added),
-    connected_components (pointer jumping); (2) ALL 44 entries whose
-    newest green verdict was round 2 (VERDICT r04 "What's missing"
-    #2 — the promised rotation, completed in full).  After r05 every
-    entry's newest verdict is ≤2 rounds old.  bigram_pmi /
-    decontaminate / hll_source_overlap changed only their persist
-    MEMOIZATION (result + plan identical — pytest parity covers them);
-    they sit at the head of the tail for r06 anyway.
+    insertion order.  Round-6 window (exactly 50): (1)
+    streaming_state_agreement — NEW, the stateful-streaming
+    batch/stream equality certificate (VERDICT r05 next-round #4) —
+    plus connected_components, whose iteration schedule changed this
+    round (alternate-round pointer jumping); (2) ALL 19 round-5
+    operators that have never held a driver verdict (VERDICT r05
+    next-round #1 — several also changed this round: setsim's
+    candidate-bounded verify, SQ8's zero-range guard, bitmap's
+    integer indexing, spatial's overflow-safe hash,
+    clustering_coefficient's degree orientation); (3) the 29 oldest
+    r03-stale entries.  The 12 remaining r03-green entries (scan ..
+    zscore_normalize) plus the three memoization-only r05 entries
+    head the tail for the r07 window; the r04-green block follows,
+    the r05-green block sits last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- (1) NEW or semantically changed this round ---
-        "winsorize_prices_approx": AN.winsorize_prices_approx,
-        "ann_ivf_indexed": S.ann_ivf_indexed,
-        "containment_topk": D.containment_topk,
-        "golden_part_records": P.golden_part_records,
-        "shortest_path_route": G.shortest_path_route,
+        "streaming_state_agreement": ST.streaming_state_agreement,
         "connected_components": G.connected_components,
-        # --- (2) ALL 44 r02-stale entries (newest verdict 2 rounds old) ---
-        "hashjoin_agg": R.hashjoin_agg,
-        "bfs": G.bfs,
-        "simhash_pairs": D.simhash_pairs,
-        "ngram_jaccard_topk": D.ngram_jaccard_topk,
-        "text_stats": T.text_stats,
-        "token_count": T.token_count,
-        "lang_id": T.lang_id,
-        "fingerprint": T.fingerprint,
-        "kmv_distinct_tokens": K.kmv_distinct_tokens,
-        "ann_cosine_topk": S.ann_cosine_topk,
-        "ann_ivf_topk": S.ann_ivf_topk,
-        "embedding_norms": S.embedding_norms,
-        "window_tumbling": W.window_tumbling,
-        "hypertable_daily": W.hypertable_daily,
-        "window_sliding": W.window_sliding,
-        "window_session": W.window_session,
-        "corpus_quality_filter": P.corpus_quality_filter,
-        "corpus_curation_manifest": P.corpus_curation_manifest,
-        "multimodal_meta": M.multimodal_meta,
-        "multimodal_frames": M.multimodal_frames,
-        "multimodal_resize": M.multimodal_resize,
-        "multimodal_audio_chunks": M.multimodal_audio_chunks,
-        "multimodal_frame_stats": M.multimodal_frame_stats,
-        "pivot_wide": AN.pivot_wide,
-        "date_functions": AN.date_functions,
-        "window_rank": R.window_rank,
-        "window_ranking": AN.window_ranking,
-        "text_normalize": C.text_normalize,
-        "doc_chunks": C.doc_chunks,
-        "ngram_counts": C.ngram_counts,
-        "cdc_latest_state": C.cdc_latest_state,
-        "source_temperature_mix": C.source_temperature_mix,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "skew_salted_revenue": R.skew_salted_revenue,
-        "price_histogram": AN.price_histogram,
-        "null_semantics": AN.null_semantics,
-        "set_ops_all": R.set_ops_all,
-        "range_frame_sum": AN.range_frame_sum,
-        "string_agg_priorities": R.string_agg_priorities,
-        "window_first_last": AN.window_first_last,
-        "conditional_aggs": AN.conditional_aggs,
-        "bitwise_functions": AN.bitwise_functions,
-        "try_cast_handling": R.try_cast_handling,
-        "date_parts": AN.date_parts,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round; r06 NOTE: rotate (a) the 19 NEW-in-r05 tail entries
-        # first — token_entropy, equi_depth_bins, skyline_pareto,
-        # mad_outliers, setsim_join_prefix, kcore_peel, ewma_anomaly,
-        # ann_sq8_topk, spatial_grid_join, join_size_estimate,
-        # clustering_coefficient, bm25_topk, bitmap_distinct,
-        # pattern_match_events, inverted_index_stats, funnel_latency,
-        # mad_outliers_approx, dedup_eval, stratified_kfold
-        # (first driver verdict pending — pytest parity
-        # green at sf0.001/sf0.01), then (b) the r03-green block
-        # (grouping_sets_summary .. zscore_normalize — 41 entries,
-        # newest verdicts then 3 rounds old) plus bigram_pmi /
-        # decontaminate / hll_source_overlap (memoization-only change
-        # in r05) into the next window first; the r04-green block sits
-        # at the very back.
-        # ------------------------------------------------------------------
+        # --- (2) the 19 round-5 operators awaiting a first verdict ---
         "token_entropy": T.token_entropy,
         "equi_depth_bins": AN.equi_depth_bins,
         "skyline_pareto": AN.skyline_pareto,
@@ -148,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_approx": Q.mad_outliers_approx,
         "dedup_eval": D.dedup_eval,
         "stratified_kfold": C.stratified_kfold,
+        # --- (3) the 29 oldest r03-stale entries ---
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -177,6 +115,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample_k": AN.balanced_sample_k,
         "sample_packing": C.sample_packing,
         "pricing_summary": R.pricing_summary,
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round; r07 NOTE: rotate (a) the 12 remaining r03-green
+        # entries (scan .. zscore_normalize) + the 3 memoization-only
+        # entries first, then (b) the r04-green block
+        # (graph_adjacency_bucketed .. dedup_canonical); the r05-green
+        # block rotates last.
+        # ------------------------------------------------------------------
         "scan": R.scan,
         "projection": R.projection,
         "datagen": R.datagen,
@@ -193,7 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": C.bigram_pmi,
         "decontaminate": C.decontaminate,
         "hll_source_overlap": K.hll_source_overlap,
-        # --- r04-green block (newest verdicts, rotate last) ---
+        # --- r04-green block ---
         "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
         "hll_distinct": K.hll_distinct,
         "hll_per_source": K.hll_per_source,
@@ -238,6 +184,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": R.top_customers,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_canonical": P.dedup_canonical,
+        # --- r05-green block (newest verdicts, rotate last) ---
+        "winsorize_prices_approx": AN.winsorize_prices_approx,
+        "ann_ivf_indexed": S.ann_ivf_indexed,
+        "containment_topk": D.containment_topk,
+        "golden_part_records": P.golden_part_records,
+        "shortest_path_route": G.shortest_path_route,
+        "hashjoin_agg": R.hashjoin_agg,
+        "bfs": G.bfs,
+        "simhash_pairs": D.simhash_pairs,
+        "ngram_jaccard_topk": D.ngram_jaccard_topk,
+        "text_stats": T.text_stats,
+        "token_count": T.token_count,
+        "lang_id": T.lang_id,
+        "fingerprint": T.fingerprint,
+        "kmv_distinct_tokens": K.kmv_distinct_tokens,
+        "ann_cosine_topk": S.ann_cosine_topk,
+        "ann_ivf_topk": S.ann_ivf_topk,
+        "embedding_norms": S.embedding_norms,
+        "window_tumbling": W.window_tumbling,
+        "hypertable_daily": W.hypertable_daily,
+        "window_sliding": W.window_sliding,
+        "window_session": W.window_session,
+        "corpus_quality_filter": P.corpus_quality_filter,
+        "corpus_curation_manifest": P.corpus_curation_manifest,
+        "multimodal_meta": M.multimodal_meta,
+        "multimodal_frames": M.multimodal_frames,
+        "multimodal_resize": M.multimodal_resize,
+        "multimodal_audio_chunks": M.multimodal_audio_chunks,
+        "multimodal_frame_stats": M.multimodal_frame_stats,
+        "pivot_wide": AN.pivot_wide,
+        "date_functions": AN.date_functions,
+        "window_rank": R.window_rank,
+        "window_ranking": AN.window_ranking,
+        "text_normalize": C.text_normalize,
+        "doc_chunks": C.doc_chunks,
+        "ngram_counts": C.ngram_counts,
+        "cdc_latest_state": C.cdc_latest_state,
+        "source_temperature_mix": C.source_temperature_mix,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "skew_salted_revenue": R.skew_salted_revenue,
+        "price_histogram": AN.price_histogram,
+        "null_semantics": AN.null_semantics,
+        "set_ops_all": R.set_ops_all,
+        "range_frame_sum": AN.range_frame_sum,
+        "string_agg_priorities": R.string_agg_priorities,
+        "window_first_last": AN.window_first_last,
+        "conditional_aggs": AN.conditional_aggs,
+        "bitwise_functions": AN.bitwise_functions,
+        "try_cast_handling": R.try_cast_handling,
+        "date_parts": AN.date_parts,
     }
     return q
 
@@ -533,4 +529,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": M.MULTIMODAL_RESIZE_SQL,
         "multimodal_audio_chunks": M.MULTIMODAL_AUDIO_CHUNKS_SQL,
         "multimodal_frame_stats": M.MULTIMODAL_FRAME_STATS_SQL,
+        # the oracle recomputes the expected emission count from raw
+        # events and pins n_mismatch to ZERO — the Spark side earns the
+        # zero by full-outer-joining the DRAINED STREAMING RESULT
+        # against the batch operator, so stream/batch divergence flips
+        # the value hash
+        "streaming_state_agreement": ST.STREAMING_STATE_AGREEMENT_SQL,
     }

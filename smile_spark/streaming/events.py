@@ -42,6 +42,13 @@ def read_event_stream(
     import os
     import tempfile
 
+    # Defensive: the caller may hand us a session built without our
+    # factory (the driver does); this conf is runtime-settable and
+    # required to read the TIMESTAMP(NANOS) fixture variant.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     if stage_dir is None:
         stage = tempfile.mkdtemp(prefix="smile_stream_")
@@ -481,7 +488,9 @@ def cms_state_counters(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
-def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_ewma(
+    spark: SparkSession, sf_dir: str, user_mod: int | None = None
+) -> DataFrame:
     """Streaming sibling of operators/behavior.py:ewma_anomaly — the
     truncated per-user EWMA maintained ONLINE via
     applyInPandasWithState.  State per user is exactly the last
@@ -499,7 +508,12 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch result.  Replay after a failure is NOT out-of-order: the
     state store is versioned per micro-batch, so a replayed batch runs
     against the rolled-back state and re-emits identical rows (scores
-    are a pure function of the deque prefix)."""
+    are a pure function of the deque prefix).
+
+    ``user_mod`` restricts the stream to ``user_id % user_mod == 0`` —
+    the bounded audit-block device (dedup_eval's pattern) that keeps
+    the certificate query's Python-side row work independent of the
+    registered benchmark breadth."""
     import pandas as pd
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -511,6 +525,8 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smile_spark.operators.behavior import EWMA_SPIKE_MULT, EWMA_W
 
     ev = read_event_stream(spark, sf_dir)
+    if user_mod is not None:
+        ev = ev.filter(F.col("user_id") % user_mod == 0)
 
     def score(hist: list):
         n = len(hist)
@@ -591,3 +607,87 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful-streaming agreement certificate (driver-registered)
+# ---------------------------------------------------------------------------
+
+SSA_USER_MOD = 10  # audit block: user_id % MOD == 0
+
+
+def streaming_state_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW certificate that the custom stateful streaming path
+    (:func:`streaming_ewma`, ``applyInPandasWithState``) emits exactly
+    the batch ``ewma_anomaly`` rows — the batch/stream equality
+    contract, promoted from pytest to a driver-verifiable query
+    (VERDICT r05 next-round #4).
+
+    Runs the REAL Structured Streaming query (parquet file source →
+    per-user bounded-deque EWMA state → memory sink) over the
+    ``user_id % SSA_USER_MOD == 0`` audit block, full-outer-joins the
+    drained sink against the batch operator on (user_id, event_id),
+    and emits (n_stream, n_batch, n_mismatch): a mismatch is a row
+    missing on either side or any disagreement in rn / value /
+    ewma_prev / is_spike (exact equality is the contract — both paths
+    quantize scores identically).  The oracle recomputes the expected
+    row count from raw events and asserts the mismatch count is ZERO,
+    so any batch/stream divergence flips the hash gate.
+
+    Scale: the streaming side's state is EWMA_W doubles per user
+    forever (the truncation bound); the certificate join is
+    audit-block-sized.  In production the same query runs against any
+    landing directory with a checkpoint location — the memory sink is
+    the verification harness, not the deployment sink.
+    """
+    import uuid
+
+    from smile_spark.operators.behavior import ewma_anomaly
+
+    sink = f"ssa_{uuid.uuid4().hex[:10]}"
+    out = run_stream_to_memory(
+        streaming_ewma(spark, sf_dir, user_mod=SSA_USER_MOD),
+        sink,
+        output_mode="update",
+    )
+    stream = out.select(
+        "user_id",
+        "event_id",
+        F.col("rn").alias("rn_s"),
+        F.col("value").alias("value_s"),
+        F.col("ewma_prev").alias("ewma_s"),
+        F.col("is_spike").alias("spike_s"),
+    )
+    batch = ewma_anomaly(spark, sf_dir).filter(
+        F.col("user_id") % SSA_USER_MOD == 0
+    )
+    j = stream.join(batch, ["user_id", "event_id"], "full")
+    mismatch = (
+        F.col("rn_s").isNull()
+        | F.col("rn").isNull()
+        | (F.col("rn_s") != F.col("rn"))
+        | (F.col("value_s") != F.col("value"))
+        | (F.col("ewma_s") != F.col("ewma_prev"))
+        | (F.col("spike_s") != F.col("is_spike"))
+    )
+    return j.agg(
+        F.count("rn_s").alias("n_stream"),
+        F.count("rn").alias("n_batch"),
+        F.sum(F.when(mismatch, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatch"),
+    )
+
+
+# The oracle recomputes the expected emitted-row count independently
+# (every audit-block event with at least one predecessor in its user's
+# (ts, event_id) order emits exactly one row) and asserts zero
+# mismatches — the streaming run must reproduce the batch rows
+# bit-for-bit for the value-hash to match.
+STREAMING_STATE_AGREEMENT_SQL = (
+    "WITH seq AS (SELECT ROW_NUMBER() OVER (PARTITION BY user_id"
+    "  ORDER BY ts, event_id) AS rn FROM events"
+    f"  WHERE user_id % {SSA_USER_MOD} = 0)"
+    " SELECT COUNT(*) AS n_stream, COUNT(*) AS n_batch,"
+    " CAST(0 AS BIGINT) AS n_mismatch FROM seq WHERE rn >= 2"
+)

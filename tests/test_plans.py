@@ -112,6 +112,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # builds the persisted IVF index at plan time; its
         # partition-prune plan is asserted in test_similarity
         "ann_ivf_indexed",
+        # runs a real Structured Streaming query (memory sink) at call
+        # time; its batch/stream agreement is the certificate itself
+        "streaming_state_agreement",
         # localCheckpoint the co-purchase edge set at plan time
         # (kcore additionally iterates its peel rounds)
         "kcore_peel", "clustering_coefficient",
