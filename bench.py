@@ -41,13 +41,51 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    spark = get_spark(app_name="smile-spark-bench")
+    # periodicGC: the ContextCleaner only releases executor-side
+    # shuffle files / broadcasts when the DRIVER JVM garbage-collects
+    # the referencing objects — with a 64g heap a ~15-minute 158-query
+    # run may see no full GC at all, so state accumulates across the
+    # whole suite and inflates late-run timings (the r05 1.31x
+    # common-slice drift was measured WITH min-of-2 already in place,
+    # i.e. systematic, not noise).  A 60s periodic GC bounds that
+    # accumulation; per-query cost is unaffected.
+    spark = get_spark(
+        app_name="smile-spark-bench",
+        extra_conf={"spark.cleaner.periodicGC.interval": "60s"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
     # Warm the JVM/session on the smallest fixture so timings measure the
     # queries, not session spin-up.
     _force(queries["scan_filter_count"](spark, sf_dir))
+
+    # Drift control: a fixed set of cheap, code-stable queries timed
+    # right after warmup and again after the timing passes.  If the
+    # end/start ratio drifts, late-run numbers carry session-age
+    # overhead and round-over-round comparisons must use the control
+    # ratio as the error bar (VERDICT r05 What's-wrong #2: unchanged
+    # sub-second queries "regressed" 1.7-2.0x — attribution, not
+    # assertion).
+    control_names = [
+        "scan_filter_count", "groupby_count", "rollup_summary",
+        "set_ops_all", "source_temperature_mix", "seasonality_profile",
+        "price_histogram", "conditional_aggs",
+    ]
+    controls: dict[str, dict[str, float]] = {}
+
+    def run_controls(tag: str) -> None:
+        for cname in control_names:
+            t0 = time.perf_counter()
+            try:
+                _force(queries[cname](spark, sf_dir))
+            except Exception:  # noqa: BLE001 — control must not kill bench
+                continue
+            controls.setdefault(cname, {})[tag] = round(
+                time.perf_counter() - t0, 4
+            )
+
+    run_controls("start")
 
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -107,6 +145,8 @@ def main() -> None:
         if s and max(s) > 1.3 * min(s) and min(s) > 0.2:
             time_one(name, fn)
 
+    run_controls("end")
+
     timings = {name: min(s) for name, s in samples.items() if s}
 
     total = round(sum(timings.values()), 4)
@@ -115,6 +155,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "drift_control": controls,
         "sf": sf,
     }
     if errors:
