@@ -46,17 +46,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-6 window (exactly 50): (1)
-    streaming_state_agreement — NEW, the stateful-streaming
-    batch/stream equality certificate (VERDICT r05 next-round #4) —
-    plus connected_components, whose iteration schedule changed this
-    round (alternate-round pointer jumping); (2) ALL 19 round-5
-    operators that have never held a driver verdict (VERDICT r05
-    next-round #1 — several also changed this round: setsim's
-    candidate-bounded verify, SQ8's zero-range guard, bitmap's
-    integer indexing, spatial's overflow-safe hash,
-    clustering_coefficient's degree orientation); (3) the 29 oldest
-    r03-stale entries.  The 12 remaining r03-green entries (scan ..
+    insertion order.  Round-6 window (exactly 50): (1) the four NEW
+    round-6 entries — streaming_state_agreement (the
+    stateful-streaming batch/stream equality certificate, VERDICT r05
+    next-round #4), srp_lsh_topk (signed-random-projection multiprobe
+    ANN), sliding_distinct_users (bitmap-windowed exact sliding NDV),
+    bigram_lm_fluency (add-one bigram LM quality scoring) — plus
+    connected_components, whose iteration schedule changed this round
+    (alternate-round pointer jumping); (2) ALL 19 round-5 operators
+    that have never held a driver verdict (VERDICT r05 next-round #1
+    — several also changed this round: setsim's candidate-bounded
+    verify, SQ8's zero-range guard, bitmap's integer indexing,
+    spatial's overflow-safe hash, clustering_coefficient's degree
+    orientation); (3) the 26 oldest r03-stale entries.  The 15
+    remaining r03-green entries (balanced_sample_k ..
     zscore_normalize) plus the three memoization-only r05 entries
     head the tail for the r07 window; the r04-green block follows,
     the r05-green block sits last.
@@ -64,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- (1) NEW or semantically changed this round ---
         "streaming_state_agreement": ST.streaming_state_agreement,
+        "srp_lsh_topk": S.srp_lsh_topk,
+        "sliding_distinct_users": W.sliding_distinct_users,
+        "bigram_lm_fluency": T.bigram_lm_fluency,
         "connected_components": G.connected_components,
         # --- (2) the 19 round-5 operators awaiting a first verdict ---
         "token_entropy": T.token_entropy,
@@ -112,9 +118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": Q.referential_orphans,
         "constraint_violations": Q.constraint_violations,
         "dedup_cross_source": D.dedup_cross_source,
-        "balanced_sample_k": AN.balanced_sample_k,
-        "sample_packing": C.sample_packing,
-        "pricing_summary": R.pricing_summary,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round; r07 NOTE: rotate (a) the 12 remaining r03-green
@@ -123,6 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (graph_adjacency_bucketed .. dedup_canonical); the r05-green
         # block rotates last.
         # ------------------------------------------------------------------
+        "balanced_sample_k": AN.balanced_sample_k,
+        "sample_packing": C.sample_packing,
+        "pricing_summary": R.pricing_summary,
         "scan": R.scan,
         "projection": R.projection,
         "datagen": R.datagen,
@@ -535,4 +541,11 @@ def oracle_sql() -> dict[str, str]:
         # against the batch operator, so stream/batch divergence flips
         # the value hash
         "streaming_state_agreement": ST.STREAMING_STATE_AGREEMENT_SQL,
+        # SRP bucket signs come from order-independent DECIMAL folds,
+        # so the multiprobe candidate set — and therefore the search
+        # result — is exactly oracle-checkable despite the RETRIEVAL
+        # being approximate (recall pinned in pytest, IVF precedent)
+        "srp_lsh_topk": S.srp_lsh_sql(),
+        "sliding_distinct_users": W.SLIDING_DISTINCT_USERS_SQL,
+        "bigram_lm_fluency": T.BIGRAM_LM_FLUENCY_SQL,
     }

@@ -681,6 +681,54 @@ def mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mad_outliers_approx_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB production form of :func:`mad_outliers`: both
+    medians from ``approx_percentile`` sketches (fixed-size mergeable
+    state — no group ever buffers its values), same output schema as
+    the exact sibling.  Not driver-registered — sketch outputs are
+    engine-specific so no cross-engine oracle exists for the raw
+    values; tests/test_approx.py pins it against the exact form, and
+    :func:`mad_outliers_approx` is the registered deterministic
+    certificate of the same sketches (SCALING.md "Certificate
+    pricing")."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    x = F.col("l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, 0.5D, {MAD_ACCURACY})"
+        ).alias("med_price")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(x - F.col("med_price"))
+    )
+    mad = dev.groupBy("l_returnflag", "med_price").agg(
+        F.expr(f"approx_percentile(adev, 0.5D, {MAD_ACCURACY})").alias(
+            "mad_raw"
+        )
+    )
+    scored = dev.join(F.broadcast(mad), ["l_returnflag", "med_price"])
+    return (
+        scored.groupBy("l_returnflag", "med_price", "mad_raw")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("adev") > MAD_K * F.col("mad_raw")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("med_price", 6).alias("med_price"),
+            F.round("mad_raw", 6).alias("mad"),
+            "n_rows",
+            "n_outliers",
+        )
+    )
+
+
 MAD_OUTLIERS_APPROX_SQL = (
     "SELECT l_returnflag,"
     " ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS med_price,"

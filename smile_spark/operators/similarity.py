@@ -732,3 +732,165 @@ ANN_SQ8_SQL = (
     "  FROM exact)"
     f" SELECT qid, vec_id, cos_r, rn FROM ranked WHERE rn <= {TOP_K}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH ANN with multiprobe + exact re-rank
+# ---------------------------------------------------------------------------
+
+SRP_BITS = 8            # hyperplanes -> 2^8 buckets
+SRP_PROBE_HAMMING = 2   # probe all buckets within this hamming radius
+_SRP_A = 2654435761     # Knuth multiplicative constant
+_SRP_STRIDE = 1000003   # bit-index stride into the hash domain
+# XOR masks enumerating the hamming<=2 ball around a query's bucket:
+# 1 (itself) + 8 (one flip) + 28 (two flips) = 37 probes of 256 buckets
+SRP_MASKS = (
+    [0]
+    + [1 << b for b in range(SRP_BITS)]
+    + [
+        (1 << a) | (1 << b)
+        for a in range(SRP_BITS)
+        for b in range(a + 1, SRP_BITS)
+    ]
+)
+
+
+def _srp_sign_case(b: int, one_based_i: str) -> str:
+    """±1 hyperplane component for bit ``b``, dimension index expr
+    (1-based) — a Knuth multiplicative hash of (bit, dim) taking a
+    MIDDLE output bit (low bits of h are the input's low bits for an
+    odd multiplier; parity alone would degenerate to a checkerboard).
+    Pure integer arithmetic < 2^63, shared verbatim by both engines.
+    """
+    h = f"(({_SRP_A} * (cast({b * _SRP_STRIDE} as bigint) + {one_based_i}))" \
+        f" % 4294967296)"
+    return f"(case when {h} div 65536 % 2 = 0 then 1.0D else -1.0D end)"
+
+
+def _srp_bucket_expr() -> str:
+    """Spark expr: the SRP_BITS-bit bucket id of array column ``v``.
+
+    Each bit is the SIGN of the projection onto a deterministic ±1
+    hyperplane; each projection folds in DECIMAL(24,12) with per-term
+    round-9 quantization (the ewma_anomaly device), so the sign — a
+    hard threshold a float reorder could flip — is exact and
+    order-independent on both engines."""
+    bits = []
+    for b in range(SRP_BITS):
+        dot = (
+            "aggregate(transform(v, (x, i) -> cast(round(x * "
+            + _srp_sign_case(b, "(i + 1)")
+            + ", 9) as decimal(24,12))), cast(0 as decimal(24,12)),"
+            " (acc, t) -> cast(acc + t as decimal(24,12)))"
+        )
+        bits.append(f"(case when {dot} >= 0 then {1 << b} else 0 end)")
+    return "cast(" + " + ".join(bits) + " as int)"
+
+
+def srp_lsh_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """SRP-LSH approximate nearest neighbour: bucket the corpus by the
+    signs of SRP_BITS deterministic random-hyperplane projections
+    (Charikar's simhash for cosine), probe each query's hamming<=2
+    bucket neighborhood, and exactly re-rank only the probed
+    candidates.  The third ANN family beside IVF (data-dependent
+    centroids, training pass) and SQ8 (full compressed scan): SRP
+    needs NO training and its index is one integer per vector, so it
+    is the incremental-ingest-friendly ANN — new vectors bucket
+    independently, no retraining, no cell rebalance.
+
+    Scale: the bucket table is (vec_id, bkt) — bytes per vector, built
+    in one corpus pass with no shuffle wider than the groupBy on bkt;
+    probing touches ~37/256 of buckets per query, so scored candidates
+    are ~15% of the corpus per query (tunable by SRP_BITS/radius), and
+    the exact re-rank reads full vectors ONLY for candidates.
+    Multiprobe trades recall for probes explicitly — the knob a
+    100 TB deployment tunes instead of rebuilding an index.
+
+    Determinism: hyperplane components are integer-hash ±1; each
+    projection folds in DECIMAL with round-9 terms, so bucket SIGNS
+    (hard thresholds) cannot flip between engines; the re-rank is the
+    ann_cosine contract (round-6 scores, vec_id tie-break).  Recall
+    vs brute force is pinned in pytest, not by the oracle."""
+    emb = _vectors(spark, sf_dir)
+    sig = emb.select("vec_id", "v", F.expr(_srp_bucket_expr()).alias("bkt"))
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bkt"
+    )
+    masks = F.array(*[F.lit(m) for m in SRP_MASKS])
+    probes = q.withColumn("m", F.explode(masks)).select(
+        "qid", "qv", F.expr("bkt ^ m").alias("bkt")
+    )
+    # the probe table is queries x 37 masks — broadcast it; the corpus
+    # signature table streams and never shuffles
+    cand = F.broadcast(probes).join(sig, "bkt").select(
+        "qid", "qv", "vec_id", "v"
+    )
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot("v", "qv") / (_norm("v") * _norm("qv")), ROUND_DIGITS
+        ).alias("cos_r"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid", "vec_id", "cos_r", F.col("rn").cast("bigint").alias("rn")
+        )
+    )
+
+
+def _srp_sign_case_duck(one_based_i: str) -> str:
+    """DuckDB twin of :func:`_srp_sign_case` with the bit index as the
+    column ``b`` (the bits CTE) instead of a baked literal."""
+    h = (
+        f"(({_SRP_A} * (b * {_SRP_STRIDE} + {one_based_i}))"
+        f" % 4294967296)"
+    )
+    return f"(CASE WHEN {h} // 65536 % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+
+
+def srp_lsh_sql() -> str:
+    """Exact DuckDB oracle for srp_lsh_topk: identical DECIMAL-folded
+    projections (order-independent, so the bucket signs agree
+    bit-for-bit), identical mask set, identical re-rank contract."""
+    masks = ", ".join(str(m) for m in SRP_MASKS)
+    sign = _srp_sign_case_duck("i")
+    return (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),"
+        " u AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i,"
+        "  unnest(v) AS x FROM e),"
+        f" bits AS (SELECT unnest(range({SRP_BITS})) AS b),"
+        " dots AS (SELECT vec_id, b,"
+        f"  SUM(CAST(ROUND(x * {sign}, 9) AS DECIMAL(24,12))) AS dotb"
+        "  FROM u CROSS JOIN bits GROUP BY vec_id, b),"
+        " sig AS (SELECT vec_id,"
+        "  CAST(SUM(CASE WHEN dotb >= 0 THEN 1 << b ELSE 0 END) AS INT)"
+        "   AS bkt FROM dots GROUP BY vec_id),"
+        " q AS (SELECT s.vec_id AS qid, e.v AS qv, s.bkt"
+        "  FROM sig s JOIN e ON e.vec_id = s.vec_id"
+        f"  WHERE s.vec_id < {N_QUERIES}),"
+        f" masks AS (SELECT unnest([{masks}]) AS m),"
+        " probes AS (SELECT qid, qv, xor(bkt, CAST(m AS INT)) AS bkt"
+        "  FROM q CROSS JOIN masks),"
+        " cand AS (SELECT p.qid, p.qv, s.vec_id"
+        "  FROM probes p JOIN sig s ON s.bkt = p.bkt),"
+        " ue AS (SELECT c.qid, c.vec_id,"
+        "  unnest(e.v) AS a, unnest(c.qv) AS b"
+        "  FROM cand c JOIN e ON e.vec_id = c.vec_id),"
+        " s2 AS (SELECT qid, vec_id, SUM(a * b) AS dot,"
+        "  SUM(a * a) AS na, SUM(b * b) AS nb FROM ue GROUP BY qid, vec_id),"
+        " scored AS (SELECT qid, vec_id,"
+        f"  ROUND(dot / (sqrt(na) * sqrt(nb)), {ROUND_DIGITS}) AS cos_r"
+        "  FROM s2),"
+        " ranked AS (SELECT qid, vec_id, cos_r, ROW_NUMBER() OVER"
+        "  (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn"
+        "  FROM scored)"
+        f" SELECT qid, vec_id, cos_r, rn FROM ranked WHERE rn <= {TOP_K}"
+    )

@@ -672,3 +672,85 @@ INVERTED_INDEX_STATS_SQL = (
     "  AS postings_md5"
     " FROM tf GROUP BY tok"
 )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model fluency scoring (add-one smoothed)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency score under a corpus-trained add-one
+    smoothed bigram language model: the mean conditional probability
+    p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) over the document's bigrams — a
+    deterministic perplexity proxy, the classic KenLM-style quality
+    signal a curation pipeline uses to down-rank disfluent/boilerplate
+    text (log-free on purpose: libm ln differs across engines, exact
+    integer-derived divisions do not — the bigram_pmi lift precedent).
+
+    Scale shape: the bigram/unigram count tables are the trained LM —
+    built once with map-side-combined groupBys (state ∝ vocabulary²
+    observed, not corpus), persistable and reusable; scoring is two
+    equi-joins of the doc's bigrams against those counts plus one
+    single-row vocab broadcast.  At 100 TB the count tables join
+    shuffle-side (vocabulary-keyed, heavy hitters are exactly the
+    well-estimated bigrams) and each doc's cost ∝ its own length.
+
+    Determinism: p is a division of exact integers (identical IEEE
+    result), quantized to DECIMAL(24,12) per term so the per-doc sum
+    is order-independent; the final mean rounds to 6.
+    Emits (doc_id, n_bigrams, fluency)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("w").over(wd))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").alias("vsz"))
+    p = (F.col("c12") + 1) / (F.col("c1") + F.col("vsz"))
+    term = F.round(p, 12).cast("decimal(24,12)")
+    return (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("fluency"),
+        )
+    )
+
+
+BIGRAM_LM_FLUENCY_SQL = (
+    "WITH toks AS (SELECT doc_id, i AS pos, w FROM ("
+    "  SELECT doc_id, unnest(string_split(text, ' ')) AS w,"
+    "   unnest(generate_series(1, len(string_split(text, ' ')))) AS i"
+    "  FROM documents)),"
+    " big AS (SELECT doc_id, w AS w1,"
+    "  LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks"
+    "  QUALIFY w2 IS NOT NULL),"
+    " c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),"
+    " c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),"
+    " vocab AS (SELECT COUNT(DISTINCT w) AS vsz FROM toks)"
+    " SELECT doc_id, COUNT(*) AS n_bigrams,"
+    " ROUND(CAST(SUM(CAST(ROUND((c12.c12 + 1) / (c1.c1 + vsz), 12)"
+    "  AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*), 6) AS fluency"
+    " FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)"
+    " CROSS JOIN vocab"
+    " GROUP BY doc_id"
+)

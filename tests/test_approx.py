@@ -230,3 +230,32 @@ def test_mad_approx_certificate_booleans_hold(spark, sf_dir):
         assert r.med_in_tolerance and r.mad_in_tolerance, r
         assert r.med_price == exact[flag].med_price, (r, exact[flag])
         assert r.n == exact[flag].n_rows
+
+
+def test_mad_approx_summary_close_to_exact(spark, sf_dir):
+    """The production sketch-only MAD (no exact envelope, no
+    rank-count certification passes) must land within sketch
+    tolerance of the exact operator: medians/MADs within 1% and the
+    outlier count within 1.5% of the group size — the same contract
+    the winsorize summary form carries."""
+    from smile_spark.operators.quality import (
+        mad_outliers,
+        mad_outliers_approx_summary,
+    )
+
+    exact = {
+        r.l_returnflag: r for r in mad_outliers(spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: r
+        for r in mad_outliers_approx_summary(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a.n_rows == e.n_rows
+        assert abs(a.med_price - e.med_price) / e.med_price < 0.01
+        assert abs(a.mad - e.mad) / e.mad < 0.01, (flag, e.mad, a.mad)
+        assert abs(a.n_outliers - e.n_outliers) <= max(
+            5, 0.015 * e.n_rows
+        ), (flag, e.n_outliers, a.n_outliers)

@@ -140,6 +140,8 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "join_size_estimate",
         # crossJoin against the broadcast SINGLE-ROW avgdl/N stats leg
         "bm25_topk",
+        # crossJoin against the broadcast SINGLE-ROW vocab-size leg
+        "bigram_lm_fluency",
     }
     for name, fn in sorted(entry_mod.queries().items()):
         if name in skip:

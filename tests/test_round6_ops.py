@@ -1,0 +1,110 @@
+"""Invariant tests for the round-6 operators (oracle parity is covered
+by tests/test_parity.py via their oracle_sql() registrations)."""
+
+from pyspark.sql import functions as F
+
+from smile_spark.tables import table
+
+
+def test_srp_recall_against_brute_force(spark, sf_dir):
+    """Multiprobe SRP must recover a meaningful fraction of the true
+    top-k: hamming<=2 probing over 8 bits scores ~15% of the corpus,
+    and random-hyperplane collision probability concentrates near
+    neighbors, so recall@10 should beat the ~0.15 random-candidate
+    floor by a wide margin."""
+    from smile_spark.operators.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        srp_lsh_topk,
+    )
+
+    truth = {
+        (r.qid, r.vec_id) for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    got = {(r.qid, r.vec_id) for r in srp_lsh_topk(spark, sf_dir).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall
+    # scores of returned pairs must equal the brute-force scores
+    bf = {
+        (r.qid, r.vec_id): r.cos_r
+        for r in ann_cosine_topk(spark, sf_dir, k=10**9).collect()
+    }
+    for r in srp_lsh_topk(spark, sf_dir).collect():
+        assert bf[(r.qid, r.vec_id)] == r.cos_r
+        assert 1 <= r.rn <= TOP_K
+
+
+def test_srp_buckets_are_deterministic(spark, sf_dir):
+    """Two independent evaluations of the bucket expression must agree
+    exactly (the DECIMAL-fold signs cannot depend on partitioning)."""
+    from smile_spark.operators.similarity import (
+        _srp_bucket_expr,
+        _vectors,
+    )
+
+    emb = _vectors(spark, sf_dir)
+    a = {
+        r.vec_id: r.bkt
+        for r in emb.select(
+            "vec_id", F.expr(_srp_bucket_expr()).alias("bkt")
+        ).collect()
+    }
+    b = {
+        r.vec_id: r.bkt
+        for r in emb.repartition(7)
+        .select("vec_id", F.expr(_srp_bucket_expr()).alias("bkt"))
+        .collect()
+    }
+    assert a == b
+    assert all(0 <= v < 256 for v in a.values())
+
+
+def test_sliding_distinct_matches_naive_window(spark, sf_dir):
+    """The bitmap-merged trailing-7-day NDV must equal a naive
+    per-anchor COUNT(DISTINCT) over the same range."""
+    from smile_spark.operators.windows import (
+        SLIDE_DAYS,
+        sliding_distinct_users,
+    )
+
+    got = {
+        r.day: (r.n_users_1d, r.n_users_7d)
+        for r in sliding_distinct_users(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    days = [r.day for r in ev.select("day").distinct().collect()]
+    assert set(days) == set(got)
+    rows = ev.collect()
+    for day in days:
+        naive_1d = len({r.user_id for r in rows if r.day == day})
+        naive_7d = len(
+            {
+                r.user_id
+                for r in rows
+                if 0 <= (day - r.day).days < SLIDE_DAYS
+            }
+        )
+        assert got[day] == (naive_1d, naive_7d), day
+
+
+def test_bigram_fluency_bounds_and_coverage(spark, sf_dir):
+    """Scores are valid probabilities; every multi-token document is
+    scored; bigram counts reconcile with token counts."""
+    from smile_spark.operators.text import bigram_lm_fluency
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    rows = bigram_lm_fluency(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == {
+        d for d, n in n_tok.items() if n >= 2
+    }
+    for r in rows:
+        assert 0.0 < r.fluency <= 1.0, r
+        assert r.n_bigrams == n_tok[r.doc_id] - 1, r
