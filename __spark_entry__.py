@@ -46,23 +46,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-6 window (exactly 50): (1) the four NEW
+    insertion order.  Round-6 window (exactly 50): (1) the seven NEW
     round-6 entries — streaming_state_agreement (the
     stateful-streaming batch/stream equality certificate, VERDICT r05
     next-round #4), srp_lsh_topk (signed-random-projection multiprobe
     ANN), sliding_distinct_users (bitmap-windowed exact sliding NDV),
-    bigram_lm_fluency (add-one bigram LM quality scoring) — plus
+    bigram_lm_fluency (add-one bigram LM quality scoring),
+    session_path_topk (top session journeys), embedding_outliers
+    (centroid-cosine vector-quality screen), and
+    streaming_window_agreement (windowed batch/stream equality
+    certificate) — plus
     connected_components, whose iteration schedule changed this round
     (alternate-round pointer jumping); (2) ALL 19 round-5 operators
     that have never held a driver verdict (VERDICT r05 next-round #1
     — several also changed this round: setsim's candidate-bounded
     verify, SQ8's zero-range guard, bitmap's integer indexing,
     spatial's overflow-safe hash, clustering_coefficient's degree
-    orientation); (3) the 26 oldest r03-stale entries.  The 15
-    remaining r03-green entries (balanced_sample_k ..
-    zscore_normalize) plus the three memoization-only r05 entries
-    head the tail for the r07 window; the r04-green block follows,
-    the r05-green block sits last.
+    orientation); (3) the 23 oldest r03-stale entries (never-verified
+    beats stale-green for window slots, the r05 VERDICT's own
+    priority).  The 18 remaining r03-green entries
+    (referential_orphans .. zscore_normalize) plus the three
+    memoization-only r05 entries head the tail for the r07 window;
+    the r04-green block follows, the r05-green block sits last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- (1) NEW or semantically changed this round ---
@@ -70,6 +75,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_lsh_topk": S.srp_lsh_topk,
         "sliding_distinct_users": W.sliding_distinct_users,
         "bigram_lm_fluency": T.bigram_lm_fluency,
+        "session_path_topk": B.session_path_topk,
+        "embedding_outliers": S.embedding_outliers,
+        "streaming_window_agreement": ST.streaming_window_agreement,
         "connected_components": G.connected_components,
         # --- (2) the 19 round-5 operators awaiting a first verdict ---
         "token_entropy": T.token_entropy,
@@ -91,7 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_approx": Q.mad_outliers_approx,
         "dedup_eval": D.dedup_eval,
         "stratified_kfold": C.stratified_kfold,
-        # --- (3) the 29 oldest r03-stale entries ---
+        # --- (3) the 23 oldest r03-stale entries ---
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -115,17 +123,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_dimension": R.date_dimension,
         "revenue_growth_mom": AN.revenue_growth_mom,
         "column_profile": Q.column_profile,
-        "referential_orphans": Q.referential_orphans,
-        "constraint_violations": Q.constraint_violations,
-        "dedup_cross_source": D.dedup_cross_source,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r07 NOTE: rotate (a) the 12 remaining r03-green
-        # entries (scan .. zscore_normalize) + the 3 memoization-only
+        # round; r07 NOTE: rotate (a) the 18 remaining r03-green
+        # entries (referential_orphans .. zscore_normalize) + the 3
+        # memoization-only
         # entries first, then (b) the r04-green block
         # (graph_adjacency_bucketed .. dedup_canonical); the r05-green
         # block rotates last.
         # ------------------------------------------------------------------
+        "referential_orphans": Q.referential_orphans,
+        "constraint_violations": Q.constraint_violations,
+        "dedup_cross_source": D.dedup_cross_source,
         "balanced_sample_k": AN.balanced_sample_k,
         "sample_packing": C.sample_packing,
         "pricing_summary": R.pricing_summary,
@@ -548,4 +557,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_lsh_topk": S.srp_lsh_sql(),
         "sliding_distinct_users": W.SLIDING_DISTINCT_USERS_SQL,
         "bigram_lm_fluency": T.BIGRAM_LM_FLUENCY_SQL,
+        "session_path_topk": B.SESSION_PATH_TOPK_SQL,
+        "embedding_outliers": S.EMBEDDING_OUTLIERS_SQL,
+        "streaming_window_agreement": ST.STREAMING_WINDOW_AGREEMENT_SQL,
     }

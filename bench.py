@@ -55,10 +55,19 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = entry_mod.queries()
+    all_queries = entry_mod.queries()
+    queries = all_queries
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated query names — run just
+    # that subset (attribution tool: re-time an old round's exact query
+    # set in a fresh session to separate suite-breadth session load
+    # from per-query code changes).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {n: f for n, f in queries.items() if n in keep}
     # Warm the JVM/session on the smallest fixture so timings measure the
     # queries, not session spin-up.
-    _force(queries["scan_filter_count"](spark, sf_dir))
+    _force(all_queries["scan_filter_count"](spark, sf_dir))
 
     # Drift control: a fixed set of cheap, code-stable queries timed
     # right after warmup and again after the timing passes.  If the
@@ -78,7 +87,7 @@ def main() -> None:
         for cname in control_names:
             t0 = time.perf_counter()
             try:
-                _force(queries[cname](spark, sf_dir))
+                _force(all_queries[cname](spark, sf_dir))
             except Exception:  # noqa: BLE001 — control must not kill bench
                 continue
             controls.setdefault(cname, {})[tag] = round(
@@ -162,8 +171,11 @@ def main() -> None:
         detail["errors"] = errors
     # Full map: committed file first (survives any stdout truncation),
     # then its own stdout line for full-capture consumers.
+    # Subset runs are attribution experiments — never clobber the
+    # committed full-suite detail file.
+    detail_name = "BENCH_SUBSET.json" if only else "BENCH_LOCAL.json"
     local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     try:
         with open(local_path, "w") as f:

@@ -43,17 +43,17 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_frame(table(spark, sf_dir, "events"))
 
 
-def sessionize_frame(
+def session_events_frame(
     events: DataFrame, gap_us: int = SESSION_GAP_US
 ) -> DataFrame:
-    """Core gap-based sessionization over any (user_id, event_id, ts,
-    value) frame.  lag → flag → running count within one per-user
-    ordered window (single shuffle on user_id), then the session
-    aggregate reuses the same partitioning.  Ordering is (ts,
-    event_id) so ties are deterministic on both engines."""
-    ev = events.select(
-        "user_id", "event_id", "value", F.unix_micros("ts").alias("us"), "ts"
-    )
+    """Per-EVENT session assignment over any (user_id, event_id, ts,
+    ...) frame: lag → new-session flag → running count within one
+    per-user ordered window (single shuffle on user_id).  Ordering is
+    (ts, event_id) so ties are deterministic on both engines.  The
+    per-event grain is shared by the session aggregate
+    (:func:`sessionize_frame`) and the path miner
+    (:func:`session_path_topk`)."""
+    ev = events.withColumn("us", F.unix_micros("ts"))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flagged = ev.withColumn(
         "new_s",
@@ -63,11 +63,23 @@ def sessionize_frame(
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    sess = flagged.withColumn(
+    return flagged.withColumn(
         "session_seq",
         F.sum("new_s")
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("bigint"),
+    )
+
+
+def sessionize_frame(
+    events: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """Core gap-based sessionization over any (user_id, event_id, ts,
+    value) frame — the session-grain aggregate over
+    :func:`session_events_frame` (which holds the single user_id
+    shuffle; the aggregate reuses that partitioning)."""
+    sess = session_events_frame(
+        events.select("user_id", "event_id", "value", "ts"), gap_us
     )
     return sess.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
@@ -565,4 +577,76 @@ FUNNEL_LATENCY_SQL = (
         for q in FUNNEL_LATENCY_QS
     )
     + " FROM lat"
+)
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (top user journeys)
+# ---------------------------------------------------------------------------
+
+SESSION_PATH_K = 20
+
+
+def session_path_topk(
+    spark: SparkSession, sf_dir: str, k: int = SESSION_PATH_K
+) -> DataFrame:
+    """The K most common session journeys: each gap-based session's
+    ordered event-type sequence collapsed to a path string
+    (``view>click>purchase``), counted across all sessions — the
+    clickstream product question ("what do users actually do?") that
+    turns raw events into journey frequencies.
+
+    Plan: ONE shuffle on user_id (the shared sessionize window), a
+    per-session ordered path fold (collect_list of (ts, event_id,
+    type) structs, array_sort, JVM transform+join — deterministic
+    order, no Python), then a path-keyed count with map-side combine
+    and TakeOrderedAndProject for the top-k.  At 100 TB: path
+    cardinality, not session count, bounds the final aggregate (the
+    journey distribution is Zipfian — exactly the heavy hitters the
+    partial agg combines best); pathological mega-sessions are
+    already length-bounded by the session gap.
+
+    Emits (path, n_sessions, rn), ties broken by path string.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    sess = session_events_frame(ev)
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            " struct(us, event_id, event_type))), s -> s.event_type),"
+            " '>')"
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    top = counts.orderBy(
+        F.desc("n_sessions"), F.asc("path")
+    ).limit(k)
+    w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).select("path", "n_sessions", "rn")
+
+
+SESSION_PATH_TOPK_SQL = (
+    "WITH e AS (SELECT user_id, event_id, event_type, ts,"
+    "  epoch_us(ts) AS us FROM events),"
+    " f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL"
+    f"   OR us - lag(us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s"
+    "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),"
+    " s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id"
+    "   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+    "   AS session_seq FROM f),"
+    " paths AS (SELECT user_id, session_seq,"
+    "  string_agg(event_type, '>' ORDER BY us, event_id) AS path"
+    "  FROM s GROUP BY user_id, session_seq),"
+    " counts AS (SELECT path, COUNT(*) AS n_sessions FROM paths"
+    "  GROUP BY path)"
+    " SELECT path, n_sessions, rn FROM ("
+    "  SELECT path, n_sessions, ROW_NUMBER() OVER"
+    "   (ORDER BY n_sessions DESC, path ASC) AS rn FROM counts)"
+    f" WHERE rn <= {SESSION_PATH_K}"
 )

