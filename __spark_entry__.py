@@ -32,6 +32,7 @@ from smile_spark.operators import sketch as K
 from smile_spark.operators import text as T
 from smile_spark.operators import windows as W
 from smile_spark.sources import bucketed as BK
+from smile_spark.sources import text_formats as TF
 from smile_spark.streaming import events as ST
 
 SF0001 = "/root/testdata/sf0.001"
@@ -46,7 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-6 window (exactly 50): (1) the seven NEW
+    insertion order.  Round-6 window (exactly 50): (1) the eight NEW
     round-6 entries — streaming_state_agreement (the
     stateful-streaming batch/stream equality certificate, VERDICT r05
     next-round #4), srp_lsh_topk (signed-random-projection multiprobe
@@ -55,17 +56,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     session_path_topk (top session journeys), embedding_outliers
     (centroid-cosine vector-quality screen), and
     streaming_window_agreement (windowed batch/stream equality
-    certificate) — plus
+    certificate), and jsonl_roundtrip (JSONL egress/ingest
+    losslessness certificate) — plus
     connected_components, whose iteration schedule changed this round
     (alternate-round pointer jumping); (2) ALL 19 round-5 operators
     that have never held a driver verdict (VERDICT r05 next-round #1
     — several also changed this round: setsim's candidate-bounded
     verify, SQ8's zero-range guard, bitmap's integer indexing,
     spatial's overflow-safe hash, clustering_coefficient's degree
-    orientation); (3) the 23 oldest r03-stale entries (never-verified
+    orientation); (3) the 22 oldest r03-stale entries (never-verified
     beats stale-green for window slots, the r05 VERDICT's own
-    priority).  The 18 remaining r03-green entries
-    (referential_orphans .. zscore_normalize) plus the three
+    priority).  The 19 remaining r03-green entries
+    (column_profile .. zscore_normalize) plus the three
     memoization-only r05 entries head the tail for the r07 window;
     the r04-green block follows, the r05-green block sits last.
     """
@@ -78,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_path_topk": B.session_path_topk,
         "embedding_outliers": S.embedding_outliers,
         "streaming_window_agreement": ST.streaming_window_agreement,
+        "jsonl_roundtrip": TF.jsonl_roundtrip,
         "connected_components": G.connected_components,
         # --- (2) the 19 round-5 operators awaiting a first verdict ---
         "token_entropy": T.token_entropy,
@@ -99,7 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_approx": Q.mad_outliers_approx,
         "dedup_eval": D.dedup_eval,
         "stratified_kfold": C.stratified_kfold,
-        # --- (3) the 23 oldest r03-stale entries ---
+        # --- (3) the 22 oldest r03-stale entries ---
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -122,16 +125,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_history": C.scd2_customer_history,
         "date_dimension": R.date_dimension,
         "revenue_growth_mom": AN.revenue_growth_mom,
-        "column_profile": Q.column_profile,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r07 NOTE: rotate (a) the 18 remaining r03-green
-        # entries (referential_orphans .. zscore_normalize) + the 3
+        # round; r07 NOTE: rotate (a) the 19 remaining r03-green
+        # entries (column_profile .. zscore_normalize) + the 3
         # memoization-only
         # entries first, then (b) the r04-green block
         # (graph_adjacency_bucketed .. dedup_canonical); the r05-green
         # block rotates last.
         # ------------------------------------------------------------------
+        "column_profile": Q.column_profile,
         "referential_orphans": Q.referential_orphans,
         "constraint_violations": Q.constraint_violations,
         "dedup_cross_source": D.dedup_cross_source,
@@ -560,4 +563,5 @@ def oracle_sql() -> dict[str, str]:
         "session_path_topk": B.SESSION_PATH_TOPK_SQL,
         "embedding_outliers": S.EMBEDDING_OUTLIERS_SQL,
         "streaming_window_agreement": ST.STREAMING_WINDOW_AGREEMENT_SQL,
+        "jsonl_roundtrip": TF.JSONL_ROUNDTRIP_SQL,
     }

@@ -22,6 +22,7 @@ format and these are ingest/egress edges).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 # Microsecond-precision pattern shared by writer and reader; Spark's
@@ -105,3 +106,42 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Read an ORC directory (schema travels with the data, same as
     parquet — no explicit schema needed)."""
     return spark.read.orc(path)
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW losslessness certificate for the JSONL egress/ingest
+    edge: export the documents table to JSON-lines, read it back with
+    the explicit schema, and emit (n_rows, only_src, only_rt) where
+    the two symmetric ``exceptAll`` counts must be ZERO — byte-level
+    text fidelity through JSON escaping (newlines, quotes, non-ASCII)
+    proven distributively, no driver data path.  The oracle pins the
+    row count from the parquet original and both asymmetry counts to
+    zero, so any serialization loss flips the hash gate.
+
+    Scale: export and re-read are ordinary distributed passes; the
+    exceptAll legs are hash anti-joins on full rows (at 100 TB you
+    would compare md5 fingerprints per row instead of full rows —
+    same plan shape, narrower shuffle).
+    """
+    import tempfile
+
+    from smile_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="smile_jsonl_rt_")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, docs)
+    n = back.agg(F.count(F.lit(1)).alias("n_rows"))
+    only_src = docs.exceptAll(back).agg(
+        F.count(F.lit(1)).alias("only_src")
+    )
+    only_rt = back.exceptAll(docs).agg(
+        F.count(F.lit(1)).alias("only_rt")
+    )
+    return n.crossJoin(only_src).crossJoin(only_rt)
+
+
+JSONL_ROUNDTRIP_SQL = (
+    "SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS only_src,"
+    " CAST(0 AS BIGINT) AS only_rt FROM documents"
+)
