@@ -48,3 +48,63 @@ def compact(
     df: DataFrame = spark.read.parquet(in_path)
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def compaction_roundtrip(spark: SparkSession, sf_dir: str):
+    """ONE-ROW certificate for the small-file compaction pass: write
+    the documents table as 32 deliberately-small files, compact to a
+    byte-sized target of one quarter of the directory (→ exactly 4
+    output files), and prove the rewrite lossless with symmetric
+    exceptAll counts — the table-maintenance contract (fewer files,
+    identical rows) made driver-verifiable.
+
+    Emits (n_files_before, n_files_after, n_rows, only_src, only_rt);
+    the oracle pins 32 / 4 / the parquet row count / 0 / 0.
+    """
+    import math
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from smile_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="smile_compact_")
+    src = os.path.join(base, "small")
+    out = os.path.join(base, "compacted")
+    docs.repartition(32).write.mode("overwrite").parquet(src)
+    n_before = len(
+        [
+            f
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    )
+    target = max(1, math.ceil(dir_bytes(spark, src) / 4))
+    n_after = compact(spark, src, out, target_file_bytes=target)
+    back = spark.read.parquet(out)
+    n = back.agg(F.count(F.lit(1)).alias("n_rows"))
+    only_src = docs.exceptAll(back).agg(
+        F.count(F.lit(1)).alias("only_src")
+    )
+    only_rt = back.exceptAll(docs).agg(F.count(F.lit(1)).alias("only_rt"))
+    return (
+        n.crossJoin(only_src)
+        .crossJoin(only_rt)
+        .select(
+            F.lit(n_before).cast("bigint").alias("n_files_before"),
+            F.lit(n_after).cast("bigint").alias("n_files_after"),
+            "n_rows",
+            "only_src",
+            "only_rt",
+        )
+    )
+
+
+COMPACTION_ROUNDTRIP_SQL = (
+    "SELECT CAST(32 AS BIGINT) AS n_files_before,"
+    " CAST(4 AS BIGINT) AS n_files_after,"
+    " COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS only_src,"
+    " CAST(0 AS BIGINT) AS only_rt FROM documents"
+)

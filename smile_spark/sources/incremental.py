@@ -70,3 +70,77 @@ def commit_increment(manifest_path: str, files: list[str]) -> None:
     """Record files as processed (call after the downstream write)."""
     seen = load_manifest(manifest_path)
     save_manifest(manifest_path, seen | set(files))
+
+
+def incremental_ingest_certificate(spark: SparkSession, sf_dir: str):
+    """ONE-ROW certificate for manifest-tracked incremental ingest:
+    land the events table as three batch files, drain them through
+    :func:`read_increment` / :func:`commit_increment` one batch at a
+    time, then prove (a) a fourth poll sees nothing new (exactly-once
+    accounting over at-least-once delivery), and (b) the union of the
+    ingested increments equals the source table row-for-row
+    (symmetric exceptAll counts).
+
+    Emits (n_batches, n_files, n_rows, n_new_after, only_src,
+    only_rt); the oracle pins 3 / 3 / the events row count / 0 / 0 /
+    0.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from smile_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="smile_incr_")
+    landing = os.path.join(base, "landing")
+    manifest = os.path.join(base, "manifest.json")
+    parts = []
+    n_files = 0
+    n_batches = 0
+    # land → poll → commit, one batch at a time: each poll must see
+    # exactly the one newly-arrived file
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"b{i}"))
+        df, files = read_increment(spark, landing, manifest)
+        if df is None:
+            continue
+        parts.append(df)
+        n_files += len(files)
+        n_batches += 1
+        commit_increment(manifest, files)
+    extra, _ = read_increment(spark, landing, manifest)
+    n_new_after = 0 if extra is None else 1
+    ingested = parts[0]
+    for p in parts[1:]:
+        ingested = ingested.unionByName(p)
+    n = ingested.agg(F.count(F.lit(1)).alias("n_rows"))
+    only_src = ev.exceptAll(ingested).agg(
+        F.count(F.lit(1)).alias("only_src")
+    )
+    only_rt = ingested.exceptAll(ev).agg(
+        F.count(F.lit(1)).alias("only_rt")
+    )
+    return (
+        n.crossJoin(only_src)
+        .crossJoin(only_rt)
+        .select(
+            F.lit(n_batches).cast("bigint").alias("n_batches"),
+            F.lit(n_files).cast("bigint").alias("n_files"),
+            "n_rows",
+            F.lit(n_new_after).cast("bigint").alias("n_new_after"),
+            "only_src",
+            "only_rt",
+        )
+    )
+
+
+INCREMENTAL_INGEST_SQL = (
+    "SELECT CAST(3 AS BIGINT) AS n_batches,"
+    " CAST(3 AS BIGINT) AS n_files, COUNT(*) AS n_rows,"
+    " CAST(0 AS BIGINT) AS n_new_after,"
+    " CAST(0 AS BIGINT) AS only_src, CAST(0 AS BIGINT) AS only_rt"
+    " FROM events"
+)

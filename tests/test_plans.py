@@ -115,8 +115,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # run a real Structured Streaming query (memory sink) at call
         # time; their batch/stream agreement is the certificate itself
         "streaming_state_agreement", "streaming_window_agreement",
-        # writes the JSONL export at call time
-        "jsonl_roundtrip",
+        # write their staging/export directories at call time
+        "jsonl_roundtrip", "compaction_roundtrip",
+        "incremental_ingest_certificate",
         # localCheckpoint the co-purchase edge set at plan time
         # (kcore additionally iterates its peel rounds)
         "kcore_peel", "clustering_coefficient",
