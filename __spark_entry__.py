@@ -49,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-6 window (exactly 50): (1) the ten NEW
+    insertion order.  Round-6 window (exactly 50): (1) the eleven NEW
     round-6 entries — streaming_state_agreement (the
     stateful-streaming batch/stream equality certificate, VERDICT r05
     next-round #4), srp_lsh_topk (signed-random-projection multiprobe
@@ -60,18 +60,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_window_agreement (windowed batch/stream equality
     certificate), jsonl_roundtrip (JSONL egress/ingest
     losslessness certificate), compaction_roundtrip (small-file
-    compaction losslessness), and incremental_ingest_certificate
-    (manifest-tracked exactly-once ingest accounting) — plus
+    compaction losslessness), incremental_ingest_certificate
+    (manifest-tracked exactly-once ingest accounting), and
+    schema_evolution_certificate (additive mergeSchema evolution) —
+    plus
     connected_components, whose iteration schedule changed this round
     (alternate-round pointer jumping); (2) ALL 19 round-5 operators
     that have never held a driver verdict (VERDICT r05 next-round #1
     — several also changed this round: setsim's candidate-bounded
     verify, SQ8's zero-range guard, bitmap's integer indexing,
     spatial's overflow-safe hash, clustering_coefficient's degree
-    orientation); (3) the 20 oldest r03-stale entries (never-verified
+    orientation); (3) the 19 oldest r03-stale entries (never-verified
     beats stale-green for window slots, the r05 VERDICT's own
-    priority).  The 21 remaining r03-green entries
-    (date_dimension .. zscore_normalize) plus the three
+    priority).  The 22 remaining r03-green entries
+    (scd2_customer_history .. zscore_normalize) plus the three
     memoization-only r05 entries head the tail for the r07 window;
     the r04-green block follows, the r05-green block sits last.
     """
@@ -87,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": TF.jsonl_roundtrip,
         "compaction_roundtrip": CP.compaction_roundtrip,
         "incremental_ingest_certificate": IC.incremental_ingest_certificate,
+        "schema_evolution_certificate": TF.schema_evolution_certificate,
         "connected_components": G.connected_components,
         # --- (2) the 19 round-5 operators awaiting a first verdict ---
         "token_entropy": T.token_entropy,
@@ -108,7 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_approx": Q.mad_outliers_approx,
         "dedup_eval": D.dedup_eval,
         "stratified_kfold": C.stratified_kfold,
-        # --- (3) the 20 oldest r03-stale entries ---
+        # --- (3) the 19 oldest r03-stale entries ---
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -128,16 +131,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": B.event_transition_matrix,
         "seasonality_profile": B.seasonality_profile,
         "cms_heavy_hitters": K.cms_heavy_hitters,
-        "scd2_customer_history": C.scd2_customer_history,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r07 NOTE: rotate (a) the 21 remaining r03-green
-        # entries (date_dimension .. zscore_normalize) + the 3
+        # round; r07 NOTE: rotate (a) the 22 remaining r03-green
+        # entries (scd2_customer_history .. zscore_normalize) + the 3
         # memoization-only
         # entries first, then (b) the r04-green block
         # (graph_adjacency_bucketed .. dedup_canonical); the r05-green
         # block rotates last.
         # ------------------------------------------------------------------
+        "scd2_customer_history": C.scd2_customer_history,
         "date_dimension": R.date_dimension,
         "revenue_growth_mom": AN.revenue_growth_mom,
         "column_profile": Q.column_profile,
@@ -572,4 +575,5 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": TF.JSONL_ROUNDTRIP_SQL,
         "compaction_roundtrip": CP.COMPACTION_ROUNDTRIP_SQL,
         "incremental_ingest_certificate": IC.INCREMENTAL_INGEST_SQL,
+        "schema_evolution_certificate": TF.SCHEMA_EVOLUTION_SQL,
     }

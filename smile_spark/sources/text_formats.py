@@ -145,3 +145,72 @@ JSONL_ROUNDTRIP_SQL = (
     "SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS only_src,"
     " CAST(0 AS BIGINT) AS only_rt FROM documents"
 )
+
+
+def schema_evolution_certificate(spark: SparkSession, sf_dir: str):
+    """ONE-ROW certificate for additive parquet schema evolution: land
+    generation-1 files with a SUBSET of the documents schema (doc_id,
+    text), generation-2 files with the full schema plus a new column,
+    then read both generations together with ``mergeSchema`` — the
+    contract every long-lived 100 TB table relies on (columns get
+    added; old files stay readable; missing columns surface as NULL,
+    never as errors or silent drops).
+
+    Emits (n_rows, n_old_gen, n_new_gen, null_new_col, only_src,
+    only_rt): generation counts by provenance, the NULL count of the
+    added column (must equal the old generation's rows), and a
+    symmetric exceptAll proof that doc_id/text survive both
+    generations byte-for-byte.
+    """
+    import os
+    import tempfile
+
+    from smile_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="smile_schev_")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .withColumn("quality_tier", F.lit("v2"))
+    )
+    old.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    new.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    src = docs.select("doc_id", "text")
+    back = merged.select("doc_id", "text")
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("quality_tier").isNull().cast("bigint")).alias(
+            "null_new_col"
+        ),
+        F.sum((F.col("quality_tier") == "v2").cast("bigint")).alias(
+            "n_new_gen"
+        ),
+    ).select(
+        "n_rows",
+        (F.col("n_rows") - F.col("n_new_gen")).alias("n_old_gen"),
+        "n_new_gen",
+        "null_new_col",
+    )
+    only_src = src.exceptAll(back).agg(
+        F.count(F.lit(1)).alias("only_src")
+    )
+    only_rt = back.exceptAll(src).agg(F.count(F.lit(1)).alias("only_rt"))
+    return agg.crossJoin(only_src).crossJoin(only_rt)
+
+
+SCHEMA_EVOLUTION_SQL = (
+    "SELECT COUNT(*) AS n_rows,"
+    " CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_old_gen,"
+    " CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_new_gen,"
+    " CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS null_new_col,"
+    " CAST(0 AS BIGINT) AS only_src, CAST(0 AS BIGINT) AS only_rt"
+    " FROM documents"
+)

@@ -117,7 +117,7 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "streaming_state_agreement", "streaming_window_agreement",
         # write their staging/export directories at call time
         "jsonl_roundtrip", "compaction_roundtrip",
-        "incremental_ingest_certificate",
+        "incremental_ingest_certificate", "schema_evolution_certificate",
         # localCheckpoint the co-purchase edge set at plan time
         # (kcore additionally iterates its peel rounds)
         "kcore_peel", "clustering_coefficient",
