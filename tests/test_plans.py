@@ -102,7 +102,8 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
     # iterative / side-effecting queries excluded (they run jobs at
     # plan-construction time); their shapes are audited elsewhere
     skip = {
-        "bfs", "sssp", "pagerank", "connected_components",
+        "bfs", "sssp", "pagerank", "personalized_pagerank",
+        "connected_components",
         "graph_check", "dedup_minhash_lsh", "hypertable_daily",
         "dedup_canonical", "simhash_pairs", "corpus_curation_manifest",
         "shortest_path_route",  # iterative sssp + checkpointed pred
