@@ -49,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-6 window (exactly 50): (1) the twelve NEW
+    insertion order.  Round-6 window (exactly 50): (1) the fifteen NEW
     round-6 entries — streaming_state_agreement (the
     stateful-streaming batch/stream equality certificate, VERDICT r05
     next-round #4), srp_lsh_topk (signed-random-projection multiprobe
@@ -63,18 +63,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compaction losslessness), incremental_ingest_certificate
     (manifest-tracked exactly-once ingest accounting), and
     schema_evolution_certificate (additive mergeSchema evolution),
-    and personalized_pagerank (teleport-set PPR, the recommendation
-    primitive, unrolled-oracle exact) — plus
+    personalized_pagerank (teleport-set PPR, the recommendation
+    primitive, unrolled-oracle exact), and the three
+    multimodal_decode_* certificates (REAL numpy codecs — PGM parser,
+    RIFF/WAVE chunk walker + resampler, concatenated-PGM frame
+    sampler — with closed-form oracles) — plus
     connected_components, whose iteration schedule changed this round
     (alternate-round pointer jumping); (2) ALL 19 round-5 operators
     that have never held a driver verdict (VERDICT r05 next-round #1
     — several also changed this round: setsim's candidate-bounded
     verify, SQ8's zero-range guard, bitmap's integer indexing,
     spatial's overflow-safe hash, clustering_coefficient's degree
-    orientation); (3) the 18 oldest r03-stale entries (never-verified
+    orientation); (3) the 15 oldest r03-stale entries (never-verified
     beats stale-green for window slots, the r05 VERDICT's own
-    priority).  The 23 remaining r03-green entries
-    (cms_heavy_hitters .. zscore_normalize) plus the three
+    priority).  The 26 remaining r03-green entries
+    (fuzzy_name_match .. zscore_normalize) plus the three
     memoization-only r05 entries head the tail for the r07 window;
     the r04-green block follows, the r05-green block sits last.
     """
@@ -92,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_ingest_certificate": IC.incremental_ingest_certificate,
         "schema_evolution_certificate": TF.schema_evolution_certificate,
         "personalized_pagerank": G.personalized_pagerank,
+        "multimodal_decode_image": M.multimodal_decode_image,
+        "multimodal_decode_audio": M.multimodal_decode_audio,
+        "multimodal_decode_video": M.multimodal_decode_video,
         "connected_components": G.connected_components,
         # --- (2) the 19 round-5 operators awaiting a first verdict ---
         "token_entropy": T.token_entropy,
@@ -113,7 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_approx": Q.mad_outliers_approx,
         "dedup_eval": D.dedup_eval,
         "stratified_kfold": C.stratified_kfold,
-        # --- (3) the 18 oldest r03-stale entries ---
+        # --- (3) the 15 oldest r03-stale entries ---
         "grouping_sets_summary": AN.grouping_sets_summary,
         "sql_order_priority": R.sql_order_priority,
         "sql_subqueries": R.sql_subqueries,
@@ -129,18 +135,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster": AN.zorder_cluster,
         "interval_overlap_join": A.interval_overlap_join,
         "revenue_share": AN.revenue_share,
-        "fuzzy_name_match": T.fuzzy_name_match,
-        "event_transition_matrix": B.event_transition_matrix,
-        "seasonality_profile": B.seasonality_profile,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r07 NOTE: rotate (a) the 23 remaining r03-green
-        # entries (cms_heavy_hitters .. zscore_normalize) + the 3
+        # round; r07 NOTE: rotate (a) the 26 remaining r03-green
+        # entries (fuzzy_name_match .. zscore_normalize) + the 3
         # memoization-only
         # entries first, then (b) the r04-green block
         # (graph_adjacency_bucketed .. dedup_canonical); the r05-green
         # block rotates last.
         # ------------------------------------------------------------------
+        "fuzzy_name_match": T.fuzzy_name_match,
+        "event_transition_matrix": B.event_transition_matrix,
+        "seasonality_profile": B.seasonality_profile,
         "cms_heavy_hitters": K.cms_heavy_hitters,
         "scd2_customer_history": C.scd2_customer_history,
         "date_dimension": R.date_dimension,
@@ -579,4 +585,11 @@ def oracle_sql() -> dict[str, str]:
         "incremental_ingest_certificate": IC.INCREMENTAL_INGEST_SQL,
         "schema_evolution_certificate": TF.SCHEMA_EVOLUTION_SQL,
         "personalized_pagerank": G.personalized_pagerank_sql(),
+        # REAL numpy codecs (PGM / RIFF-WAVE / concatenated-PGM) under
+        # the hash gate: payloads synthesize from doc_id arithmetic,
+        # the parsers decode them, the oracle recomputes the stats in
+        # closed form — a parser bug flips the hash
+        "multimodal_decode_image": M.MULTIMODAL_DECODE_IMAGE_SQL,
+        "multimodal_decode_audio": M.MULTIMODAL_DECODE_AUDIO_SQL,
+        "multimodal_decode_video": M.MULTIMODAL_DECODE_VIDEO_SQL,
     }

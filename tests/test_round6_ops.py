@@ -144,3 +144,46 @@ def test_embedding_outliers_quantile_contract(spark, sf_dir):
     assert n_out >= OUTLIER_Q * n - 2
     for r in rows:
         assert -1.000001 <= r.cos_c <= 1.000001
+
+
+def test_real_codecs_parse_and_validate():
+    """The numpy codecs are real parsers: valid payloads round-trip,
+    malformed payloads raise (magic, header, chunk, length checks)."""
+    import numpy as np
+    import pytest
+
+    from smile_spark.operators.multimodal import (
+        _encode_pgm,
+        _encode_wav,
+        decode_image,
+        resample_audio,
+        sample_video_frames,
+    )
+
+    w, h, pix = decode_image(_encode_pgm(7, 20, 10))
+    assert (w, h) == (20, 10) and pix.shape == (10, 20)
+    assert int(pix[0, 0]) == (7 * 31) % 256
+    assert int(pix[0, 1]) == (7 * 31 + 7) % 256
+
+    rate, s = resample_audio(_encode_wav(5), rate=8_000)
+    n = 256 + 5 % 256
+    assert rate == 8_000 and len(s) == (n + 1) // 2
+    assert int(s[0]) == ((5 * 17) % 65536) - 32768
+    # stride-2 decimation: resampled[1] is source sample 2
+    assert int(s[1]) == ((5 * 17 + 13 * 2) % 65536) - 32768
+    full_rate, full = resample_audio(_encode_wav(5), rate=16_000)
+    assert full_rate == 16_000 and len(full) == n
+
+    stream = b"".join(_encode_pgm(3, 8, 4, salt=97 * f) for f in range(3))
+    frames = sample_video_frames(stream, every_n=2)
+    assert len(frames) == 2  # frames 0 and 2
+    assert int(frames[1][2][0, 0]) == (3 * 31 + 97 * 2) % 256
+
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n2 2\n255\n" + bytes(12))  # wrong magic
+    with pytest.raises(ValueError):
+        decode_image(b"P5\n4 4\n255\n" + bytes(3))  # short raster
+    with pytest.raises(ValueError):
+        resample_audio(b"RIFX" + bytes(40))  # wrong container magic
+    with pytest.raises(ValueError):
+        sample_video_frames(b"JUNK")  # bad frame magic
