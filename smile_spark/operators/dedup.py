@@ -1063,8 +1063,13 @@ def setsim_join_frame(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
     # with a corpus-independent replication factor instead.
     from smile_spark.functions.skew import salted_join
 
+    # n_salts trades replication volume against hot-key spread: 64
+    # replicated the 14k-row side to 894k rows and churned executor
+    # memory (20-95 s erratic across passes); 16 spreads the hottest
+    # token's 14.6M pairs over 16 tasks and times a stable ~13 s.
+    # At cluster scale, size n_salts to per-executor parallelism.
     cand = (
-        salted_join(pb, pa, "tok", n_salts=64)
+        salted_join(pb, pa, "tok", n_salts=16)
         .filter(
             (F.col("a") < F.col("b"))
             & (
