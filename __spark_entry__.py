@@ -137,13 +137,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_share": AN.revenue_share,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r07 NOTE: rotate (a) the 26 remaining r03-green
-        # entries (fuzzy_name_match .. zscore_normalize) + the 3
-        # memoization-only
+        # round; r07 NOTE: rotate (a) revenue_concentration +
+        # degree_assortativity (added late in r06, never verified),
+        # then the 26 remaining r03-green entries (fuzzy_name_match ..
+        # zscore_normalize) + the 3 memoization-only
         # entries first, then (b) the r04-green block
         # (graph_adjacency_bucketed .. dedup_canonical); the r05-green
         # block rotates last.
         # ------------------------------------------------------------------
+        # --- NEW in late r06, never driver-verified: first into r07 ---
+        "revenue_concentration": AN.revenue_concentration,
+        "degree_assortativity": G.degree_assortativity,
         "fuzzy_name_match": T.fuzzy_name_match,
         "event_transition_matrix": B.event_transition_matrix,
         "seasonality_profile": B.seasonality_profile,
@@ -592,4 +596,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_image": M.MULTIMODAL_DECODE_IMAGE_SQL,
         "multimodal_decode_audio": M.MULTIMODAL_DECODE_AUDIO_SQL,
         "multimodal_decode_video": M.MULTIMODAL_DECODE_VIDEO_SQL,
+        "revenue_concentration": AN.REVENUE_CONCENTRATION_SQL,
+        "degree_assortativity": G.DEGREE_ASSORTATIVITY_SQL,
     }

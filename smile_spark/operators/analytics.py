@@ -1597,3 +1597,96 @@ SKYLINE_PARETO_SQL = (
     "  WHERE q.avg_price <= p.avg_price AND q.total_qty >= p.total_qty"
     "   AND (q.avg_price < p.avg_price OR q.total_qty > p.total_qty))"
 )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Pareto / Lorenz / Gini)
+# ---------------------------------------------------------------------------
+
+CONC_TOPS = (1, 10, 20)  # top-k% customer shares to report
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW revenue-concentration report over per-customer order
+    revenue: the top-1/10/20% customer revenue shares (the Pareto
+    "80/20" diagnostics) and the Gini coefficient — the
+    concentration/imbalance summary every revenue, traffic, or token
+    distribution gets profiled with (and, on a corpus, the standard
+    source-imbalance screen).
+
+    Determinism: per-customer revenue accumulates in exact DECIMAL
+    (dsum); ranks order by (revenue, custkey) so ties are pinned;
+    rank-weighted sums stay in DECIMAL; only the final ratios divide
+    identical doubles and round to 6.  Gini uses the rank formula
+    G = 2·Σ(i·v_i)/(n·Σv) − (n+1)/n over ascending-ordered values.
+
+    Scale: the ordered window runs over the CUSTOMER dimension (one
+    row per customer — dimension-sized, not fact-sized).  At a truly
+    huge customer count the global sort becomes the graph_load
+    two-level bucketed prefix-sum; the fact-table pass stays one
+    map-side-combined aggregate either way.
+    """
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice", "rev")
+    )
+    n_row = rev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev").cast(DEC)).alias("total"),
+    )
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    ranked = rev.withColumn("i", F.row_number().over(w)).crossJoin(
+        F.broadcast(n_row)
+    )
+    top_cols = [
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("i") > F.col("n") - F.ceil(F.col("n") * p / 100.0),
+                    F.col("rev").cast(DEC),
+                ).otherwise(F.lit(0).cast(DEC))
+            ).cast("double")
+            / F.first("total").cast("double"),
+            6,
+        ).alias(f"top{p}_share")
+        for p in CONC_TOPS
+    ]
+    gini = F.round(
+        2.0
+        * F.sum(F.col("i") * F.col("rev").cast(DEC)).cast("double")
+        / (
+            F.first("n").cast("double")
+            * F.first("total").cast("double")
+        )
+        - (F.first("n") + 1).cast("double") / F.first("n").cast("double"),
+        6,
+    ).alias("gini")
+    return ranked.agg(
+        F.first("n").alias("n_customers"), *top_cols, gini
+    )
+
+
+REVENUE_CONCENTRATION_SQL = (
+    "WITH rev AS (SELECT o_custkey,"
+    " SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev"
+    " FROM orders GROUP BY o_custkey),"
+    " nt AS (SELECT COUNT(*) AS n, SUM(rev) AS total FROM rev),"
+    " ranked AS (SELECT rev.*, nt.n, nt.total,"
+    "  ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey ASC) AS i"
+    "  FROM rev CROSS JOIN nt)"
+    " SELECT ANY_VALUE(n) AS n_customers,"
+    + ", ".join(
+        f" ROUND(CAST(SUM(CASE WHEN i > n - CEIL(n * {p} / 100.0)"
+        " THEN rev ELSE 0 END) AS DOUBLE)"
+        f" / CAST(ANY_VALUE(total) AS DOUBLE), 6) AS top{p}_share"
+        for p in CONC_TOPS
+    )
+    + ","
+    " ROUND(2.0 * CAST(SUM(i * rev) AS DOUBLE)"
+    "  / (CAST(ANY_VALUE(n) AS DOUBLE) * CAST(ANY_VALUE(total) AS DOUBLE))"
+    "  - CAST(ANY_VALUE(n) + 1 AS DOUBLE) / CAST(ANY_VALUE(n) AS DOUBLE),"
+    " 6) AS gini"
+    " FROM ranked"
+)

@@ -1378,3 +1378,93 @@ def personalized_pagerank_sql() -> str:
         + ",".join(its)
         + f" SELECT id, ppr FROM it{PAGERANK_ITERS}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman's r)
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW degree-assortativity coefficient of the part co-purchase
+    graph: Newman's r — the Pearson correlation of endpoint degrees
+    over all directed edge stubs, the standard "do hubs connect to
+    hubs?" structure diagnostic (positive = assortative social-style
+    mixing, negative = hub-and-spoke).
+
+    Determinism: degrees are exact integers; r is assembled from SIX
+    exact BIGINT moment sums (n, Σx, Σy, Σxy, Σx², Σy² — the
+    corr_stats device), so both engines divide identical integers and
+    only the final coefficient rounds to 6.  The moment products stay
+    far below 2^63 (degrees ≤ ~10⁴ on this graph family).
+
+    Scale: one degree aggregate (map-side combined), one broadcast
+    attach of the node-dimension degree table onto the edge list
+    (the clustering_coefficient argument), then a single partial/final
+    moment aggregate — no row ever shuffles besides the degree
+    groupBy.  Emits (n_edges, assortativity).
+    """
+    und = _copurchase_edges_cached(spark, sf_dir).select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    )
+    # both directions: each undirected edge contributes two stubs
+    stubs = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = (
+        stubs.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = stubs.join(
+        F.broadcast(deg.select(F.col("u"), F.col("d").alias("dx"))), "u"
+    ).join(
+        F.broadcast(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+        ),
+        "v",
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = F.col("sxy").cast("double") - (
+        F.col("sx").cast("double") * F.col("sy").cast("double") / n
+    )
+    denx = F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    )
+    deny = F.col("syy").cast("double") - (
+        F.col("sy").cast("double") * F.col("sy").cast("double") / n
+    )
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("assortativity"),
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = (
+    "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
+    "  l_partkey AS pk FROM lineitem),"
+    " und AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v"
+    "  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),"
+    " stubs AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),"
+    " deg AS (SELECT u, COUNT(*) AS d FROM stubs GROUP BY u),"
+    " ed AS (SELECT dx.d AS dx, dy.d AS dy FROM stubs"
+    "  JOIN deg dx ON dx.u = stubs.u JOIN deg dy ON dy.u = stubs.v),"
+    " m AS (SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,"
+    "  SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy"
+    "  FROM ed)"
+    " SELECT n AS n_edges,"
+    " ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    "   / CAST(n AS DOUBLE))"
+    "  / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    "    / CAST(n AS DOUBLE))"
+    "   * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    "    / CAST(n AS DOUBLE))), 6) AS assortativity"
+    " FROM m"
+)

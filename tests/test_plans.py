@@ -121,7 +121,7 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "incremental_ingest_certificate", "schema_evolution_certificate",
         # localCheckpoint the co-purchase edge set at plan time
         # (kcore additionally iterates its peel rounds)
-        "kcore_peel", "clustering_coefficient",
+        "kcore_peel", "clustering_coefficient", "degree_assortativity",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set
@@ -148,6 +148,8 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "bigram_lm_fluency",
         # crossJoins against broadcast SINGLE-ROW centroid + threshold
         "embedding_outliers",
+        # crossJoin against the broadcast SINGLE-ROW n/total aggregate
+        "revenue_concentration",
     }
     for name, fn in sorted(entry_mod.queries().items()):
         if name in skip:
