@@ -137,8 +137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_share": AN.revenue_share,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r07 NOTE: rotate (a) revenue_concentration +
-        # degree_assortativity (added late in r06, never verified),
+        # round; r07 NOTE: rotate (a) the four late-r06 never-verified
+        # entries (revenue_concentration .. watermark_late_audit),
         # then the 26 remaining r03-green entries (fuzzy_name_match ..
         # zscore_normalize) + the 3 memoization-only
         # entries first, then (b) the r04-green block
@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in late r06, never driver-verified: first into r07 ---
         "revenue_concentration": AN.revenue_concentration,
         "degree_assortativity": G.degree_assortativity,
+        "dedup_cluster_sizes": P.dedup_cluster_sizes,
+        "watermark_late_audit": W.watermark_late_audit,
         "fuzzy_name_match": T.fuzzy_name_match,
         "event_transition_matrix": B.event_transition_matrix,
         "seasonality_profile": B.seasonality_profile,
@@ -598,4 +600,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_video": M.MULTIMODAL_DECODE_VIDEO_SQL,
         "revenue_concentration": AN.REVENUE_CONCENTRATION_SQL,
         "degree_assortativity": G.DEGREE_ASSORTATIVITY_SQL,
+        "dedup_cluster_sizes": P.dedup_cluster_sizes_sql(),
+        "watermark_late_audit": W.WATERMARK_LATE_AUDIT_SQL,
     }

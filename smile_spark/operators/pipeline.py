@@ -473,3 +473,70 @@ def golden_part_records_sql() -> str:
         "  p.p_brand AS brand, gold.n_members"
         " FROM gold JOIN part p ON p.p_partkey = gold.canonical_pk"
     )
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE HISTOGRAM over the LSH near-dup graph —
+    the dedup planning report: how much of the corpus is duplicated at
+    what multiplicity (one giant boilerplate clique vs many pairs
+    changes the dedup strategy, the expected token savings, and the
+    survivorship policy).
+
+    Pipeline: the memoized LSH pair table → min-label connected
+    components (graph.cc_labels — alternate-round pointer jumping) →
+    per-cluster sizes → size histogram, plus the singleton row
+    (documents in no near-dup pair) computed by difference.  Every
+    stage is dimension-sized once past the pair table; the oracle
+    replays the clustering as a recursive min-reachability CTE.
+    Emits (cluster_size, n_clusters)."""
+    from smile_spark.operators.graph import cc_labels
+
+    pairs = D.dedup_minhash_lsh(spark, sf_dir).select("a", "b")
+    und = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = und.select(F.col("src").alias("id")).distinct()
+    labels = cc_labels(nodes, und)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    n_docs = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    n_clustered = labels.agg(F.count(F.lit(1)).alias("nc"))
+    singletons = n_docs.crossJoin(n_clustered).select(
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        (F.col("nd") - F.col("nc")).cast("bigint").alias("n_clusters"),
+    )
+    return hist.select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+    ).union(singletons)
+
+
+def dedup_cluster_sizes_sql() -> str:
+    return (
+        "WITH RECURSIVE pairs AS ("
+        f" SELECT a, b FROM ({D.dedup_minhash_lsh_sql()}) lsh),"
+        " und AS (SELECT a, b FROM pairs"
+        "  UNION ALL SELECT b AS a, a AS b FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS id FROM und),"
+        " reach(id, r) AS ("
+        "  SELECT id, id FROM nodes"
+        "  UNION"
+        "  SELECT rr.id, u.b FROM reach rr JOIN und u ON u.a = rr.r),"
+        " comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id),"
+        " sizes AS (SELECT c, COUNT(*) AS cluster_size FROM comp"
+        "  GROUP BY c)"
+        " SELECT CAST(cluster_size AS BIGINT) AS cluster_size,"
+        "  COUNT(*) AS n_clusters FROM sizes GROUP BY cluster_size"
+        " UNION ALL"
+        " SELECT CAST(1 AS BIGINT),"
+        "  (SELECT COUNT(*) FROM documents)"
+        "   - (SELECT COUNT(*) FROM comp)"
+    )

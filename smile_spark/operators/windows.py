@@ -305,3 +305,88 @@ SLIDING_DISTINCT_USERS_SQL = (
     "    BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS n_users_7d"
     " FROM d"
 )
+
+
+# ---------------------------------------------------------------------------
+# Watermark planning: late-data audit
+# ---------------------------------------------------------------------------
+
+LATE_WATERMARKS_S = (3600, 7200)  # candidate watermarks (seconds)
+_LATE_BUCKET = 4096               # events per running-max bucket
+
+
+def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW late-data audit for watermark planning: for each
+    candidate watermark W, how many events arrive LATER than the
+    already-seen event-time high-water mark minus W — exactly the rows
+    Structured Streaming would drop at that setting.  Run this before
+    choosing `withWatermark` so the state-size/completeness trade is a
+    measured number, not a guess (arrival order is proxied by
+    event_id, the fixture's ingestion sequence).
+
+    Scale shape: the running event-time maximum over arrival order is
+    the TWO-LEVEL device from graph_load — per-bucket ordered windows
+    (bucket = event_id div 4096, fully parallel) plus an exclusive
+    prefix-max over the tiny per-bucket maxima, broadcast back — so
+    NO global single-partition window touches the fact table at any
+    scale.  Emits (n_events, late_1h, late_2h, max_lateness_us).
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    ).withColumn("bkt", F.expr(f"event_id div {_LATE_BUCKET}"))
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_max = ev.groupBy("bkt").agg(F.max("us").alias("bmax"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_prefix = bucket_max.select(
+        "bkt", F.max("bmax").over(w_bkt).alias("pmax")
+    )
+    run = (
+        ev.withColumn("lmax", F.max("us").over(w_local))
+        .join(F.broadcast(bucket_prefix), "bkt")
+        .withColumn("running_max", F.greatest(
+            F.coalesce("lmax", F.lit(None)),
+            F.coalesce("pmax", F.lit(None)),
+        ))
+        .withColumn(
+            "lateness",
+            F.greatest(
+                F.coalesce(F.col("running_max") - F.col("us"), F.lit(0)),
+                F.lit(0),
+            ),
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")] + [
+        F.sum(
+            (F.col("lateness") > wm * 1_000_000).cast("bigint")
+        ).alias(f"late_{wm // 3600}h")
+        for wm in LATE_WATERMARKS_S
+    ] + [F.max("lateness").cast("bigint").alias("max_lateness_us")]
+    return run.agg(*aggs)
+
+
+WATERMARK_LATE_AUDIT_SQL = (
+    "WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),"
+    " r AS (SELECT us,"
+    "  MAX(us) OVER (ORDER BY event_id"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS running_max"
+    "  FROM e),"
+    " l AS (SELECT GREATEST(COALESCE(running_max - us, 0), 0)"
+    "   AS lateness FROM r)"
+    " SELECT COUNT(*) AS n_events,"
+    + ", ".join(
+        f" CAST(SUM(CASE WHEN lateness > {wm * 1_000_000} THEN 1 ELSE 0"
+        f" END) AS BIGINT) AS late_{wm // 3600}h"
+        for wm in LATE_WATERMARKS_S
+    )
+    + ","
+    " CAST(MAX(lateness) AS BIGINT) AS max_lateness_us"
+    " FROM l"
+)

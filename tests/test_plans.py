@@ -106,6 +106,7 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "connected_components",
         "graph_check", "dedup_minhash_lsh", "hypertable_daily",
         "dedup_canonical", "simhash_pairs", "corpus_curation_manifest",
+        "dedup_cluster_sizes",  # cc_labels loop over the LSH pair memo
         "shortest_path_route",  # iterative sssp + checkpointed pred
         "golden_part_records",  # min-label component loop at plan time
         # these two write bucketed tables at plan time
