@@ -187,3 +187,115 @@ def test_real_codecs_parse_and_validate():
         resample_audio(b"RIFX" + bytes(40))  # wrong container magic
     with pytest.raises(ValueError):
         sample_video_frames(b"JUNK")  # bad frame magic
+
+
+# --- property-based codec tests (pure Python — no Spark session) ---------
+
+
+def test_pgm_roundtrip_property():
+    """Any (w, h, pixels) encodes to a PGM the parser inverts exactly,
+    including whitespace-variant headers a foreign encoder might
+    write."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smile_spark.operators.multimodal import decode_image
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(1, 64),
+        st.integers(1, 64),
+        st.integers(0, 2**32 - 1),
+    )
+    def roundtrip(w, h, seed):
+        rng = np.random.default_rng(seed)
+        pix = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        for header in (
+            f"P5\n{w} {h}\n255\n",
+            f"P5 {w} {h} 255 ",   # single-space separators
+            f"P5\n{w}\n{h}\n255\n",
+        ):
+            dw, dh, dp = decode_image(header.encode() + pix.tobytes())
+            assert (dw, dh) == (w, h)
+            assert (dp == pix).all()
+
+    roundtrip()
+
+
+def test_wav_roundtrip_property():
+    """Any PCM16 sample vector round-trips through the RIFF writer and
+    chunk-walking parser, with chunk order and junk chunks tolerated."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smile_spark.operators.multimodal import resample_audio
+
+    def wav(samples: "np.ndarray", rate: int, junk_first: bool) -> bytes:
+        data = samples.astype("<i2").tobytes()
+        fmt = (
+            (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        junk = b"JUNK" + (3).to_bytes(4, "little") + b"xyz" + b"\x00"
+        chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        chunks += b"data" + len(data).to_bytes(4, "little") + data
+        chunks += b"\x00" if len(data) % 2 else b""
+        body = (junk + chunks) if junk_first else (chunks + junk)
+        return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+        st.booleans(),
+    )
+    def roundtrip(vals, junk_first):
+        s = np.array(vals, dtype="<i2")
+        rate, out = resample_audio(wav(s, 16_000, junk_first), rate=16_000)
+        assert rate == 16_000 and (out == s).all()
+        rate2, out2 = resample_audio(wav(s, 16_000, junk_first), rate=8_000)
+        assert rate2 == 8_000 and (out2 == s[::2]).all()
+
+    roundtrip()
+
+
+def test_pgm_stream_sampler_property():
+    """Any sequence of variable-dimension frames is sampled at exactly
+    the every_n stride with per-frame content preserved."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smile_spark.operators.multimodal import sample_video_frames
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 16), st.integers(1, 16)),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(1, 4),
+        st.integers(0, 2**32 - 1),
+    )
+    def roundtrip(dims, every_n, seed):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            for w, h in dims
+        ]
+        stream = b"".join(
+            f"P5\n{p.shape[1]} {p.shape[0]}\n255\n".encode() + p.tobytes()
+            for p in frames
+        )
+        got = sample_video_frames(stream, every_n=every_n)
+        want = frames[::every_n]
+        assert len(got) == len(want)
+        for (w, h, gp), wp in zip(got, want):
+            assert (h, w) == wp.shape
+            assert (gp == wp).all()
+
+    roundtrip()
