@@ -299,3 +299,40 @@ def test_pgm_stream_sampler_property():
             assert (gp == wp).all()
 
     roundtrip()
+
+
+def test_revenue_concentration_matches_bruteforce(spark, sf_dir):
+    """Third-opinion check: the DECIMAL rank-sum Gini and top-k shares
+    must match a collected pure-Python recomputation (both engines
+    share the SQL formulas, so a shared formula bug would pass the
+    oracle — this pins the intent)."""
+    from decimal import Decimal
+
+    from smile_spark.operators.analytics import (
+        CONC_TOPS,
+        revenue_concentration,
+    )
+
+    row = revenue_concentration(spark, sf_dir).collect()[0]
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    rev = {}
+    for r in orders:
+        rev[r.o_custkey] = rev.get(r.o_custkey, Decimal(0)) + Decimal(
+            str(r.o_totalprice)
+        ).quantize(Decimal("0.01"))
+    vals = [v for _, v in sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))]
+    n = len(vals)
+    total = sum(vals)
+    assert row.n_customers == n
+    import math
+
+    for p in CONC_TOPS:
+        k = math.ceil(n * p / 100.0)
+        share = float(sum(vals[n - k:])) / float(total)
+        assert abs(getattr(row, f"top{p}_share") - share) < 1e-6, p
+    gini = 2.0 * float(
+        sum(Decimal(i + 1) * v for i, v in enumerate(vals))
+    ) / (n * float(total)) - (n + 1) / n
+    assert abs(row.gini - gini) < 1e-6
