@@ -49,107 +49,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-6 window (exactly 50): (1) the fifteen NEW
-    round-6 entries — streaming_state_agreement (the
-    stateful-streaming batch/stream equality certificate, VERDICT r05
-    next-round #4), srp_lsh_topk (signed-random-projection multiprobe
-    ANN), sliding_distinct_users (bitmap-windowed exact sliding NDV),
-    bigram_lm_fluency (add-one bigram LM quality scoring),
-    session_path_topk (top session journeys), embedding_outliers
-    (centroid-cosine vector-quality screen), and
-    streaming_window_agreement (windowed batch/stream equality
-    certificate), jsonl_roundtrip (JSONL egress/ingest
-    losslessness certificate), compaction_roundtrip (small-file
-    compaction losslessness), incremental_ingest_certificate
-    (manifest-tracked exactly-once ingest accounting), and
-    schema_evolution_certificate (additive mergeSchema evolution),
-    personalized_pagerank (teleport-set PPR, the recommendation
-    primitive, unrolled-oracle exact), and the three
-    multimodal_decode_* certificates (REAL numpy codecs — PGM parser,
-    RIFF/WAVE chunk walker + resampler, concatenated-PGM frame
-    sampler — with closed-form oracles) — plus
-    connected_components, whose iteration schedule changed this round
-    (alternate-round pointer jumping); (2) ALL 19 round-5 operators
-    that have never held a driver verdict (VERDICT r05 next-round #1
-    — several also changed this round: setsim's candidate-bounded
-    verify, SQ8's zero-range guard, bitmap's integer indexing,
-    spatial's overflow-safe hash, clustering_coefficient's degree
-    orientation); (3) the 15 oldest r03-stale entries (never-verified
-    beats stale-green for window slots, the r05 VERDICT's own
-    priority).  The 26 remaining r03-green entries
-    (fuzzy_name_match .. zscore_normalize) plus the three
-    memoization-only r05 entries head the tail for the r07 window;
-    the r04-green block follows, the r05-green block sits last.
+    insertion order.  Round-7 window (exactly 50, the rotation plan
+    the r06 VERDICT prescribed verbatim): (1) the FOUR late-r06
+    entries that have never held a driver verdict
+    (revenue_concentration, degree_assortativity,
+    dedup_cluster_sizes, watermark_late_audit); (2) ALL 26 r03-stale
+    entries (fuzzy_name_match .. zscore_normalize — newest verdict
+    three rounds old); (3) the three memoization-only r05 entries
+    (bigram_pmi, decontaminate, hll_source_overlap — result
+    identical, memo layer changed in r05, last verdict r03); (4) the
+    first 17 of the r04-green block (graph_adjacency_bucketed ..
+    copurchase_pairs).  After this window completes, NO registered
+    entry's newest verdict predates r04 and the never-verified count
+    for pre-r07 entries reaches zero.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- (1) NEW or semantically changed this round ---
-        "streaming_state_agreement": ST.streaming_state_agreement,
-        "srp_lsh_topk": S.srp_lsh_topk,
-        "sliding_distinct_users": W.sliding_distinct_users,
-        "bigram_lm_fluency": T.bigram_lm_fluency,
-        "session_path_topk": B.session_path_topk,
-        "embedding_outliers": S.embedding_outliers,
-        "streaming_window_agreement": ST.streaming_window_agreement,
-        "jsonl_roundtrip": TF.jsonl_roundtrip,
-        "compaction_roundtrip": CP.compaction_roundtrip,
-        "incremental_ingest_certificate": IC.incremental_ingest_certificate,
-        "schema_evolution_certificate": TF.schema_evolution_certificate,
-        "personalized_pagerank": G.personalized_pagerank,
-        "multimodal_decode_image": M.multimodal_decode_image,
-        "multimodal_decode_audio": M.multimodal_decode_audio,
-        "multimodal_decode_video": M.multimodal_decode_video,
-        "connected_components": G.connected_components,
-        # --- (2) the 19 round-5 operators awaiting a first verdict ---
-        "token_entropy": T.token_entropy,
-        "equi_depth_bins": AN.equi_depth_bins,
-        "skyline_pareto": AN.skyline_pareto,
-        "mad_outliers": Q.mad_outliers,
-        "setsim_join_prefix": D.setsim_join_prefix,
-        "kcore_peel": G.kcore_peel,
-        "ewma_anomaly": B.ewma_anomaly,
-        "ann_sq8_topk": S.ann_sq8_topk,
-        "spatial_grid_join": SP.spatial_grid_join,
-        "join_size_estimate": K.join_size_estimate,
-        "clustering_coefficient": G.clustering_coefficient,
-        "bm25_topk": T.bm25_topk,
-        "bitmap_distinct": K.bitmap_distinct,
-        "pattern_match_events": B.pattern_match_events,
-        "inverted_index_stats": T.inverted_index_stats,
-        "funnel_latency": B.funnel_latency,
-        "mad_outliers_approx": Q.mad_outliers_approx,
-        "dedup_eval": D.dedup_eval,
-        "stratified_kfold": C.stratified_kfold,
-        # --- (3) the 15 oldest r03-stale entries ---
-        "grouping_sets_summary": AN.grouping_sets_summary,
-        "sql_order_priority": R.sql_order_priority,
-        "sql_subqueries": R.sql_subqueries,
-        "range_join_recent_events": A.range_join_recent_events,
-        "graph_load": G.graph_load,
-        "sessionize": B.sessionize,
-        "funnel_conversion": B.funnel_conversion,
-        "retention_cohorts": B.retention_cohorts,
-        "gap_fill_daily": B.gap_fill_daily,
-        "repetition_ratio": C.repetition_ratio,
-        "unpivot_long": AN.unpivot_long,
-        "rolling_daily_activity": B.rolling_daily_activity,
-        "zorder_cluster": AN.zorder_cluster,
-        "interval_overlap_join": A.interval_overlap_join,
-        "revenue_share": AN.revenue_share,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round; r07 NOTE: rotate (a) the four late-r06 never-verified
-        # entries (revenue_concentration .. watermark_late_audit),
-        # then the 26 remaining r03-green entries (fuzzy_name_match ..
-        # zscore_normalize) + the 3 memoization-only
-        # entries first, then (b) the r04-green block
-        # (graph_adjacency_bucketed .. dedup_canonical); the r05-green
-        # block rotates last.
-        # ------------------------------------------------------------------
-        # --- NEW in late r06, never driver-verified: first into r07 ---
+        # --- (1) the four late-r06 entries, never driver-verified ---
         "revenue_concentration": AN.revenue_concentration,
         "degree_assortativity": G.degree_assortativity,
         "dedup_cluster_sizes": P.dedup_cluster_sizes,
         "watermark_late_audit": W.watermark_late_audit,
+        # --- (2) all 26 r03-stale entries ---
         "fuzzy_name_match": T.fuzzy_name_match,
         "event_transition_matrix": B.event_transition_matrix,
         "seasonality_profile": B.seasonality_profile,
@@ -176,11 +96,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestamp_filter": R.timestamp_filter,
         "groupby_count": R.groupby_count,
         "zscore_normalize": AN.zscore_normalize,
-        # --- memoization-only change in r05 (result identical) ---
+        # --- (3) memoization-only change in r05 (result identical) ---
         "bigram_pmi": C.bigram_pmi,
         "decontaminate": C.decontaminate,
         "hll_source_overlap": K.hll_source_overlap,
-        # --- r04-green block ---
+        # --- (4) first 17 of the r04-green block ---
         "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
         "hll_distinct": K.hll_distinct,
         "hll_per_source": K.hll_per_source,
@@ -198,6 +118,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_prices": AN.winsorize_prices,
         "bucketed_join_revenue": BK.bucketed_join_revenue,
         "copurchase_pairs": R.copurchase_pairs,
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round; r08 NOTE: rotate (a) any NEW never-verified r07
+        # entries first, then (b) the remaining 10 r04-green entries
+        # (agg_stats .. dedup_canonical), then (c) the r05-green
+        # block (winsorize_prices_approx .. date_parts); the
+        # r06-green block (streaming_state_agreement .. revenue_share,
+        # newest verdicts) rotates last.
+        # ------------------------------------------------------------------
+        # --- r04-green remainder ---
         "agg_stats": R.agg_stats,
         "array_functions": AN.array_functions,
         "asof_latest_order": A.asof_latest_order,
@@ -275,6 +205,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitwise_functions": AN.bitwise_functions,
         "try_cast_handling": R.try_cast_handling,
         "date_parts": AN.date_parts,
+        # --- r06-green block (newest verdicts, rotate last) ---
+        "streaming_state_agreement": ST.streaming_state_agreement,
+        "srp_lsh_topk": S.srp_lsh_topk,
+        "sliding_distinct_users": W.sliding_distinct_users,
+        "bigram_lm_fluency": T.bigram_lm_fluency,
+        "session_path_topk": B.session_path_topk,
+        "embedding_outliers": S.embedding_outliers,
+        "streaming_window_agreement": ST.streaming_window_agreement,
+        "jsonl_roundtrip": TF.jsonl_roundtrip,
+        "compaction_roundtrip": CP.compaction_roundtrip,
+        "incremental_ingest_certificate": IC.incremental_ingest_certificate,
+        "schema_evolution_certificate": TF.schema_evolution_certificate,
+        "personalized_pagerank": G.personalized_pagerank,
+        "multimodal_decode_image": M.multimodal_decode_image,
+        "multimodal_decode_audio": M.multimodal_decode_audio,
+        "multimodal_decode_video": M.multimodal_decode_video,
+        "connected_components": G.connected_components,
+        "token_entropy": T.token_entropy,
+        "equi_depth_bins": AN.equi_depth_bins,
+        "skyline_pareto": AN.skyline_pareto,
+        "mad_outliers": Q.mad_outliers,
+        "setsim_join_prefix": D.setsim_join_prefix,
+        "kcore_peel": G.kcore_peel,
+        "ewma_anomaly": B.ewma_anomaly,
+        "ann_sq8_topk": S.ann_sq8_topk,
+        "spatial_grid_join": SP.spatial_grid_join,
+        "join_size_estimate": K.join_size_estimate,
+        "clustering_coefficient": G.clustering_coefficient,
+        "bm25_topk": T.bm25_topk,
+        "bitmap_distinct": K.bitmap_distinct,
+        "pattern_match_events": B.pattern_match_events,
+        "inverted_index_stats": T.inverted_index_stats,
+        "funnel_latency": B.funnel_latency,
+        "mad_outliers_approx": Q.mad_outliers_approx,
+        "dedup_eval": D.dedup_eval,
+        "stratified_kfold": C.stratified_kfold,
+        "grouping_sets_summary": AN.grouping_sets_summary,
+        "sql_order_priority": R.sql_order_priority,
+        "sql_subqueries": R.sql_subqueries,
+        "range_join_recent_events": A.range_join_recent_events,
+        "graph_load": G.graph_load,
+        "sessionize": B.sessionize,
+        "funnel_conversion": B.funnel_conversion,
+        "retention_cohorts": B.retention_cohorts,
+        "gap_fill_daily": B.gap_fill_daily,
+        "repetition_ratio": C.repetition_ratio,
+        "unpivot_long": AN.unpivot_long,
+        "rolling_daily_activity": B.rolling_daily_activity,
+        "zorder_cluster": AN.zorder_cluster,
+        "interval_overlap_join": A.interval_overlap_join,
+        "revenue_share": AN.revenue_share,
     }
     return q
 
