@@ -1302,6 +1302,14 @@ def personalized_pagerank(
             F.col("c_custkey") % PPR_SOURCE_MOD == 0
         ).count()
     )
+    if n_src == 0:
+        # an empty teleport set makes PPR undefined (division by the
+        # source count); fail with a defined error instead of a
+        # ZeroDivisionError at plan time on filtered/fixture inputs
+        raise ValueError(
+            "personalized_pagerank: no customer satisfies the teleport"
+            f" predicate c_custkey % {PPR_SOURCE_MOD} == 0"
+        )
     is_src = (F.col("id") % PPR_SOURCE_MOD == 0) & (
         F.col("id") < NODE_OFFSET
     )

@@ -68,19 +68,23 @@ def attach_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would slot into the same function signatures.
 
 
-def decode_image(payload: bytes) -> tuple[int, int, "object"]:
-    """REAL binary-PGM (P5) decoder: parse magic + whitespace-separated
-    header tokens (width, height, maxval), then view the raster as a
-    (height, width) uint8 array.  Returns (width, height, pixels)."""
+def _parse_pgm(payload: bytes, off: int = 0) -> tuple[int, int, "object", int]:
+    """Parse one binary-PGM (P5) image starting at ``off``: magic +
+    whitespace-separated header tokens (width, height, maxval), then
+    the raster viewed as a (height, width) uint8 array.  Returns
+    (width, height, pixels, end_off) where ``end_off`` is the offset
+    one past the raster — the exact number of bytes consumed, so
+    stream parsers advance by what the parser actually read instead of
+    re-searching for a canonical header marker."""
     import numpy as np
 
-    if payload[:2] != b"P5":
+    if payload[off : off + 2] != b"P5":
         raise ValueError("not a binary PGM (P5) payload")
     # header = magic, width, height, maxval — tokens separated by any
     # whitespace; the raster starts after the single whitespace byte
     # that terminates maxval
     tokens: list[bytes] = []
-    i = 2
+    i = off + 2
     while len(tokens) < 3:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
@@ -99,6 +103,12 @@ def decode_image(payload: bytes) -> tuple[int, int, "object"]:
     if len(raster) != width * height:
         raise ValueError("PGM raster shorter than width*height")
     pixels = np.frombuffer(raster, dtype=np.uint8).reshape(height, width)
+    return width, height, pixels, i + width * height
+
+
+def decode_image(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL binary-PGM (P5) decoder.  Returns (width, height, pixels)."""
+    width, height, pixels, _ = _parse_pgm(payload)
     return width, height, pixels
 
 
@@ -120,6 +130,14 @@ def resample_audio(
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if i + 8 + size > len(payload):
+            # a declared chunk size past the payload end means a
+            # truncated/corrupt stream — fail loudly (same strictness
+            # as the PGM raster length check), never silently shorten
+            raise ValueError(
+                f"chunk {cid!r} declares {size} bytes but only"
+                f" {len(payload) - i - 8} remain"
+            )
         body = payload[i + 8 : i + 8 + size]
         if cid == b"fmt ":
             fmt = int.from_bytes(body[0:2], "little")
@@ -154,14 +172,12 @@ def sample_video_frames(
     while off < len(payload):
         if payload[off : off + 2] != b"P5":
             raise ValueError(f"bad frame magic at offset {off}")
-        # reuse the image parser on the remaining stream, then advance
-        # by the exact frame length it consumed
-        w, h, pix = decode_image(payload[off:])
-        header_end = payload.index(b"\n255\n", off) + 5
-        frame_len = (header_end - off) + w * h
+        # the parser reports the exact byte it stopped at, so the walk
+        # advances by what was actually consumed — correct for any
+        # whitespace layout the header parser accepts
+        w, h, pix, off = _parse_pgm(payload, off)
         if idx % every_n == 0:
             frames.append((w, h, pix))
-        off += frame_len
         idx += 1
     return frames
 

@@ -351,10 +351,7 @@ def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = (
         ev.withColumn("lmax", F.max("us").over(w_local))
         .join(F.broadcast(bucket_prefix), "bkt")
-        .withColumn("running_max", F.greatest(
-            F.coalesce("lmax", F.lit(None)),
-            F.coalesce("pmax", F.lit(None)),
-        ))
+        .withColumn("running_max", F.greatest("lmax", "pmax"))
         .withColumn(
             "lateness",
             F.greatest(
