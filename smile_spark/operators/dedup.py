@@ -957,6 +957,29 @@ SETSIM_TAU_DEN = 10
 _SETSIM_ALPHA_NUM = SETSIM_TAU_NUM
 _SETSIM_ALPHA_DEN = SETSIM_TAU_NUM + SETSIM_TAU_DEN
 
+# candidate pairs one reducer should shoulder for the hottest prefix
+# token; the salt factor is derived so hot-token output stays near
+# this per-task bound (replication cost of over-salting: n_salts=64
+# blew the 14k-row replicated side to 894k rows and churned memory —
+# the reason this is observation-driven, not a constant)
+SETSIM_PAIRS_PER_TASK = 500_000
+SETSIM_MAX_SALTS = 64
+
+
+def _setsim_n_salts(
+    hot_bucket: int,
+    pairs_per_task: int = SETSIM_PAIRS_PER_TASK,
+    cap: int = SETSIM_MAX_SALTS,
+) -> int:
+    """Salt factor for the prefix-token join, derived from the hottest
+    observed prefix-bucket size: the token shared by ``hot_bucket``
+    docs yields ~hot^2/2 candidate pairs, and the join must spread
+    them so no task exceeds ``pairs_per_task``.  Monotone in the skew,
+    1 for small corpora (no replication overhead), capped so the
+    replicated small side stays bounded."""
+    pairs = hot_bucket * hot_bucket // 2
+    return max(1, min(cap, -(-pairs // pairs_per_task)))
+
 
 def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL qualifying document pairs with word-set Jaccard >= SETSIM_TAU
@@ -1026,6 +1049,28 @@ def setsim_join_frame(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
     prefix = ranked.filter(F.col("pos") <= plen).select(
         "doc_id", "tok", "n", "pos"
     )
+    if checkpoint:
+        # prefix feeds the salt-factor probe plus both join sides —
+        # cut the lineage so the rank window computes exactly once
+        prefix = prefix.localCheckpoint()
+    # Size the salt factor from the OBSERVED hottest prefix bucket
+    # instead of a hand-tuned constant: a bucket of h docs yields
+    # ~h^2/2 candidate pairs for that token, and the salt spread must
+    # keep each task's share bounded regardless of how template-heavy
+    # the corpus is.  The probe is one tiny aggregate over the
+    # (checkpointed) prefix table — O(distinct prefix tokens) rows.
+    # A session conf overrides for cluster-specific tuning.
+    conf_salts = docs.sparkSession.conf.get("spark.smile.setsim.nSalts", None)
+    if conf_salts is not None:
+        n_salts = int(conf_salts)
+    else:
+        hot = (
+            prefix.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("h"))
+            .first()["h"]
+        )
+        n_salts = _setsim_n_salts(int(hot or 0))
     pa = prefix.select(
         F.col("doc_id").alias("a"),
         "tok",
@@ -1063,13 +1108,8 @@ def setsim_join_frame(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
     # with a corpus-independent replication factor instead.
     from smile_spark.functions.skew import salted_join
 
-    # n_salts trades replication volume against hot-key spread: 64
-    # replicated the 14k-row side to 894k rows and churned executor
-    # memory (20-95 s erratic across passes); 16 spreads the hottest
-    # token's 14.6M pairs over 16 tasks and times a stable ~13 s.
-    # At cluster scale, size n_salts to per-executor parallelism.
     cand = (
-        salted_join(pb, pa, "tok", n_salts=16)
+        salted_join(pb, pa, "tok", n_salts=n_salts)
         .filter(
             (F.col("a") < F.col("b"))
             & (

@@ -64,6 +64,37 @@ class TestWavStrictness:
         assert len(s) == (256 + 5 % 256 + 1) // 2
 
 
+class TestSetsimSaltSizing:
+    def test_scales_with_bucket_skew(self):
+        from smile_spark.operators.dedup import _setsim_n_salts
+
+        sizes = [0, 10, 100, 1_000, 3_816, 10_000, 100_000]
+        salts = [_setsim_n_salts(h) for h in sizes]
+        assert salts == sorted(salts), "must be monotone in the skew"
+        assert salts[0] == 1 and salts[1] == 1
+        assert _setsim_n_salts(1_000) == 1  # 500k pairs fit one task
+        # the observed sf0.1 hot bucket lands near the hand-tuned 16
+        assert 8 <= _setsim_n_salts(3_816) <= 32
+        assert _setsim_n_salts(10**9) == 64  # capped
+
+    def test_session_conf_override(self, spark, sf_dir):
+        from smile_spark.operators import dedup as D
+
+        spark.conf.set("spark.smile.setsim.nSalts", "4")
+        try:
+            base = {
+                (r.a, r.b, r.jaccard)
+                for r in D.setsim_join_prefix(spark, sf_dir).collect()
+            }
+        finally:
+            spark.conf.unset("spark.smile.setsim.nSalts")
+        auto = {
+            (r.a, r.b, r.jaccard)
+            for r in D.setsim_join_prefix(spark, sf_dir).collect()
+        }
+        assert base == auto, "salt factor must never change the result"
+
+
 def test_personalized_pagerank_empty_teleport_set(spark, monkeypatch):
     """An empty teleport set must raise a defined error, not
     ZeroDivisionError (ADVICE r06)."""
