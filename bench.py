@@ -65,13 +65,25 @@ def main() -> None:
     if only:
         keep = {n.strip() for n in only.split(",") if n.strip()}
         queries = {n: f for n, f in queries.items() if n in keep}
-    # Warm the JVM/session on the smallest fixture so timings measure the
-    # queries, not session spin-up.
-    _force(all_queries["scan_filter_count"](spark, sf_dir))
+    # Untimed warmup lap over the FULL query list: session-age effects
+    # (JIT/codegen warm-up, broadcast/shuffle machinery, pagecache) made
+    # start-of-session queries read 1.6-3.4x slower than the same query
+    # at session end (BENCH_r06 drift_control end/start 0.29-0.64), so
+    # whatever ran first each round looked inflated.  One full untimed
+    # lap puts every timed sample — and the start-side drift controls —
+    # in a warm session; min-of-2 below then only filters residual
+    # noise.  Fault-isolated: a red query is recorded during the timed
+    # passes, never here.
+    for name, fn in sorted(queries.items()):
+        try:
+            _force(fn(spark, sf_dir))
+        except Exception:  # noqa: BLE001 — timed passes record the error
+            continue
 
     # Drift control: a fixed set of cheap, code-stable queries timed
-    # right after warmup and again after the timing passes.  If the
-    # end/start ratio drifts, late-run numbers carry session-age
+    # right after the warmup lap and again after the timing passes.
+    # With the warmup lap in place the end/start ratio should sit near
+    # 1.0; a drifting ratio means late-run numbers carry session-age
     # overhead and round-over-round comparisons must use the control
     # ratio as the error bar (VERDICT r05 What's-wrong #2: unchanged
     # sub-second queries "regressed" 1.7-2.0x — attribution, not

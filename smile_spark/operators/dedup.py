@@ -1223,17 +1223,32 @@ SETSIM_JOIN_SQL = (
 # Dedup quality evaluation (LSH recall/precision vs exact truth)
 # ---------------------------------------------------------------------------
 
-DEDUP_EVAL_MOD = 2  # evaluation block: doc_id % MOD == 0
+DEDUP_EVAL_MOD = 2  # evaluation block at fixture scale: doc_id % MOD == 0
+# target size of the audit block in documents; the block modulus grows
+# with the corpus so the all-pairs truth join inside the block stays a
+# fixed-cost job no matter how large the corpus gets
+DEDUP_EVAL_BLOCK_TARGET = 50_000
+
+
+def _dedup_eval_mod(n_docs: int) -> int:
+    """Audit-block modulus as a function of corpus size: the block
+    (doc_id % mod == 0) holds ~n_docs/mod documents, pinned near
+    DEDUP_EVAL_BLOCK_TARGET.  Equals 2 for every fixture SF (<=100k
+    docs) so the DuckDB oracle — which cannot observe the corpus size
+    — stays exact; at 100 TB (billions of docs) the modulus reaches
+    1e4-1e5 and the truth join stays ~50k-doc quadratic, not
+    half-corpus quadratic."""
+    return max(DEDUP_EVAL_MOD, -(-n_docs // DEDUP_EVAL_BLOCK_TARGET))
 
 
 def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measure the LSH dedup pipeline against EXACT ground truth — the
     evaluation harness a production dedup rollout runs before trusting
     a probabilistic pipeline at 100 TB: within a deterministic audit
-    block (doc_id % DEDUP_EVAL_MOD == 0), compute the true pair set
-    (exact shingle Jaccard >= LSH_VERIFY_THRESHOLD, all pairs) and
-    compare the deployed dedup_minhash_lsh pairs restricted to the
-    same block.
+    block (doc_id % mod == 0, modulus from :func:`_dedup_eval_mod`),
+    compute the true pair set (exact shingle Jaccard >=
+    LSH_VERIFY_THRESHOLD, all pairs) and compare the deployed
+    dedup_minhash_lsh pairs restricted to the same block.
 
     Emits one row: (n_truth, n_lsh, tp, fp, fn, precision, recall).
     Structurally fp = 0 (LSH verifies candidates with the same exact
@@ -1241,13 +1256,22 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     true pair ever collided in a band (≈ 1-(1-j^r)^b); banding misses
     are exactly what this audit surfaces.
 
-    Scale: the audit block is a tunable fraction of the corpus (the
-    all-pairs truth is quadratic ONLY inside the block), the LSH side
-    reads the memoized pair table, and the comparison is a full-outer
-    join on (a, b) pair keys — block-sized, trivially small."""
-    docs = table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % DEDUP_EVAL_MOD == 0
-    )
+    Sampling error: the block sees a 1/mod fraction of documents and
+    ~1/mod^2 of pairs; with n_truth true pairs landing in the block,
+    the recall estimate carries a binomial standard error
+    sqrt(r(1-r)/n_truth) — e.g. 2,000 in-block true pairs bound the
+    95% CI within ±2.2 points at r=0.5 (tighter near 1).  The block
+    target is sized so template-heavy corpora keep n_truth in the
+    thousands; see SCALING.md §Dedup for the production numbers.
+
+    Scale: the all-pairs truth is quadratic ONLY inside the
+    fixed-size block, the LSH side reads the memoized pair table, and
+    the comparison is a full-outer join on (a, b) pair keys —
+    block-sized, trivially small."""
+    all_docs = table(spark, sf_dir, "documents")
+    # parquet row-count metadata makes this a cheap driver-side probe
+    mod = _dedup_eval_mod(all_docs.count())
+    docs = all_docs.filter(F.col("doc_id") % mod == 0)
     sh = _shingles(docs).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("a"), "sh")
@@ -1272,10 +1296,7 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = (
         dedup_minhash_lsh(spark, sf_dir)
-        .filter(
-            (F.col("a") % DEDUP_EVAL_MOD == 0)
-            & (F.col("b") % DEDUP_EVAL_MOD == 0)
-        )
+        .filter((F.col("a") % mod == 0) & (F.col("b") % mod == 0))
         .select("a", "b", F.lit(1).alias("l"))
     )
     j = truth.join(lsh, ["a", "b"], "full")
