@@ -121,11 +121,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round; r08 NOTE: rotate (a) any NEW never-verified r07
-        # entries first, then (b) the remaining 10 r04-green entries
-        # (agg_stats .. dedup_canonical), then (c) the r05-green
-        # block (winsorize_prices_approx .. date_parts); the
-        # r06-green block (streaming_state_agreement .. revenue_share,
-        # newest verdicts) rotates last.
+        # entries first, plus the five multimodal ops whose semantics
+        # changed in r07 (multimodal_meta/frames/resize/audio_chunks/
+        # frame_stats — unified onto the real PGM/WAV codecs, so their
+        # r05 verdicts no longer certify the current code), then
+        # (b) the remaining 10 r04-green entries (agg_stats ..
+        # dedup_canonical), then (c) the r05-green block
+        # (winsorize_prices_approx .. date_parts); the r06-green block
+        # (streaming_state_agreement .. revenue_share, newest
+        # verdicts) rotates last.
         # ------------------------------------------------------------------
         # --- r04-green remainder ---
         "agg_stats": R.agg_stats,

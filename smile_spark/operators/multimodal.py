@@ -11,15 +11,16 @@ The container has no PIL/ffmpeg, but numpy suffices for REAL codecs of
 real formats: ``decode_image`` is a genuine binary-PGM (P5) parser,
 ``resample_audio`` a genuine RIFF/WAVE PCM16 chunk-walker +
 integer-factor resampler, and ``sample_video_frames`` a frame sampler
-over concatenated-PGM streams.  The ``multimodal_decode_*``
-certificate queries synthesize valid payloads from doc_id arithmetic,
-decode them with those parsers, and emit integer stats the DuckDB
-oracle recomputes in closed form — so the decoders themselves sit
-under the driver's hash gate.  Compressed formats (JPEG/MP3/H.264)
-still need external libs and slot into the same signatures; the
-original ``multimodal_meta``/frames/resize queries keep the
-library-free fake-decode pipeline for the generic binary-column
-plumbing.
+over concatenated-PGM streams.  ONE payload format drives the whole
+surface: :func:`attach_payload` synthesizes a valid PGM / WAV /
+PGM-stream payload per document from doc_id arithmetic (the encoder
+standing in for media ingest), and every query — metadata extraction,
+frame sampling, resize, audio chunking, the per-video rollup, and the
+three ``multimodal_decode_*`` certificates — decodes that binary
+column with the real parsers.  The DuckDB oracles recompute each
+integer stat in closed form from doc_id, so the decoders themselves
+sit under the driver's hash gate.  Compressed formats (JPEG/MP3/
+H.264) still need external libs and slot into the same signatures.
 """
 
 from __future__ import annotations
@@ -31,30 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smile_spark.tables import table
-
-META_SCHEMA = (
-    "doc_id bigint, modality string, n_bytes bigint,"
-    " fake_width int, fake_height int"
-)
-
-
-def attach_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the multimodal table: binary payload + metadata.
-
-    Fixtures carry no media, so the payload is the utf-8 bytes of the
-    document text — a real ``binary`` column flowing through a real
-    plan; modality is derived deterministically from doc_id.
-    """
-    docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("modality"),
-    )
-
 
 # --- real numpy codecs ----------------------------------------------------
 #
@@ -159,13 +136,14 @@ def resample_audio(
     return rate, samples[:: src_rate // rate]
 
 
-def sample_video_frames(
+def sample_video_frames_indexed(
     payload: bytes, every_n: int = 2
-) -> list[tuple[int, int, "object"]]:
-    """REAL frame sampler over a concatenated-PGM video stream: parse
-    sequential P5 frames (each self-describing via its own header) and
-    keep every ``every_n``-th one.  Returns the sampled frames as
-    (width, height, pixels) tuples."""
+) -> list[tuple[int, int, int, int, int, "object"]]:
+    """REAL frame walk over a concatenated-PGM video stream: parse
+    sequential P5 frames (each self-describing via its own header),
+    keep every ``every_n``-th one, and report where each kept frame
+    sat in the stream.  Returns (frame_idx, byte_off, byte_len,
+    width, height, pixels) tuples."""
     frames = []
     off = 0
     idx = 0
@@ -175,251 +153,37 @@ def sample_video_frames(
         # the parser reports the exact byte it stopped at, so the walk
         # advances by what was actually consumed — correct for any
         # whitespace layout the header parser accepts
-        w, h, pix, off = _parse_pgm(payload, off)
+        w, h, pix, end = _parse_pgm(payload, off)
         if idx % every_n == 0:
-            frames.append((w, h, pix))
+            frames.append((idx, off, end - off, w, h, pix))
+        off = end
         idx += 1
     return frames
 
 
-def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic stand-in for a codec: metadata derived purely from
-    the payload bytes, so the pipeline is testable end-to-end."""
-    n_bytes = pdf["payload"].map(len)
-    first_byte = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
-    return pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"],
-            "modality": pdf["modality"],
-            "n_bytes": n_bytes,
-            "fake_width": (n_bytes % 64 + 16).astype("int32"),
-            "fake_height": (first_byte % 32 + 8).astype("int32"),
-        }
-    )
+def sample_video_frames(
+    payload: bytes, every_n: int = 2
+) -> list[tuple[int, int, "object"]]:
+    """Sampled frames as (width, height, pixels) tuples."""
+    return [
+        (w, h, pix)
+        for _, _, _, w, h, pix in sample_video_frames_indexed(
+            payload, every_n
+        )
+    ]
 
 
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-and-extract over the payload column via ``mapInPandas``.
-
-    The iterator contract processes one Arrow batch at a time —
-    constant memory per task regardless of table size; at 100 TB the
-    decode parallelism is just the scan parallelism.
-    """
-    mm = attach_payload(spark, sf_dir)
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _fake_decode_batch(pdf)
-
-    return mm.mapInPandas(decode, META_SCHEMA)
-
-
-FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_off bigint, frame_len int"
-FRAME_STRIDE = 1000   # fake: one frame per 1000 payload bytes
-MAX_FRAMES = 5
-
-
-def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over video payloads — the one-to-MANY
-    ``mapInPandas`` shape (each input row yields several output rows,
-    the UDF-side explode).
-
-    Real codec would seek keyframes (see ``sample_video_frames``
-    stub); the deterministic fake emits one frame per 1000 payload
-    bytes (capped at 5), with byte offset/length — arithmetic the
-    oracle reproduces from the text length.  Only video-modality rows
-    are processed, and that filter happens BEFORE the UDF so Catalyst
-    prunes the other modalities out of the Python path entirely.
-    """
-    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "video")
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_len": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                n_frames = min(n // FRAME_STRIDE + 1, MAX_FRAMES)
-                for i in range(n_frames):
-                    off = i * FRAME_STRIDE
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i)
-                    out["frame_off"].append(off)
-                    out["frame_len"].append(min(FRAME_STRIDE, n - off))
-            yield pd.DataFrame(out)
-
-    return mm.mapInPandas(sample, FRAMES_SCHEMA)
-
-
-MULTIMODAL_FRAMES_SQL = (
-    "WITH v AS (SELECT doc_id, length(text) AS n FROM documents"
-    "  WHERE CAST(doc_id % 3 AS INT) = 2),"  # modality 'video'
-    " f AS (SELECT doc_id, n,"
-    f"  unnest(generate_series(0, CAST(least(n // {FRAME_STRIDE} + 1,"
-    f" {MAX_FRAMES}) AS BIGINT) - 1)) AS frame_idx FROM v)"
-    " SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,"
-    f" CAST(frame_idx * {FRAME_STRIDE} AS BIGINT) AS frame_off,"
-    f" CAST(least({FRAME_STRIDE}, n - frame_idx * {FRAME_STRIDE}) AS INT)"
-    "  AS frame_len"
-    " FROM f"
-)
-
-
-# Oracle: the fake decoder's arithmetic, expressed over the source text
-# (payload is its utf-8 encoding; fixture text is ASCII so bytes==chars
-# and the first byte is ascii of the first char).
-MULTIMODAL_META_SQL = (
-    "SELECT doc_id,"
-    " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'"
-    "  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,"
-    " CAST(length(text) AS BIGINT) AS n_bytes,"
-    " CAST(length(text) % 64 + 16 AS INT) AS fake_width,"
-    " CAST(ascii(substr(text, 1, 1)) % 32 + 8 AS INT) AS fake_height"
-    " FROM documents"
-)
-
-
-# --- resize (image modality) ---------------------------------------------
-
-RESIZE_TARGET = 224  # longest-side target, the common vision-model input
-
-RESIZE_SCHEMA = (
-    "doc_id bigint, orig_w int, orig_h int, out_w int, out_h int"
-)
-
-
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize planning over image payloads — the
-    decode→transform mapInPandas shape (one row in, one row out, new
-    metadata).
-
-    A real implementation decodes and rescales pixels (see
-    ``decode_image`` stub); the deterministic fake derives source
-    dimensions from the payload exactly like ``_fake_decode_batch``
-    and computes the longest-side-to-224 target in integer arithmetic
-    (portable across engines).  Only image-modality rows reach the
-    Python boundary — the modality filter sits before the UDF so
-    Catalyst prunes audio/video out of the Arrow stream.
-    """
-    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "image")
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
-            first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
-            w = (n_bytes % 64 + 16).astype("int64")
-            h = (first % 32 + 8).astype("int64")
-            longest = w.where(w >= h, h)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "orig_w": w.astype("int32"),
-                    "orig_h": h.astype("int32"),
-                    "out_w": (w * RESIZE_TARGET // longest).astype("int32"),
-                    "out_h": (h * RESIZE_TARGET // longest).astype("int32"),
-                }
-            )
-
-    return mm.mapInPandas(resize, RESIZE_SCHEMA)
-
-
-MULTIMODAL_RESIZE_SQL = (
-    "WITH img AS (SELECT doc_id,"
-    "  length(text) % 64 + 16 AS w,"
-    "  ascii(substr(text, 1, 1)) % 32 + 8 AS h"
-    " FROM documents WHERE CAST(doc_id % 3 AS INT) = 0)"
-    " SELECT doc_id, CAST(w AS INT) AS orig_w, CAST(h AS INT) AS orig_h,"
-    f" CAST(w * {RESIZE_TARGET} // greatest(w, h) AS INT) AS out_w,"
-    f" CAST(h * {RESIZE_TARGET} // greatest(w, h) AS INT) AS out_h"
-    " FROM img"
-)
-
-
-# --- chunking (audio modality) -------------------------------------------
-
-CHUNK_LEN = 800    # fake: bytes per audio window
-CHUNK_HOP = 600    # fake: hop (overlapping windows)
-MAX_CHUNKS = 6
-
-CHUNKS_SCHEMA = (
-    "doc_id bigint, chunk_idx int, chunk_off bigint, chunk_len int"
-)
-
-
-def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping-window chunking over audio payloads — the second
-    one-to-many mapInPandas shape (fixed-hop windows vs. the frame
-    sampler's stride).  A real pipeline emits resampled PCM windows
-    (see ``resample_audio`` stub); the fake emits (offset, length)
-    windows with hop < length so windows overlap, capped at
-    MAX_CHUNKS."""
-    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "audio")
-
-    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "chunk_idx": [], "chunk_off": [], "chunk_len": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                n_chunks = min((max(n - 1, 0)) // CHUNK_HOP + 1, MAX_CHUNKS)
-                for i in range(n_chunks):
-                    off = i * CHUNK_HOP
-                    out["doc_id"].append(doc_id)
-                    out["chunk_idx"].append(i)
-                    out["chunk_off"].append(off)
-                    out["chunk_len"].append(min(CHUNK_LEN, n - off))
-            yield pd.DataFrame(out)
-
-    return mm.mapInPandas(chunk, CHUNKS_SCHEMA)
-
-
-MULTIMODAL_AUDIO_CHUNKS_SQL = (
-    "WITH a AS (SELECT doc_id, length(text) AS n FROM documents"
-    "  WHERE CAST(doc_id % 3 AS INT) = 1),"
-    " c AS (SELECT doc_id, n,"
-    f"  unnest(generate_series(0, CAST(least(greatest(n - 1, 0) //"
-    f" {CHUNK_HOP} + 1, {MAX_CHUNKS}) AS BIGINT) - 1)) AS chunk_idx"
-    "  FROM a)"
-    " SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,"
-    f" CAST(chunk_idx * {CHUNK_HOP} AS BIGINT) AS chunk_off,"
-    f" CAST(least({CHUNK_LEN}, n - chunk_idx * {CHUNK_HOP}) AS INT)"
-    "  AS chunk_len"
-    " FROM c"
-)
-
-
-def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-video rollup of the sampled frames — the many-to-ONE
-    composition closing the UDF shape matrix (1→1 meta/resize, 1→N
-    frames/chunks, N→1 here): the Arrow-batched decode output feeds a
-    plain JVM-side partial/final aggregate, so Python touches each
-    frame row once and the reduction itself is codegen.  At 100 TB the
-    aggregate keys on doc_id — the same partitioning the frame sampler
-    already produced, so AQE usually elides the exchange."""
-    frames = multimodal_frames(spark, sf_dir)
-    return frames.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_frames"),
-        F.sum(F.col("frame_len").cast("bigint")).alias("total_frame_bytes"),
-        F.max("frame_off").alias("last_frame_off"),
-    )
-
-
-MULTIMODAL_FRAME_STATS_SQL = (
-    f"WITH frames AS ({MULTIMODAL_FRAMES_SQL})"
-    " SELECT doc_id, COUNT(*) AS n_frames,"
-    " CAST(SUM(frame_len) AS BIGINT) AS total_frame_bytes,"
-    " MAX(frame_off) AS last_frame_off"
-    " FROM frames GROUP BY doc_id"
-)
-
-
-# --- real-codec certificate queries ---------------------------------------
+# --- deterministic encoders (media-ingest stand-in) -----------------------
 #
-# The fixtures carry no media files, so each certificate SYNTHESIZES a
-# valid payload per document from pure doc_id arithmetic (an encoder
-# writing the real format per spec), decodes it with the REAL parser
-# above — an independent code path reading magic bytes, headers, and
-# chunk layout — and emits integer stats the DuckDB oracle recomputes
-# in closed form from doc_id.  A parser bug (header arithmetic, chunk
-# walk, stride, endianness) changes the stats and fails the hash gate.
+# The fixtures carry no media files, so the payload column is
+# SYNTHESIZED: one valid PGM / RIFF-WAVE / concatenated-PGM payload
+# per document from pure doc_id arithmetic — an encoder writing the
+# real format per spec.  Every query then decodes the payload with the
+# REAL parsers above (an independent code path reading magic bytes,
+# headers, and chunk layout), and the DuckDB oracles recompute the
+# emitted integer stats in closed form from doc_id.  A parser bug
+# (header arithmetic, chunk walk, stride, endianness) changes the
+# stats and fails the hash gate.
 
 IMG_PIX_A, IMG_PIX_B = 31, 7
 AUD_A, AUD_B = 17, 13
@@ -429,6 +193,10 @@ AUD_SRC_RATE, AUD_TARGET_RATE = 16_000, 8_000
 
 def _img_dims(doc_id: int) -> tuple[int, int]:
     return 16 + doc_id % 16, 8 + doc_id % 8
+
+
+def _vid_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 8, 4 + doc_id % 4
 
 
 def _encode_pgm(doc_id: int, w: int, h: int, salt: int = 0) -> bytes:
@@ -464,31 +232,411 @@ def _encode_wav(doc_id: int) -> bytes:
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+def _encode_video(doc_id: int) -> bytes:
+    w, h = _vid_dims(doc_id)
+    return b"".join(
+        _encode_pgm(doc_id, w, h, salt=VID_FRAME_SALT * f)
+        for f in range(VID_FRAMES)
+    )
+
+
+# --- the shared payload table ---------------------------------------------
+
+PAYLOAD_SCHEMA = "doc_id bigint, modality string, payload binary"
+
+_PAYLOAD_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def attach_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal table: one REAL binary payload per document —
+    modality from doc_id % 3 (image / audio / video), payload from the
+    format encoders above.  Arrow-batched ``mapInPandas`` encode;
+    memoized per (application, sf_dir) with ``localCheckpoint`` so all
+    eight multimodal queries share a single encode pass per session
+    (at 100 TB this table comes from media ingest — the memo models
+    "encoded once, decoded by many readers")."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PAYLOAD_CACHE:
+        return _PAYLOAD_CACHE[key]
+    ids = table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "modality": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                m = d % 3
+                if m == 0:
+                    w, h = _img_dims(d)
+                    mod, payload = "image", _encode_pgm(d, w, h)
+                elif m == 1:
+                    mod, payload = "audio", _encode_wav(d)
+                else:
+                    mod, payload = "video", _encode_video(d)
+                rows["doc_id"].append(d)
+                rows["modality"].append(mod)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    df = ids.mapInPandas(encode, PAYLOAD_SCHEMA).localCheckpoint()
+    _PAYLOAD_CACHE[key] = df
+    return df
+
+
+# --- metadata extraction (1 -> 1, all modalities) -------------------------
+
+META_SCHEMA = (
+    "doc_id bigint, modality string, n_bytes bigint, width int,"
+    " height int, sample_rate int, n_samples bigint, n_frames int"
+)
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-and-extract over the payload column via ``mapInPandas``:
+    per-modality REAL decode (PGM header parse / WAV chunk walk /
+    frame walk) emitting unified nullable metadata — the ffprobe/
+    identify pass of a media pipeline.
+
+    The iterator contract processes one Arrow batch at a time —
+    constant memory per task regardless of table size; at 100 TB the
+    decode parallelism is just the scan parallelism.
+    """
+    mm = attach_payload(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "modality": [], "n_bytes": [], "width": [],
+                "height": [], "sample_rate": [], "n_samples": [],
+                "n_frames": [],
+            }
+            for doc_id, mod, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                width = height = rate = n_samples = n_frames = None
+                if mod == "image":
+                    width, height, _ = decode_image(payload)
+                elif mod == "audio":
+                    rate, s = resample_audio(payload, rate=AUD_SRC_RATE)
+                    n_samples = int(len(s))
+                else:
+                    frames = sample_video_frames(payload, every_n=1)
+                    n_frames = len(frames)
+                    width, height, _ = frames[0]
+                out["doc_id"].append(int(doc_id))
+                out["modality"].append(mod)
+                out["n_bytes"].append(len(payload))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n_samples)
+                out["n_frames"].append(n_frames)
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(decode, META_SCHEMA)
+
+
+# PGM header "P5\n{w} {h}\n255\n" is 9 + digits(w) + digits(h) bytes;
+# WAV is RIFF(12) + fmt(8+16) + data(8 + 2n) with no pad (2n even).
+_IMG_NBYTES = (
+    "9 + length(CAST(16 + doc_id % 16 AS VARCHAR))"
+    " + length(CAST(8 + doc_id % 8 AS VARCHAR))"
+    " + (16 + doc_id % 16) * (8 + doc_id % 8)"
+)
+_VID_FRAME_LEN = (
+    "9 + length(CAST(8 + doc_id % 8 AS VARCHAR))"
+    " + length(CAST(4 + doc_id % 4 AS VARCHAR))"
+    " + (8 + doc_id % 8) * (4 + doc_id % 4)"
+)
+
+MULTIMODAL_META_SQL = (
+    "SELECT doc_id,"
+    " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'"
+    "  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,"
+    " CAST(CASE"
+    f"  WHEN doc_id % 3 = 0 THEN {_IMG_NBYTES}"
+    "  WHEN doc_id % 3 = 1 THEN 44 + 2 * (256 + doc_id % 256)"
+    f"  ELSE {VID_FRAMES} * ({_VID_FRAME_LEN})"
+    " END AS BIGINT) AS n_bytes,"
+    " CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 16"
+    "  WHEN doc_id % 3 = 2 THEN 8 + doc_id % 8 END AS INT) AS width,"
+    " CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 8"
+    "  WHEN doc_id % 3 = 2 THEN 4 + doc_id % 4 END AS INT) AS height,"
+    f" CAST(CASE WHEN doc_id % 3 = 1 THEN {AUD_SRC_RATE} END AS INT)"
+    "  AS sample_rate,"
+    " CAST(CASE WHEN doc_id % 3 = 1 THEN 256 + doc_id % 256 END"
+    "  AS BIGINT) AS n_samples,"
+    f" CAST(CASE WHEN doc_id % 3 = 2 THEN {VID_FRAMES} END AS INT)"
+    "  AS n_frames"
+    " FROM documents"
+)
+
+
+# --- frame sampling (1 -> N, video modality) ------------------------------
+
+FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_off bigint, frame_len int,"
+    " pix_sum bigint"
+)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads — the one-to-MANY
+    ``mapInPandas`` shape (each input row yields several output rows,
+    the UDF-side explode): walk the concatenated-PGM stream with the
+    REAL parser, keep every ``VID_EVERY``-th frame, and emit where it
+    sat (byte offset/length from the walk itself) plus its pixel
+    checksum.  Only video-modality rows are processed, and that filter
+    happens BEFORE the UDF so Catalyst prunes the other modalities out
+    of the Python path entirely."""
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "video")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "frame_off": [],
+                "frame_len": [], "pix_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, off, ln, _w, _h, pix in sample_video_frames_indexed(
+                    bytes(payload), every_n=VID_EVERY
+                ):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_off"].append(off)
+                    out["frame_len"].append(ln)
+                    out["pix_sum"].append(int(pix.astype("int64").sum()))
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(sample, FRAMES_SCHEMA)
+
+
+# frames are equal-sized per doc (same dims, salt only changes pixel
+# values), so off = idx * frame_len; pixels are (31d + 97f + 7i) % 256
+MULTIMODAL_FRAMES_SQL = (
+    "WITH v AS (SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,"
+    f"  {_VID_FRAME_LEN} AS flen"
+    "  FROM documents WHERE doc_id % 3 = 2),"
+    " f AS (SELECT doc_id, w, h, flen, unnest([0, 2]) AS fi FROM v),"
+    " px AS (SELECT f.doc_id, f.fi, f.flen,"
+    f"  SUM((f.doc_id * {IMG_PIX_A} + {VID_FRAME_SALT} * f.fi"
+    f"   + {IMG_PIX_B} * t.i) % 256) AS ps"
+    "  FROM f CROSS JOIN generate_series(0, 127) t(i)"
+    "  WHERE t.i < f.w * f.h GROUP BY f.doc_id, f.fi, f.flen)"
+    " SELECT doc_id, CAST(fi AS INT) AS frame_idx,"
+    " CAST(fi * flen AS BIGINT) AS frame_off,"
+    " CAST(flen AS INT) AS frame_len,"
+    " CAST(ps AS BIGINT) AS pix_sum"
+    " FROM px"
+)
+
+
+# --- resize (1 -> 1 transform, image modality) ----------------------------
+
+RESIZE_TARGET = 224  # longest-side target, the common vision-model input
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, orig_w int, orig_h int, out_w int, out_h int,"
+    " out_pix_sum bigint"
+)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize over image payloads — the
+    decode→transform mapInPandas shape: REAL-decode the PGM, compute
+    the longest-side-to-``RESIZE_TARGET`` output dims in integer
+    arithmetic, then ACTUALLY resample the pixels (nearest-neighbor by
+    integer index maps — deterministic, so the output checksum is
+    oracle-exact; a production body swaps in an area/lanczos kernel).
+    Only image-modality rows reach the Python boundary — the modality
+    filter sits before the UDF so Catalyst prunes audio/video out of
+    the Arrow stream."""
+    import numpy as np
+
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "image")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "orig_w": [], "orig_h": [], "out_w": [],
+                "out_h": [], "out_pix_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = decode_image(bytes(payload))
+                longest = max(w, h)
+                ow = w * RESIZE_TARGET // longest
+                oh = h * RESIZE_TARGET // longest
+                # nearest-neighbor index maps: out (x, y) reads source
+                # (x*w // ow, y*h // oh)
+                xs = np.arange(ow, dtype=np.int64) * w // ow
+                ys = np.arange(oh, dtype=np.int64) * h // oh
+                resized = pix[np.ix_(ys, xs)]
+                out["doc_id"].append(int(doc_id))
+                out["orig_w"].append(w)
+                out["orig_h"].append(h)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["out_pix_sum"].append(
+                    int(resized.astype("int64").sum())
+                )
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+# image dims are w in 16..31, h in 8..15, so w > h always: out_w is
+# exactly RESIZE_TARGET and out_h = h*TARGET // w
+MULTIMODAL_RESIZE_SQL = (
+    "WITH img AS (SELECT doc_id, 16 + doc_id % 16 AS w,"
+    "  8 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0),"
+    f" dims AS (SELECT doc_id, w, h, {RESIZE_TARGET} AS ow,"
+    f"  h * {RESIZE_TARGET} // w AS oh FROM img),"
+    " px AS (SELECT d.doc_id,"
+    f"  SUM((d.doc_id * {IMG_PIX_A} + {IMG_PIX_B} *"
+    "   ((y.y * d.h // d.oh) * d.w + (x.x * d.w // d.ow))) % 256) AS ps"
+    f"  FROM dims d CROSS JOIN generate_series(0, {RESIZE_TARGET - 1}) x(x)"
+    f"  CROSS JOIN generate_series(0, {RESIZE_TARGET - 1}) y(y)"
+    "  WHERE y.y < d.oh GROUP BY d.doc_id)"
+    " SELECT d.doc_id, CAST(d.w AS INT) AS orig_w,"
+    " CAST(d.h AS INT) AS orig_h, CAST(d.ow AS INT) AS out_w,"
+    " CAST(d.oh AS INT) AS out_h, CAST(px.ps AS BIGINT) AS out_pix_sum"
+    " FROM dims d JOIN px ON px.doc_id = d.doc_id"
+)
+
+
+# --- chunking (1 -> N, audio modality) ------------------------------------
+
+AUD_CHUNK_LEN = 160   # samples per window at the target rate (20 ms @ 8 kHz)
+AUD_CHUNK_HOP = 120   # hop < len, so windows overlap (15 ms)
+AUD_MAX_CHUNKS = 6
+
+CHUNKS_SCHEMA = (
+    "doc_id bigint, chunk_idx int, chunk_off bigint, chunk_len int,"
+    " sum_samples bigint"
+)
+
+
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking over audio payloads — the second
+    one-to-many mapInPandas shape (fixed-hop windows vs. the frame
+    sampler's stride): REAL-decode the WAV, decimate to
+    ``AUD_TARGET_RATE``, then emit overlapping sample windows (offset,
+    length, checksum) capped at ``AUD_MAX_CHUNKS`` — the
+    feature-extraction framing an ASR/audio-embedding pipeline runs."""
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "audio")
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "chunk_idx": [], "chunk_off": [],
+                "chunk_len": [], "sum_samples": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s = resample_audio(
+                    bytes(payload), rate=AUD_TARGET_RATE
+                )
+                n = len(s)
+                n_chunks = min(
+                    (max(n - 1, 0)) // AUD_CHUNK_HOP + 1, AUD_MAX_CHUNKS
+                )
+                for c in range(n_chunks):
+                    off = c * AUD_CHUNK_HOP
+                    win = s[off : off + AUD_CHUNK_LEN]
+                    out["doc_id"].append(int(doc_id))
+                    out["chunk_idx"].append(c)
+                    out["chunk_off"].append(off)
+                    out["chunk_len"].append(len(win))
+                    out["sum_samples"].append(
+                        int(win.astype("int64").sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(chunk, CHUNKS_SCHEMA)
+
+
+# decimated sample k is source sample 2k: value (17d + 26k) % 65536
+# - 32768 over n2 = ceil(n/2) samples, n = 256 + d % 256
+MULTIMODAL_AUDIO_CHUNKS_SQL = (
+    "WITH a AS (SELECT doc_id, (256 + doc_id % 256 + 1) // 2 AS n2"
+    "  FROM documents WHERE doc_id % 3 = 1),"
+    " c AS (SELECT doc_id, n2, unnest(generate_series(0,"
+    f"  least((n2 - 1) // {AUD_CHUNK_HOP}, {AUD_MAX_CHUNKS - 1}))) AS ci"
+    "  FROM a),"
+    f" s AS (SELECT doc_id, ci, n2, least({AUD_CHUNK_LEN},"
+    f"  n2 - ci * {AUD_CHUNK_HOP}) AS clen FROM c),"
+    " px AS (SELECT s.doc_id, s.ci, s.clen,"
+    f"  SUM((s.doc_id * {AUD_A} + {2 * AUD_B} * t.k) % 65536 - 32768) AS ss"
+    "  FROM s CROSS JOIN generate_series(0, 255) t(k)"
+    f"  WHERE t.k >= s.ci * {AUD_CHUNK_HOP}"
+    f"   AND t.k < s.ci * {AUD_CHUNK_HOP} + s.clen"
+    "  GROUP BY s.doc_id, s.ci, s.clen)"
+    " SELECT doc_id, CAST(ci AS INT) AS chunk_idx,"
+    f" CAST(ci * {AUD_CHUNK_HOP} AS BIGINT) AS chunk_off,"
+    " CAST(clen AS INT) AS chunk_len,"
+    " CAST(ss AS BIGINT) AS sum_samples"
+    " FROM px"
+)
+
+
+# --- per-video rollup (N -> 1) --------------------------------------------
+
+
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video rollup of the sampled frames — the many-to-ONE
+    composition closing the UDF shape matrix (1→1 meta/resize, 1→N
+    frames/chunks, N→1 here): the Arrow-batched decode output feeds a
+    plain JVM-side partial/final aggregate, so Python touches each
+    frame row once and the reduction itself is codegen.  At 100 TB the
+    aggregate keys on doc_id — the same partitioning the frame sampler
+    already produced, so AQE usually elides the exchange."""
+    frames = multimodal_frames(spark, sf_dir)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.col("frame_len").cast("bigint")).alias("total_frame_bytes"),
+        F.max("frame_off").alias("last_frame_off"),
+        F.sum("pix_sum").alias("total_pix_sum"),
+    )
+
+
+MULTIMODAL_FRAME_STATS_SQL = (
+    f"WITH frames AS ({MULTIMODAL_FRAMES_SQL})"
+    " SELECT doc_id, COUNT(*) AS n_frames,"
+    " CAST(SUM(frame_len) AS BIGINT) AS total_frame_bytes,"
+    " MAX(frame_off) AS last_frame_off,"
+    " CAST(SUM(pix_sum) AS BIGINT) AS total_pix_sum"
+    " FROM frames GROUP BY doc_id"
+)
+
+
+# --- decode certificates ---------------------------------------------------
+#
+# The three certificates pin the decoders bit-for-bit: they read the
+# SAME payload column every other multimodal query reads, decode it
+# with the real parsers, and emit integer stats the oracle recomputes
+# in closed form from doc_id.
+
+
 def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode→REAL-decode certificate for the image path: synthesize a
-    binary PGM per image-modality document, parse it with
-    :func:`decode_image`, and emit (doc_id, width, height, pix_sum) —
-    all recomputed in closed form by the oracle.  Payload bytes never
-    leave the executors (Arrow-batched mapInPandas, scan-parallel)."""
-    ids = table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == 0
-    ).select("doc_id")
+    """Encode→REAL-decode certificate for the image path: parse each
+    image-modality payload with :func:`decode_image` and emit
+    (doc_id, width, height, pix_sum) — all recomputed in closed form
+    by the oracle.  Payload bytes never leave the executors
+    (Arrow-batched mapInPandas, scan-parallel)."""
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [], "pix_sum": []}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = _img_dims(d)
-                payload = _encode_pgm(d, w, h)
-                dw, dh, pix = decode_image(payload)
-                out["doc_id"].append(d)
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dw, dh, pix = decode_image(bytes(payload))
+                out["doc_id"].append(int(doc_id))
                 out["width"].append(dw)
                 out["height"].append(dh)
                 out["pix_sum"].append(int(pix.astype("int64").sum()))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(
+    return mm.mapInPandas(
         run, "doc_id bigint, width int, height int, pix_sum bigint"
     )
 
@@ -508,13 +656,11 @@ MULTIMODAL_DECODE_IMAGE_SQL = (
 
 
 def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode→REAL-decode certificate for the audio path: synthesize a
-    RIFF/WAVE PCM16 payload per audio-modality document, parse the
-    chunk layout with :func:`resample_audio`, decimate 16 kHz → 8 kHz,
-    and emit (doc_id, sample_rate, n_samples, sum_samples)."""
-    ids = table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == 1
-    ).select("doc_id")
+    """Encode→REAL-decode certificate for the audio path: parse each
+    audio-modality payload's chunk layout with :func:`resample_audio`,
+    decimate 16 kHz → 8 kHz, and emit (doc_id, sample_rate, n_samples,
+    sum_samples)."""
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "audio")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -524,18 +670,17 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_samples": [],
                 "sum_samples": [],
             }
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rate, s = resample_audio(
-                    _encode_wav(d), rate=AUD_TARGET_RATE
+                    bytes(payload), rate=AUD_TARGET_RATE
                 )
-                out["doc_id"].append(d)
+                out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(int(len(s)))
                 out["sum_samples"].append(int(s.astype("int64").sum()))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(
+    return mm.mapInPandas(
         run,
         "doc_id bigint, sample_rate int, n_samples bigint,"
         " sum_samples bigint",
@@ -557,27 +702,20 @@ MULTIMODAL_DECODE_AUDIO_SQL = (
 
 
 def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode→REAL-decode certificate for the video path: synthesize a
-    3-frame concatenated-PGM stream per video-modality document,
-    frame-sample every 2nd frame with :func:`sample_video_frames`
-    (frames 0 and 2), and emit (doc_id, n_sampled, pix_sum) over the
-    sampled frames."""
-    ids = table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == 2
-    ).select("doc_id")
+    """Encode→REAL-decode certificate for the video path: frame-sample
+    each video-modality payload (every 2nd frame: frames 0 and 2 of
+    the 3-frame stream) with :func:`sample_video_frames`, and emit
+    (doc_id, n_sampled, pix_sum) over the sampled frames."""
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "video")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "n_sampled": [], "pix_sum": []}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 8 + d % 8, 4 + d % 4
-                stream = b"".join(
-                    _encode_pgm(d, w, h, salt=VID_FRAME_SALT * f)
-                    for f in range(VID_FRAMES)
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = sample_video_frames(
+                    bytes(payload), every_n=VID_EVERY
                 )
-                frames = sample_video_frames(stream, every_n=VID_EVERY)
-                out["doc_id"].append(d)
+                out["doc_id"].append(int(doc_id))
                 out["n_sampled"].append(len(frames))
                 out["pix_sum"].append(
                     int(
@@ -589,7 +727,7 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(
+    return mm.mapInPandas(
         run, "doc_id bigint, n_sampled int, pix_sum bigint"
     )
 
