@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (streaming_state_agreement .. revenue_share, newest
         # verdicts) rotates last.
         # ------------------------------------------------------------------
+        # --- NEW in r07, never driver-verified: first into r08 ---
+        "streaming_dedup_agreement": ST.streaming_dedup_agreement,
         # --- r04-green remainder ---
         "agg_stats": R.agg_stats,
         "array_functions": AN.array_functions,
@@ -561,6 +563,11 @@ def oracle_sql() -> dict[str, str]:
         # against the batch operator, so stream/batch divergence flips
         # the value hash
         "streaming_state_agreement": ST.STREAMING_STATE_AGREEMENT_SQL,
+        # same contract for the watermark-bounded streaming dedup: the
+        # oracle recomputes the distinct-content count and pins zero
+        # mismatches; the Spark side earns it by draining the real
+        # dropDuplicatesWithinWatermark stream against batch dedup
+        "streaming_dedup_agreement": ST.STREAMING_DEDUP_AGREEMENT_SQL,
         # SRP bucket signs come from order-independent DECIMAL folds,
         # so the multiprobe candidate set — and therefore the search
         # result — is exactly oracle-checkable despite the RETRIEVAL
