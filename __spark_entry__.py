@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         # --- NEW in r07, never driver-verified: first into r08 ---
         "streaming_dedup_agreement": ST.streaming_dedup_agreement,
+        "ann_pq_topk": S.ann_pq_topk,
         # --- r04-green remainder ---
         "agg_stats": R.agg_stats,
         "array_functions": AN.array_functions,
@@ -525,6 +526,12 @@ def oracle_sql() -> dict[str, str]:
         # construction (same centroids, same probing — only the
         # physical access path differs), so it shares the oracle
         "ann_ivf_indexed": S.ann_ivf_sql(),
+        # PQ shares the SQ8/IVF determinism contract: modulus
+        # codebooks, strict-fold L2 assignment (bit-identical across
+        # engines), cid/vec_id tie-breaks — the SEARCH is exactly
+        # oracle-checkable while the retrieval stays approximate
+        # (recall pinned in pytest)
+        "ann_pq_topk": S.ann_pq_sql(),
         "containment_topk": D.CONTAINMENT_TOPK_SQL,
         "token_entropy": T.TOKEN_ENTROPY_SQL,
         "equi_depth_bins": AN.EQUI_DEPTH_BINS_SQL,

@@ -980,3 +980,175 @@ EMBEDDING_OUTLIERS_SQL = (
     " SELECT vec_id, cos_c, cos_c < t AS is_outlier"
     " FROM scored CROSS JOIN th"
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ADC ANN — the codebook rung of the ladder
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                # subspaces: 64-dim embeddings -> 8 dims each
+PQ_CENTROID_MOD = 7     # dense codebooks: ~N/7 codewords per subspace
+PQ_CAND_MULT = 3        # quantized candidate pool = MULT * k per query
+
+
+def ann_pq_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Product-quantization approximate nearest neighbour (Jégou et
+    al., PAMI'11; FAISS's PQ index): split each vector into ``PQ_M``
+    subspaces, encode every subvector as its nearest codeword from a
+    per-subspace codebook, score queries against the DEQUANTIZED
+    (codeword-concatenated) corpus, then exactly re-rank the
+    ``PQ_CAND_MULT*k`` survivors.  Completes the quantization ladder
+    beside brute force (ann_cosine), cell pruning (IVF), scalar
+    quantization (SQ8), and hyperplane hashing (SRP).
+
+    Why it scales: a PQ code is M small integers per vector (M bytes
+    at 256-codeword books) — a 32x smaller scan than float32 at M=8,
+    D=64, and in production the per-subspace score table per query is
+    M×K lookups so candidate scoring never touches floats at all;
+    here the dequantized form keeps the whole pipeline in JVM
+    higher-order folds (no Python, no corpus shuffle) and the exact
+    re-rank touches only candidate rows.
+
+    Determinism: the codebook is the fixed modulus subsample of the
+    corpus's own subvectors (vec_id % PQ_CENTROID_MOD == 0 — the IVF
+    centroid convention, so no iterative training to pin); assignment
+    ranks exact L2 via the same strict left fold both engines run
+    bit-identically, ties break on codeword id; scores round to 6
+    digits before ranking, ties break by vec_id.  The full pipeline
+    (codebook, encode, ADC probe, re-rank) is exactly oracle-checkable
+    even though the RETRIEVAL is approximate; recall vs brute force is
+    pinned in pytest (the SQ8/SRP contract)."""
+    emb = _vectors(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    # subvectors: (vec_id, m, sv) with L = D div PQ_M dims per subspace
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" m -> slice(v, m * (size(v) div {PQ_M}) + 1,"
+                f" size(v) div {PQ_M}))"
+            )
+        ).alias("m", "sv"),
+    )
+    cents = sub.filter(F.col("vec_id") % PQ_CENTROID_MOD == 0).select(
+        F.col("m").alias("cm"),
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    # exact L2 to every codeword of the row's subspace; the fold is the
+    # same strict left fold as the DuckDB list_reduce, so the doubles
+    # driving the assignment rank are bit-identical across engines
+    d2 = F.expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, z) -> acc + z)"
+    )
+    asg = sub.join(F.broadcast(cents), sub.m == cents.cm).select(
+        "vec_id", "m", "cid", "cv", d2.alias("d2")
+    )
+    wa = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("d2"), F.asc("cid")
+    )
+    code = (
+        asg.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "m", "cv")
+    )
+    # dequantized vector: chosen codewords concatenated in subspace order
+    deq = code.groupBy("vec_id").agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(m, cv))),"
+            " s -> s.cv))"
+        ).alias("vq")
+    )
+    qscored = deq.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot("vq", "qv") / (_norm("vq") * _norm("qv")), ROUND_DIGITS
+        ).alias("qcos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qcos"), F.asc("vec_id"))
+    cand = (
+        qscored.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= PQ_CAND_MULT * k)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        cand.join(emb, "vec_id")
+        .join(q, "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot("v", "qv") / (_norm("v") * _norm("qv")), ROUND_DIGITS
+            ).alias("cos_r"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid", "vec_id", "cos_r", F.col("rn").cast("bigint").alias("rn")
+        )
+    )
+
+
+def ann_pq_sql() -> str:
+    """Exact DuckDB oracle for ann_pq_topk: modulus codebooks,
+    strict-fold L2 assignment (bit-identical to Spark's aggregate
+    fold), cid/vec_id tie-breaks, 6-digit score rounding."""
+    sub_l = f"(len(v) // {PQ_M})"
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, len(s.sv)),"
+        " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),"
+        " (x, y) -> x + y)"
+    )
+    return (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),"
+        f" q AS (SELECT vec_id AS qid, v AS qv FROM e"
+        f"  WHERE vec_id < {N_QUERIES}),"
+        " sub AS (SELECT vec_id, t.m,"
+        f"  v[t.m * {sub_l} + 1 : (t.m + 1) * {sub_l}] AS sv"
+        f"  FROM e CROSS JOIN generate_series(0, {PQ_M - 1}) t(m)),"
+        " cents AS (SELECT m AS cm, vec_id AS cid, sv AS cv FROM sub"
+        f"  WHERE vec_id % {PQ_CENTROID_MOD} = 0),"
+        " asg AS (SELECT vec_id, m, cid, cv, ROW_NUMBER() OVER"
+        "  (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS arn"
+        "  FROM (SELECT s.vec_id, s.m, c.cid, c.cv,"
+        f"   {d2} AS d2 FROM sub s JOIN cents c ON c.cm = s.m)),"
+        " code AS (SELECT vec_id, m, cv FROM asg WHERE arn = 1),"
+        " deq AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS vq"
+        "  FROM code GROUP BY vec_id),"
+        " uq AS (SELECT qid, deq.vec_id AS vec_id,"
+        "  unnest(deq.vq) AS a, unnest(q.qv) AS b FROM deq, q),"
+        " s AS (SELECT qid, vec_id, SUM(a * b) AS dot,"
+        "  SUM(a * a) AS na, SUM(b * b) AS nb FROM uq GROUP BY qid, vec_id),"
+        " qscored AS (SELECT qid, vec_id,"
+        f"  ROUND(dot / (sqrt(na) * sqrt(nb)), {ROUND_DIGITS}) AS qcos"
+        "  FROM s),"
+        " cand AS (SELECT qid, vec_id FROM ("
+        "  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid"
+        "   ORDER BY qcos DESC, vec_id ASC) AS crn FROM qscored)"
+        f"  WHERE crn <= {PQ_CAND_MULT * TOP_K}),"
+        " ue AS (SELECT c.qid, c.vec_id,"
+        "  unnest(e.v) AS a, unnest(q.qv) AS b"
+        "  FROM cand c JOIN e ON e.vec_id = c.vec_id"
+        "  JOIN q ON q.qid = c.qid),"
+        " s2 AS (SELECT qid, vec_id, SUM(a * b) AS dot,"
+        "  SUM(a * a) AS na, SUM(b * b) AS nb FROM ue GROUP BY qid, vec_id),"
+        " exact AS (SELECT qid, vec_id,"
+        f"  ROUND(dot / (sqrt(na) * sqrt(nb)), {ROUND_DIGITS}) AS cos_r"
+        "  FROM s2),"
+        " ranked AS (SELECT qid, vec_id, cos_r, ROW_NUMBER() OVER"
+        "  (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn"
+        "  FROM exact)"
+        f" SELECT qid, vec_id, cos_r, rn FROM ranked WHERE rn <= {TOP_K}"
+    )

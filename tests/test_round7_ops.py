@@ -64,6 +64,31 @@ class TestWavStrictness:
         assert len(s) == (256 + 5 % 256 + 1) // 2
 
 
+def test_pq_recall_against_brute_force(spark, sf_dir):
+    """PQ's ADC candidates must recover a meaningful fraction of the
+    true top-k (the SQ8/SRP recall contract), and whatever it returns
+    must carry the exact brute-force score (the re-rank is exact)."""
+    from smile_spark.operators.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        ann_pq_topk,
+    )
+
+    truth = {
+        (r.qid, r.vec_id) for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    got = {(r.qid, r.vec_id) for r in ann_pq_topk(spark, sf_dir).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall
+    bf = {
+        (r.qid, r.vec_id): r.cos_r
+        for r in ann_cosine_topk(spark, sf_dir, k=10**9).collect()
+    }
+    for r in ann_pq_topk(spark, sf_dir).collect():
+        assert bf[(r.qid, r.vec_id)] == r.cos_r
+        assert 1 <= r.rn <= TOP_K
+
+
 class TestSetsimSaltSizing:
     def test_scales_with_bucket_skew(self):
         from smile_spark.operators.dedup import _setsim_n_salts
