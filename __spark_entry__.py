@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in r07, never driver-verified: first into r08 ---
         "streaming_dedup_agreement": ST.streaming_dedup_agreement,
         "ann_pq_topk": S.ann_pq_topk,
+        "link_prediction_aa": G.link_prediction_aa,
         # --- r04-green remainder ---
         "agg_stats": R.agg_stats,
         "array_functions": AN.array_functions,
@@ -599,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_video": M.MULTIMODAL_DECODE_VIDEO_SQL,
         "revenue_concentration": AN.REVENUE_CONCENTRATION_SQL,
         "degree_assortativity": G.DEGREE_ASSORTATIVITY_SQL,
+        "link_prediction_aa": G.LINK_PREDICTION_AA_SQL,
         "dedup_cluster_sizes": P.dedup_cluster_sizes_sql(),
         "watermark_late_audit": W.WATERMARK_LATE_AUDIT_SQL,
     }

@@ -1509,3 +1509,113 @@ DEGREE_ASSORTATIVITY_SQL = (
     "    / CAST(n AS DOUBLE))), 6) AS assortativity"
     " FROM m"
 )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: Adamic-Adar over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+AA_SEED_MOD = 97   # deterministic seed set: part % MOD == 0
+AA_TOP_K = 10
+
+
+def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``AA_TOP_K`` NEW-link recommendations per seed part by
+    Adamic-Adar score over the co-purchase graph: for seed q and
+    candidate c not already adjacent, AA(q,c) = sum over common
+    neighbors a of 1/ln(deg(a)) — the classic link-prediction /
+    item-recommendation primitive (Adamic & Adar 2003; "customers who
+    bought X also bought" with hub discounting).
+
+    Scale shape: scoring runs for a SEED SET (part % AA_SEED_MOD == 0
+    — the deterministic stand-in for "active items"), so the wedge
+    work is the seeds' two-hop neighborhoods, never the global
+    apex-degree-squared explosion: one equi-join seeds→neighbors, one
+    neighbors→candidates, a broadcast degree attach (the session-
+    memoized degree table), one anti-join to drop existing edges, and
+    a per-seed TakeOrdered.  Exactly the recsys batch-scoring shape at
+    100 TB — cost ∝ seed traffic, not graph size.
+
+    Determinism: each 1/ln(deg) term is an identical double in both
+    engines (libm log), quantized to DECIMAL(18,12) before the sum so
+    the per-pair score is order-independent (the token_entropy/bm25
+    device); ranking rounds to 6 digits, ties break on candidate id.
+    deg(a) >= 2 whenever a is a common neighbor of two distinct
+    nodes, so ln never hits zero.  Emits (q, c, n_common, aa_score).
+    """
+    und = _copurchase_edges_cached(spark, sf_dir)
+    stubs = und.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).union(und.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    deg = _copurchase_degrees_cached(spark, sf_dir)
+    seed_edges = stubs.filter(F.col("u") % AA_SEED_MOD == 0).select(
+        F.col("u").alias("q"), F.col("v").alias("a")
+    )
+    hops = (
+        seed_edges.join(
+            stubs.select(F.col("u").alias("a"), F.col("v").alias("c")),
+            "a",
+        )
+        .filter(F.col("c") != F.col("q"))
+        .join(
+            F.broadcast(deg.select(F.col("id").alias("a"), "deg")), "a"
+        )
+        .withColumn(
+            "term",
+            F.round(1.0 / F.log(F.col("deg").cast("double")), 12).cast(
+                "decimal(18,12)"
+            ),
+        )
+    )
+    # drop pairs that are already edges (both directions are in stubs)
+    new_links = hops.join(
+        stubs.select(F.col("u").alias("q"), F.col("v").alias("c")),
+        ["q", "c"],
+        "left_anti",
+    )
+    scored = new_links.groupBy("q", "c").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.round(F.sum("term").cast("double"), 6).alias("aa_score"),
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.desc("aa_score"), F.asc("c")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= AA_TOP_K)
+        .select(
+            "q",
+            "c",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            "aa_score",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+LINK_PREDICTION_AA_SQL = (
+    "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
+    "  l_partkey AS pk FROM lineitem),"
+    " und AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v"
+    "  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),"
+    " stubs AS MATERIALIZED (SELECT u, v FROM und"
+    "  UNION ALL SELECT v, u FROM und),"
+    " deg AS (SELECT u AS id, COUNT(*) AS deg FROM stubs GROUP BY u),"
+    f" seeds AS (SELECT u AS q, v AS a FROM stubs WHERE u % {AA_SEED_MOD} = 0),"
+    " hops AS (SELECT s.q, st.v AS c,"
+    "  CAST(ROUND(1.0 / ln(CAST(d.deg AS DOUBLE)), 12) AS DECIMAL(18,12))"
+    "   AS term"
+    "  FROM seeds s JOIN stubs st ON st.u = s.a"
+    "  JOIN deg d ON d.id = s.a"
+    "  WHERE st.v <> s.q),"
+    " new_links AS (SELECT h.q, h.c, h.term FROM hops h"
+    "  WHERE NOT EXISTS (SELECT 1 FROM stubs e"
+    "   WHERE e.u = h.q AND e.v = h.c)),"
+    " scored AS (SELECT q, c, COUNT(*) AS n_common,"
+    "  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS aa_score"
+    "  FROM new_links GROUP BY q, c),"
+    " ranked AS (SELECT q, c, n_common, aa_score, ROW_NUMBER() OVER"
+    "  (PARTITION BY q ORDER BY aa_score DESC, c ASC) AS rn FROM scored)"
+    " SELECT q, c, CAST(n_common AS BIGINT) AS n_common, aa_score,"
+    f" CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= {AA_TOP_K}"
+)
