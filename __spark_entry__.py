@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_agreement": ST.streaming_dedup_agreement,
         "ann_pq_topk": S.ann_pq_topk,
         "link_prediction_aa": G.link_prediction_aa,
+        "lsh_band_planner": D.lsh_band_planner,
         # --- r04-green remainder ---
         "agg_stats": R.agg_stats,
         "array_functions": AN.array_functions,
@@ -552,6 +553,11 @@ def oracle_sql() -> dict[str, str]:
         "funnel_latency": B.FUNNEL_LATENCY_SQL,
         "mad_outliers_approx": Q.MAD_OUTLIERS_APPROX_SQL,
         "dedup_eval": D.dedup_eval_sql(),
+        # collision probabilities expand to explicit multiplication
+        # chains (no libm pow), quantized to DECIMAL(18,12) per pair —
+        # the banding S-curve evaluated on the observed pair
+        # population is therefore hash-exact across engines
+        "lsh_band_planner": D.lsh_band_planner_sql(),
         "stratified_kfold": C.STRATIFIED_KFOLD_SQL,
         "embedding_norms": S.EMBEDDING_NORMS_SQL,
         "window_tumbling": W.WINDOW_TUMBLING_SQL,

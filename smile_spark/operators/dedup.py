@@ -1370,3 +1370,90 @@ def dedup_eval_sql() -> str:
         "  THEN ROUND(tp / CAST(tp + fn AS DOUBLE), 6) END AS recall"
         " FROM agg"
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding planner: expected recall per (bands, rows) configuration
+# ---------------------------------------------------------------------------
+
+# every way to band the 16-hash signature: bands * rows = N_HASHES
+LSH_PLAN_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def _pow_mult(expr: str, n: int) -> str:
+    """x^n as an explicit left-associated multiplication chain — the
+    SAME fully-parenthesized expression text runs on both engines, so
+    the doubles are IEEE-identical (libm pow() may differ by an ulp
+    across implementations; multiplication cannot)."""
+    out = expr
+    for _ in range(n - 1):
+        out = f"({out} * {expr})"
+    return out
+
+
+def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-recall table for every (bands, rows) banding of the
+    16-hash MinHash signature, evaluated over the OBSERVED verified
+    near-duplicate pairs — the measurement a dedup rollout runs before
+    choosing its banding: for a pair with exact Jaccard j, the
+    probability it ever collides under (b, r) is 1-(1-j^r)^b, so the
+    mean over the real pair population is the expected recall of that
+    configuration ON THIS CORPUS (the S-curve evaluated against the
+    observed similarity distribution, not a hypothetical one).
+
+    Scale: reads the memoized pair table (vanishing fraction of the
+    corpus by LSH design), computes five arithmetic expressions per
+    pair, and reduces to five rows — a planning query that costs
+    nothing next to the dedup run it tunes.
+
+    Determinism: j^r and (1-j^r)^b expand to explicit multiplication
+    chains (identical text on both engines — no libm pow), each
+    collision probability quantizes to DECIMAL(18,12), and the mean
+    divides exact sums.  Emits (bands, rows, n_pairs, exp_recall).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("jaccard")
+    parts = []
+    for b, r in LSH_PLAN_CONFIGS:
+        jr = _pow_mult("jaccard", r)
+        p = f"1.0D - {_pow_mult(f'(1.0D - {jr})', b)}"
+        parts.append(
+            pairs.select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows"),
+                F.expr(f"cast(round({p}, 12) as decimal(18,12))").alias(
+                    "pc"
+                ),
+            )
+        )
+    u = parts[0]
+    for nxt in parts[1:]:
+        u = u.unionByName(nxt)
+    return (
+        u.groupBy("bands", "rows")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("pc").cast("double") / F.count(F.lit(1)), 6
+            ).alias("exp_recall"),
+        )
+        .select("bands", "rows", "n_pairs", "exp_recall")
+    )
+
+
+def lsh_band_planner_sql() -> str:
+    pair_sql = dedup_minhash_lsh_sql()
+    selects = []
+    for b, r in LSH_PLAN_CONFIGS:
+        jr = _pow_mult("jaccard", r)
+        p = f"1.0 - {_pow_mult(f'(1.0 - {jr})', b)}"
+        selects.append(
+            f"SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows,"
+            " CAST(COUNT(*) AS BIGINT) AS n_pairs,"
+            f" ROUND(CAST(SUM(CAST(ROUND({p}, 12) AS DECIMAL(18,12)))"
+            "  AS DOUBLE) / COUNT(*), 6) AS exp_recall"
+            " FROM pairs"
+        )
+    return (
+        f"WITH pairs AS MATERIALIZED ({pair_sql}) "
+        + " UNION ALL ".join(selects)
+    )
