@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": S.ann_pq_topk,
         "link_prediction_aa": G.link_prediction_aa,
         "lsh_band_planner": D.lsh_band_planner,
+        "label_propagation": G.label_propagation,
         # --- r04-green remainder ---
         "agg_stats": R.agg_stats,
         "array_functions": AN.array_functions,
@@ -607,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_concentration": AN.REVENUE_CONCENTRATION_SQL,
         "degree_assortativity": G.DEGREE_ASSORTATIVITY_SQL,
         "link_prediction_aa": G.LINK_PREDICTION_AA_SQL,
+        "label_propagation": G.label_propagation_sql(),
         "dedup_cluster_sizes": P.dedup_cluster_sizes_sql(),
         "watermark_late_audit": W.WATERMARK_LATE_AUDIT_SQL,
     }

@@ -1619,3 +1619,85 @@ LINK_PREDICTION_AA_SQL = (
     " SELECT q, c, CAST(n_common AS BIGINT) AS n_common, aa_score,"
     f" CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= {AA_TOP_K}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels on the co-purchase graph by SYNCHRONOUS label
+    propagation (Raghavan et al. 2007): start every node at its own
+    id, then for a fixed ``LPA_ROUNDS`` rounds each node adopts the
+    most frequent label among its neighbors, ties to the SMALLEST
+    label — the determinism rule that makes fixed-round LPA identical
+    on any engine (asynchronous/random-order LPA is not reproducible;
+    the min-label tie-break plays the role the random permutation does
+    in the paper).  Complements connected_components: components find
+    reachability, LPA finds dense cores inside one component.
+
+    Scale: each round is one stubs ⋈ labels equi-join, a (node, label)
+    partial/final count, and a per-node rank-1 window — all keyed
+    shuffles; ``localCheckpoint`` per round cuts the lineage exactly
+    like bfs/pagerank, and the round count is a budget, not a
+    convergence gamble.  Emits (part, community).
+    """
+    und = _copurchase_edges_cached(spark, sf_dir)
+    stubs = (
+        und.select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .union(und.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+        .localCheckpoint()
+    )
+    labels = stubs.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    ).localCheckpoint()
+    w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            stubs.join(
+                labels.select(F.col("id").alias("v"), "lbl"), "v"
+            )
+            .groupBy(F.col("u").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lbl")
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("id").alias("part"), F.col("lbl").alias("community")
+    )
+
+
+def label_propagation_sql() -> str:
+    """Oracle: the identical synchronous rounds unrolled as chained
+    MATERIALIZED CTEs (the kcore_peel device — each round is
+    referenced by the next, and DuckDB's default inlining would
+    re-evaluate per reference)."""
+    parts = [
+        "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
+        "  l_partkey AS pk FROM lineitem),",
+        " und AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v"
+        "  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk"
+        "  GROUP BY 1, 2),",
+        " stubs AS MATERIALIZED (SELECT u, v FROM und"
+        "  UNION ALL SELECT v, u FROM und),",
+        " l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl"
+        "  FROM stubs)",
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f", l{r} AS MATERIALIZED (SELECT id, lbl FROM ("
+            "  SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id"
+            "   ORDER BY c DESC, lbl ASC) AS rn FROM ("
+            "   SELECT st.u AS id, p.lbl, COUNT(*) AS c"
+            f"   FROM stubs st JOIN l{r - 1} p ON p.id = st.v"
+            "   GROUP BY st.u, p.lbl)) WHERE rn = 1)"
+        )
+    return (
+        "".join(parts)
+        + f" SELECT id AS part, lbl AS community FROM l{LPA_ROUNDS}"
+    )
