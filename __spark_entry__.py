@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_aa": G.link_prediction_aa,
         "lsh_band_planner": D.lsh_band_planner,
         "label_propagation": G.label_propagation,
+        "rake_keyphrases": T.rake_keyphrases,
         # --- r04-green remainder ---
         "agg_stats": R.agg_stats,
         "array_functions": AN.array_functions,
@@ -609,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": G.DEGREE_ASSORTATIVITY_SQL,
         "link_prediction_aa": G.LINK_PREDICTION_AA_SQL,
         "label_propagation": G.label_propagation_sql(),
+        "rake_keyphrases": T.rake_keyphrases_sql(),
         "dedup_cluster_sizes": P.dedup_cluster_sizes_sql(),
         "watermark_late_audit": W.WATERMARK_LATE_AUDIT_SQL,
     }

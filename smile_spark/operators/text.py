@@ -754,3 +754,135 @@ BIGRAM_LM_FLUENCY_SQL = (
     " CROSS JOIN vocab"
     " GROUP BY doc_id"
 )
+
+
+# ---------------------------------------------------------------------------
+# Keyphrase extraction (RAKE)
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "a")
+RAKE_MAX_LEN = 4     # candidate phrases longer than this are discarded
+RAKE_TOP_K = 3
+
+
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``RAKE_TOP_K`` keyphrases per document by RAKE (Rose et
+    al. 2010): candidate phrases are maximal stopword-free token runs
+    (capped at ``RAKE_MAX_LEN`` words, the standard practice), each
+    word scores deg(w)/freq(w) over the candidate-phrase corpus
+    (deg counts co-occurrence mass: the summed length of every phrase
+    occurrence containing w), and a phrase scores the sum of its
+    words' scores — the metadata-enrichment pass a training-data
+    pipeline runs to tag documents with salient phrases.
+
+    All JVM-side: tokenization is one posexplode, run segmentation is
+    the sessionize device (a running stopword count partitions each
+    doc's token sequence into phrases with ZERO extra shuffle beyond
+    the per-doc window), word statistics are vocabulary-bounded
+    aggregates, and the per-doc top-k is a rank window.  Word scores
+    quantize to DECIMAL(18,12) before the phrase sum (the
+    token_entropy device) so scores are order-independent and
+    hash-exact across engines; phrase ranking rounds to 6 digits,
+    ties break on the phrase text.  Emits (doc_id, phrase, n_words,
+    score, rn).
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).withColumn("is_stop", F.expr(f"tok in ({stop_list})"))
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    words = (
+        toks.withColumn("run", F.sum(F.col("is_stop").cast("int")).over(wrun))
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "run", "pos", "tok")
+    )
+    phrases = (
+        words.groupBy("doc_id", "run")
+        .agg(
+            F.count(F.lit(1)).alias("plen"),
+            F.expr(
+                "array_join(transform(array_sort("
+                " collect_list(struct(pos, tok))), s -> s.tok), ' ')"
+            ).alias("phrase"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_LEN)
+    )
+    pw = words.join(
+        phrases.select("doc_id", "run", "plen"), ["doc_id", "run"]
+    )
+    wscore = (
+        pw.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .select(
+            "tok",
+            F.round(F.col("deg").cast("double") / F.col("freq"), 12)
+            .cast("decimal(18,12)")
+            .alias("wscore"),
+        )
+    )
+    pscore = (
+        pw.join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "run")
+        .agg(F.round(F.sum("wscore").cast("double"), 6).alias("score"))
+    )
+    res = phrases.join(pscore, ["doc_id", "run"])
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("phrase")
+    )
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RAKE_TOP_K)
+        .select(
+            "doc_id",
+            "phrase",
+            F.col("plen").cast("bigint").alias("n_words"),
+            "score",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+def rake_keyphrases_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return (
+        "WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws"
+        "  FROM documents),"
+        " tk AS (SELECT doc_id, i, ws[i] AS tok FROM ("
+        "  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i"
+        "  FROM t0)),"
+        " st AS (SELECT doc_id, i, tok,"
+        f"  CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END AS s"
+        "  FROM tk),"
+        " rn AS (SELECT doc_id, i, tok, s,"
+        "  SUM(s) OVER (PARTITION BY doc_id ORDER BY i) AS run FROM st),"
+        " words AS (SELECT doc_id, run, i, tok FROM rn WHERE s = 0),"
+        " ph AS (SELECT doc_id, run, COUNT(*) AS plen,"
+        "  string_agg(tok, ' ' ORDER BY i) AS phrase"
+        f"  FROM words GROUP BY 1, 2 HAVING COUNT(*) <= {RAKE_MAX_LEN}),"
+        " pw AS (SELECT w.doc_id, w.run, w.tok, p.plen"
+        "  FROM words w JOIN ph p USING (doc_id, run)),"
+        " sc AS (SELECT tok,"
+        "  CAST(ROUND(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 12)"
+        "   AS DECIMAL(18,12)) AS wscore"
+        "  FROM pw GROUP BY tok),"
+        " ps AS (SELECT pw.doc_id, pw.run,"
+        "  ROUND(CAST(SUM(sc.wscore) AS DOUBLE), 6) AS score"
+        "  FROM pw JOIN sc USING (tok) GROUP BY 1, 2),"
+        " res AS (SELECT ph.doc_id, ph.phrase, ph.plen, ps.score"
+        "  FROM ph JOIN ps USING (doc_id, run)),"
+        " ranked AS (SELECT doc_id, phrase, plen, score, ROW_NUMBER()"
+        "  OVER (PARTITION BY doc_id ORDER BY score DESC, phrase ASC)"
+        "  AS rn FROM res)"
+        " SELECT doc_id, phrase, CAST(plen AS BIGINT) AS n_words,"
+        f" score, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= {RAKE_TOP_K}"
+    )
