@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_planner": D.lsh_band_planner,
         "label_propagation": G.label_propagation,
         "rake_keyphrases": T.rake_keyphrases,
+        "graph_modularity": G.graph_modularity,
+        "streaming_join_agreement": ST.streaming_join_agreement,
         # --- r04-green remainder ---
         "agg_stats": R.agg_stats,
         "array_functions": AN.array_functions,
@@ -611,6 +613,11 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_aa": G.LINK_PREDICTION_AA_SQL,
         "label_propagation": G.label_propagation_sql(),
         "rake_keyphrases": T.rake_keyphrases_sql(),
+        "graph_modularity": G.graph_modularity_sql(),
+        # stream-stream join certificate: oracle recomputes the batch
+        # attribution pairs with the identical time predicate and pins
+        # zero mismatches
+        "streaming_join_agreement": ST.STREAMING_JOIN_AGREEMENT_SQL,
         "dedup_cluster_sizes": P.dedup_cluster_sizes_sql(),
         "watermark_late_audit": W.WATERMARK_LATE_AUDIT_SQL,
     }

@@ -1701,3 +1701,90 @@ def label_propagation_sql() -> str:
         "".join(parts)
         + f" SELECT id AS part, lbl AS community FROM l{LPA_ROUNDS}"
     )
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW Newman modularity Q of the label-propagation
+    communities on the co-purchase graph — the standard "did the
+    community detection find real structure?" score (Q > 0 means more
+    intra-community edges than a random degree-preserving graph):
+    Q = sum_c [ e_c/m - (d_c/2m)^2 ].
+
+    Determinism: everything reduces to three exact BIGINT sums —
+    m (edges), sum_c e_c (intra-community edges), and sum_c d_c^2
+    (squared community degree mass) — so
+    Q = (4m * sum_e - sum_d2) / (4m^2) is ONE double division of
+    exact integers, rounded to 6.  No per-community floating sum, so
+    no summation-order hazard.
+
+    Scale: two label-keyed equi-joins (both endpoints against the
+    final label table), one degree join (the session-memoized degree
+    table), three tiny aggregates.  Emits (n_communities, n_edges,
+    modularity)."""
+    labels = label_propagation(spark, sf_dir).select(
+        F.col("part").alias("id"), F.col("community").alias("lbl")
+    ).localCheckpoint()
+    und = _copurchase_edges_cached(spark, sf_dir)
+    intra = (
+        und.join(
+            labels.select(F.col("id").alias("p1"), F.col("lbl").alias("l1")),
+            "p1",
+        )
+        .join(
+            labels.select(F.col("id").alias("p2"), F.col("lbl").alias("l2")),
+            "p2",
+        )
+        .filter(F.col("l1") == F.col("l2"))
+        .agg(F.count(F.lit(1)).alias("sum_e"))
+    )
+    deg = _copurchase_degrees_cached(spark, sf_dir)
+    dmass = (
+        deg.join(labels, "id")
+        .groupBy("lbl")
+        .agg(F.sum("deg").alias("dc"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+            F.sum(F.col("dc") * F.col("dc")).alias("sum_d2"),
+        )
+    )
+    m = und.agg(F.count(F.lit(1)).alias("m"))
+    return (
+        intra.crossJoin(dmass)
+        .crossJoin(m)
+        .select(
+            "n_communities",
+            F.col("m").cast("bigint").alias("n_edges"),
+            F.round(
+                (
+                    4 * F.col("m") * F.col("sum_e") - F.col("sum_d2")
+                ).cast("double")
+                / (4 * F.col("m") * F.col("m")).cast("double"),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+def graph_modularity_sql() -> str:
+    """Oracle: the unrolled LPA rounds (label_propagation_sql's CTE
+    chain) plus the same exact-integer modularity assembly."""
+    lpa = label_propagation_sql()
+    # reuse the CTE chain; replace the final SELECT with modularity math
+    head = lpa[: lpa.rindex(" SELECT id AS part")]
+    return (
+        head
+        + f", lab AS MATERIALIZED (SELECT id, lbl FROM l{LPA_ROUNDS}),"
+        " deg AS (SELECT u AS id, COUNT(*) AS deg FROM stubs GROUP BY u),"
+        " intra AS (SELECT COUNT(*) AS sum_e FROM und"
+        "  JOIN lab a ON a.id = und.u JOIN lab b ON b.id = und.v"
+        "  WHERE a.lbl = b.lbl),"
+        " dmass AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,"
+        "  SUM(dc * dc) AS sum_d2 FROM ("
+        "  SELECT l.lbl, SUM(d.deg) AS dc FROM deg d"
+        "  JOIN lab l ON l.id = d.id GROUP BY l.lbl)),"
+        " me AS (SELECT COUNT(*) AS m FROM und)"
+        " SELECT n_communities, CAST(m AS BIGINT) AS n_edges,"
+        " ROUND(CAST(4 * m * sum_e - sum_d2 AS DOUBLE)"
+        "  / CAST(4 * m * m AS DOUBLE), 6) AS modularity"
+        " FROM intra, dmass, me"
+    )

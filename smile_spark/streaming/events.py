@@ -807,3 +807,81 @@ STREAMING_DEDUP_AGREEMENT_SQL = (
     " SELECT COUNT(*) AS n_stream, COUNT(*) AS n_batch,"
     " CAST(0 AS BIGINT) AS n_mismatch FROM d"
 )
+
+
+ATTRIBUTION_WINDOW = "2 hours"
+
+
+def streaming_join_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW certificate for the STREAM-STREAM join
+    (:func:`streaming_click_attribution`: watermarks on both sides +
+    an event-time-bounded join predicate): the drained streaming
+    attribution must equal the batch range join computing the same
+    click→purchase pairs — the last streaming join shape promoted
+    from pytest to a driver-verifiable query.
+
+    Emits (n_stream, n_batch, n_mismatch): a mismatch is a
+    (purchase_id, click_id) pair present on only one side.  The
+    oracle recomputes the batch pair count from raw events with the
+    identical time predicate and pins n_mismatch to zero.
+
+    Scale: the streaming join state is bounded by the watermark (a
+    click is evicted once the watermark passes click_ts + window —
+    unbounded-state stream joins are refused by the engine); the
+    certificate diff is pair-set-sized."""
+    import uuid
+
+    sink = f"sja_{uuid.uuid4().hex[:10]}"
+    out = run_stream_to_memory(
+        streaming_click_attribution(
+            spark, sf_dir, attribution_window=ATTRIBUTION_WINDOW
+        ),
+        sink,
+        output_mode="append",
+    )
+    stream = out.select(
+        "purchase_id", "click_id", F.lit(1).alias("s")
+    )
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (
+            F.col("cts")
+            >= F.col("pts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", F.lit(1).alias("b"))
+    j = stream.join(batch, ["purchase_id", "click_id"], "full")
+    mismatch = F.col("s").isNull() | F.col("b").isNull()
+    return j.agg(
+        F.count("s").alias("n_stream"),
+        F.count("b").alias("n_batch"),
+        F.sum(F.when(mismatch, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatch"),
+    )
+
+
+STREAMING_JOIN_AGREEMENT_SQL = (
+    "WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts"
+    "  FROM events WHERE event_type = 'click'),"
+    " p AS (SELECT user_id, event_id AS purchase_id, ts AS pts"
+    "  FROM events WHERE event_type = 'purchase'),"
+    " pairs AS (SELECT purchase_id, click_id FROM p JOIN c"
+    "  ON p.user_id = c.user_id AND c.cts <= p.pts"
+    "   AND c.cts >= p.pts - INTERVAL 2 HOUR)"
+    " SELECT COUNT(*) AS n_stream, COUNT(*) AS n_batch,"
+    " CAST(0 AS BIGINT) AS n_mismatch FROM pairs"
+)

@@ -120,6 +120,22 @@ class TestSetsimSaltSizing:
         assert base == auto, "salt factor must never change the result"
 
 
+def test_modularity_bounds_and_community_consistency(spark, sf_dir):
+    """Q is bounded in [-0.5, 1]; the community count matches the
+    label-propagation output it is scored on."""
+    from smile_spark.operators.graph import (
+        graph_modularity,
+        label_propagation,
+    )
+
+    row = graph_modularity(spark, sf_dir).collect()[0]
+    assert -0.5 <= row.modularity <= 1.0, row
+    labels = label_propagation(spark, sf_dir)
+    n_comm = labels.select("community").distinct().count()
+    assert row.n_communities == n_comm
+    assert row.n_edges > 0
+
+
 def test_personalized_pagerank_empty_teleport_set(spark, monkeypatch):
     """An empty teleport set must raise a defined error, not
     ZeroDivisionError (ADVICE r06)."""
