@@ -49,89 +49,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-7 window (exactly 50, the rotation plan
-    the r06 VERDICT prescribed verbatim): (1) the FOUR late-r06
-    entries that have never held a driver verdict
-    (revenue_concentration, degree_assortativity,
-    dedup_cluster_sizes, watermark_late_audit); (2) ALL 26 r03-stale
-    entries (fuzzy_name_match .. zscore_normalize — newest verdict
-    three rounds old); (3) the three memoization-only r05 entries
-    (bigram_pmi, decontaminate, hll_source_overlap — result
-    identical, memo layer changed in r05, last verdict r03); (4) the
-    first 17 of the r04-green block (graph_adjacency_bucketed ..
-    copurchase_pairs).  After this window completes, NO registered
-    entry's newest verdict predates r04 and the never-verified count
-    for pre-r07 entries reaches zero.
+    insertion order.  Round-8 window (exactly 50, the rotation plan
+    the r07 VERDICT prescribed verbatim): (1) the EIGHT r07 additions
+    that have never held a driver verdict (streaming_dedup_agreement
+    .. streaming_join_agreement); (2) ALL 27 r04-stale entries
+    (agg_stats .. dedup_canonical — newest verdict three rounds old);
+    (3) the five multimodal ops whose semantics changed in r07
+    (multimodal_meta/frames/resize/audio_chunks/frame_stats — their
+    r05 verdicts no longer certify the current code) plus the ten
+    oldest r05-green entries (winsorize_prices_approx .. text_stats).
+    After this window completes, the never-verified count returns to
+    zero and NO registered entry's newest verdict predates r05.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- (1) the four late-r06 entries, never driver-verified ---
-        "revenue_concentration": AN.revenue_concentration,
-        "degree_assortativity": G.degree_assortativity,
-        "dedup_cluster_sizes": P.dedup_cluster_sizes,
-        "watermark_late_audit": W.watermark_late_audit,
-        # --- (2) all 26 r03-stale entries ---
-        "fuzzy_name_match": T.fuzzy_name_match,
-        "event_transition_matrix": B.event_transition_matrix,
-        "seasonality_profile": B.seasonality_profile,
-        "cms_heavy_hitters": K.cms_heavy_hitters,
-        "scd2_customer_history": C.scd2_customer_history,
-        "date_dimension": R.date_dimension,
-        "revenue_growth_mom": AN.revenue_growth_mom,
-        "column_profile": Q.column_profile,
-        "referential_orphans": Q.referential_orphans,
-        "constraint_violations": Q.constraint_violations,
-        "dedup_cross_source": D.dedup_cross_source,
-        "balanced_sample_k": AN.balanced_sample_k,
-        "sample_packing": C.sample_packing,
-        "pricing_summary": R.pricing_summary,
-        "scan": R.scan,
-        "projection": R.projection,
-        "datagen": R.datagen,
-        "graph_metadata": G.graph_metadata,
-        "degree_distribution": G.degree_distribution,
-        "triangle_count": G.triangle_count,
-        "pagerank": G.pagerank,
-        "sssp": G.sssp,
-        "groupby_count_array": R.groupby_count_array,
-        "timestamp_filter": R.timestamp_filter,
-        "groupby_count": R.groupby_count,
-        "zscore_normalize": AN.zscore_normalize,
-        # --- (3) memoization-only change in r05 (result identical) ---
-        "bigram_pmi": C.bigram_pmi,
-        "decontaminate": C.decontaminate,
-        "hll_source_overlap": K.hll_source_overlap,
-        # --- (4) first 17 of the r04-green block ---
-        "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
-        "hll_distinct": K.hll_distinct,
-        "hll_per_source": K.hll_per_source,
-        "chunk_dedup": D.chunk_dedup,
-        "snapshot_diff": Q.snapshot_diff,
-        "embedding_kmeans": S.embedding_kmeans,
-        "weighted_sample_topk": AN.weighted_sample_topk,
-        "bloom_prejoin": Q.bloom_prejoin,
-        "distribution_drift": Q.distribution_drift,
-        "vocab_coverage": T.vocab_coverage,
-        "pii_redact": C.pii_redact,
-        "grouped_ols_fit": FT.grouped_ols_fit,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
-        "tfidf_top_terms": T.tfidf_top_terms,
-        "winsorize_prices": AN.winsorize_prices,
-        "bucketed_join_revenue": BK.bucketed_join_revenue,
-        "copurchase_pairs": R.copurchase_pairs,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round; r08 NOTE: rotate (a) any NEW never-verified r07
-        # entries first, plus the five multimodal ops whose semantics
-        # changed in r07 (multimodal_meta/frames/resize/audio_chunks/
-        # frame_stats — unified onto the real PGM/WAV codecs, so their
-        # r05 verdicts no longer certify the current code), then
-        # (b) the remaining 10 r04-green entries (agg_stats ..
-        # dedup_canonical), then (c) the r05-green block
-        # (winsorize_prices_approx .. date_parts); the r06-green block
-        # (streaming_state_agreement .. revenue_share, newest
-        # verdicts) rotates last.
-        # ------------------------------------------------------------------
-        # --- NEW in r07, never driver-verified: first into r08 ---
+        # --- (1) the EIGHT r07 additions, never driver-verified ---
         "streaming_dedup_agreement": ST.streaming_dedup_agreement,
         "ann_pq_topk": S.ann_pq_topk,
         "link_prediction_aa": G.link_prediction_aa,
@@ -140,7 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keyphrases": T.rake_keyphrases,
         "graph_modularity": G.graph_modularity,
         "streaming_join_agreement": ST.streaming_join_agreement,
-        # --- r04-green remainder ---
+        # --- (2) ALL 27 r04-stale entries (newest verdict r04) ---
         "agg_stats": R.agg_stats,
         "array_functions": AN.array_functions,
         "asof_latest_order": A.asof_latest_order,
@@ -168,7 +99,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": R.top_customers,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_canonical": P.dedup_canonical,
-        # --- r05-green block (newest verdicts, rotate last) ---
+        # --- (3) the five multimodal ops whose semantics changed in
+        # r07 (unified onto the real PGM/WAV codecs — their r05
+        # verdicts no longer certify the current code), plus the ten
+        # oldest r05-green entries ---
+        "multimodal_meta": M.multimodal_meta,
+        "multimodal_frames": M.multimodal_frames,
+        "multimodal_resize": M.multimodal_resize,
+        "multimodal_audio_chunks": M.multimodal_audio_chunks,
+        "multimodal_frame_stats": M.multimodal_frame_stats,
         "winsorize_prices_approx": AN.winsorize_prices_approx,
         "ann_ivf_indexed": S.ann_ivf_indexed,
         "containment_topk": D.containment_topk,
@@ -179,6 +118,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": D.simhash_pairs,
         "ngram_jaccard_topk": D.ngram_jaccard_topk,
         "text_stats": T.text_stats,
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round; r09 NOTE: rotate (a) any NEW never-verified r08
+        # entries first, then (b) the remaining r05-green block below
+        # (interval_overlap_join .. date_parts), then (c) start on the
+        # r06-green block (streaming_state_agreement ..); the
+        # r07-green block (newest verdicts) rotates last.
+        # ------------------------------------------------------------------
+        # --- NEW in r08, never driver-verified: first into r09 ---
+        "nearest_centroid_eval": S.nearest_centroid_eval,
+        "ann_recall_eval": S.ann_recall_eval,
+        # --- remaining r05-green entries ---
         "token_count": T.token_count,
         "lang_id": T.lang_id,
         "fingerprint": T.fingerprint,
@@ -192,11 +143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_session": W.window_session,
         "corpus_quality_filter": P.corpus_quality_filter,
         "corpus_curation_manifest": P.corpus_curation_manifest,
-        "multimodal_meta": M.multimodal_meta,
-        "multimodal_frames": M.multimodal_frames,
-        "multimodal_resize": M.multimodal_resize,
-        "multimodal_audio_chunks": M.multimodal_audio_chunks,
-        "multimodal_frame_stats": M.multimodal_frame_stats,
         "pivot_wide": AN.pivot_wide,
         "date_functions": AN.date_functions,
         "window_rank": R.window_rank,
@@ -218,7 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitwise_functions": AN.bitwise_functions,
         "try_cast_handling": R.try_cast_handling,
         "date_parts": AN.date_parts,
-        # --- r06-green block (newest verdicts, rotate last) ---
+        # --- r06-green entries ---
         "streaming_state_agreement": ST.streaming_state_agreement,
         "srp_lsh_topk": S.srp_lsh_topk,
         "sliding_distinct_users": W.sliding_distinct_users,
@@ -269,6 +215,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster": AN.zorder_cluster,
         "interval_overlap_join": A.interval_overlap_join,
         "revenue_share": AN.revenue_share,
+        # --- r07-green entries ---
+        "revenue_concentration": AN.revenue_concentration,
+        "degree_assortativity": G.degree_assortativity,
+        "dedup_cluster_sizes": P.dedup_cluster_sizes,
+        "watermark_late_audit": W.watermark_late_audit,
+        "fuzzy_name_match": T.fuzzy_name_match,
+        "event_transition_matrix": B.event_transition_matrix,
+        "seasonality_profile": B.seasonality_profile,
+        "cms_heavy_hitters": K.cms_heavy_hitters,
+        "scd2_customer_history": C.scd2_customer_history,
+        "date_dimension": R.date_dimension,
+        "revenue_growth_mom": AN.revenue_growth_mom,
+        "column_profile": Q.column_profile,
+        "referential_orphans": Q.referential_orphans,
+        "constraint_violations": Q.constraint_violations,
+        "dedup_cross_source": D.dedup_cross_source,
+        "balanced_sample_k": AN.balanced_sample_k,
+        "sample_packing": C.sample_packing,
+        "pricing_summary": R.pricing_summary,
+        "scan": R.scan,
+        "projection": R.projection,
+        "datagen": R.datagen,
+        "graph_metadata": G.graph_metadata,
+        "degree_distribution": G.degree_distribution,
+        "triangle_count": G.triangle_count,
+        "pagerank": G.pagerank,
+        "sssp": G.sssp,
+        "groupby_count_array": R.groupby_count_array,
+        "timestamp_filter": R.timestamp_filter,
+        "groupby_count": R.groupby_count,
+        "zscore_normalize": AN.zscore_normalize,
+        "bigram_pmi": C.bigram_pmi,
+        "decontaminate": C.decontaminate,
+        "hll_source_overlap": K.hll_source_overlap,
+        "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
+        "hll_distinct": K.hll_distinct,
+        "hll_per_source": K.hll_per_source,
+        "chunk_dedup": D.chunk_dedup,
+        "snapshot_diff": Q.snapshot_diff,
+        "embedding_kmeans": S.embedding_kmeans,
+        "weighted_sample_topk": AN.weighted_sample_topk,
+        "bloom_prejoin": Q.bloom_prejoin,
+        "distribution_drift": Q.distribution_drift,
+        "vocab_coverage": T.vocab_coverage,
+        "pii_redact": C.pii_redact,
+        "grouped_ols_fit": FT.grouped_ols_fit,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "tfidf_top_terms": T.tfidf_top_terms,
+        "winsorize_prices": AN.winsorize_prices,
+        "bucketed_join_revenue": BK.bucketed_join_revenue,
+        "copurchase_pairs": R.copurchase_pairs,
     }
     return q
 
@@ -591,6 +588,8 @@ def oracle_sql() -> dict[str, str]:
         # result — is exactly oracle-checkable despite the RETRIEVAL
         # being approximate (recall pinned in pytest, IVF precedent)
         "srp_lsh_topk": S.srp_lsh_sql(),
+        "nearest_centroid_eval": S.NEAREST_CENTROID_EVAL_SQL,
+        "ann_recall_eval": S.ann_recall_eval_sql(),
         "sliding_distinct_users": W.SLIDING_DISTINCT_USERS_SQL,
         "bigram_lm_fluency": T.BIGRAM_LM_FLUENCY_SQL,
         "session_path_topk": B.SESSION_PATH_TOPK_SQL,

@@ -171,6 +171,26 @@ def main() -> None:
     timings = {name: min(s) for name, s in samples.items() if s}
 
     total = round(sum(timings.values()), 4)
+    # Control-normalized totals: total wall time divided by the median
+    # drift-control time (start-side and end-side).  The drift
+    # controls are fixed, cheap, code-stable queries, so the median is
+    # a pure machine/session-speed unit — the driver's bench box runs
+    # ~2.5x slower than a builder-local box on identical commits, and
+    # round-over-round verdicts must compare THESE figures, not raw
+    # seconds (VERDICT r07 next-round #7).
+    def _median(vals: list[float]) -> float | None:
+        if not vals:
+            return None
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    norm = {}
+    for tag in ("start", "end"):
+        med = _median([c[tag] for c in controls.values() if tag in c])
+        if med:
+            norm[f"value_norm_{tag}"] = round(total / med, 2)
+            norm[f"control_median_{tag}"] = round(med, 4)
     detail = {
         "metric": "total_query_wall_time",
         "value": total,
@@ -178,6 +198,7 @@ def main() -> None:
         "queries": timings,
         "drift_control": controls,
         "sf": sf,
+        **norm,
     }
     if errors:
         detail["errors"] = errors
@@ -208,6 +229,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "detail_file": "BENCH_LOCAL.json",
+        **norm,
     }
     print(json.dumps(summary))
     sys.stdout.flush()

@@ -1328,14 +1328,22 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_eval_sql() -> str:
+    # modv mirrors _dedup_eval_mod EXACTLY via integer ceiling
+    # division (n + target - 1) // target, so the audit-block modulus
+    # tracks the runtime corpus count on both engines at ANY fixture
+    # size — no hardcoded fixture-scale constant to fall out of sync
+    # (ADVICE r07 #2)
     return (
         "WITH lsh_all AS (SELECT a, b FROM ("
         + dedup_minhash_lsh_sql()
         + ")),"
-        f" lsh AS (SELECT a, b, 1 AS l FROM lsh_all"
-        f"  WHERE a % {DEDUP_EVAL_MOD} = 0 AND b % {DEDUP_EVAL_MOD} = 0),"
-        " d AS (SELECT doc_id, text FROM documents"
-        f"  WHERE doc_id % {DEDUP_EVAL_MOD} = 0),"
+        f" modv AS (SELECT GREATEST({DEDUP_EVAL_MOD},"
+        f"  (COUNT(*) + {DEDUP_EVAL_BLOCK_TARGET - 1})"
+        f"  // {DEDUP_EVAL_BLOCK_TARGET}) AS evmod FROM documents),"
+        " lsh AS (SELECT a, b, 1 AS l FROM lsh_all, modv"
+        "  WHERE a % evmod = 0 AND b % evmod = 0),"
+        " d AS (SELECT doc_id, text FROM documents, modv"
+        "  WHERE doc_id % evmod = 0),"
         " bpos AS (SELECT doc_id, text, unnest(generate_series(1,"
         f"  greatest(length(text) - {SHINGLE_K - 1}, 1))) AS i FROM d),"
         " btoks AS (SELECT DISTINCT doc_id,"

@@ -987,7 +987,9 @@ EMBEDDING_OUTLIERS_SQL = (
 # ---------------------------------------------------------------------------
 
 PQ_M = 8                # subspaces: 64-dim embeddings -> 8 dims each
-PQ_CENTROID_MOD = 7     # dense codebooks: ~N/7 codewords per subspace
+PQ_K_TARGET = 256       # fixed codebook size per subspace (FAISS default)
+PQ_MOD_FLOOR = 7        # fixture floor: sf0.001's ~500 vectors still
+                        # yield a ~72-codeword book (non-trivial recall)
 PQ_CAND_MULT = 3        # quantized candidate pool = MULT * k per query
 
 
@@ -1007,56 +1009,98 @@ def ann_pq_topk(
     at 256-codeword books) — a 32x smaller scan than float32 at M=8,
     D=64, and in production the per-subspace score table per query is
     M×K lookups so candidate scoring never touches floats at all;
-    here the dequantized form keeps the whole pipeline in JVM
-    higher-order folds (no Python, no corpus shuffle) and the exact
-    re-rank touches only candidate rows.
+    here candidate scoring stays on the dequantized codewords and the
+    exact re-rank touches only candidate rows.
 
-    Determinism: the codebook is the fixed modulus subsample of the
-    corpus's own subvectors (vec_id % PQ_CENTROID_MOD == 0 — the IVF
-    centroid convention, so no iterative training to pin); assignment
-    ranks exact L2 via the same strict left fold both engines run
-    bit-identically, ties break on codeword id; scores round to 6
-    digits before ranking, ties break by vec_id.  The full pipeline
-    (codebook, encode, ADC probe, re-rank) is exactly oracle-checkable
-    even though the RETRIEVAL is approximate; recall vs brute force is
-    pinned in pytest (the SQ8/SRP contract)."""
+    Determinism: the codebook is the fixed strided subsample of the
+    corpus's own subvectors — vec_id % pqmod == 0 where pqmod =
+    greatest(PQ_MOD_FLOOR, ceil(N / PQ_K_TARGET)), so the book holds a
+    CONSTANT ~PQ_K_TARGET codewords per subspace at any corpus size
+    (the IVF centroid convention, no iterative training to pin) and
+    encoding stays O(N * M * K) — linear in N, unlike a fixed small
+    modulus whose book grows with the corpus.  The encode itself is an
+    Arrow-batched numpy kernel (mapInPandas): distances accumulate
+    with an explicit per-dimension loop — ``acc = acc + d*d`` one
+    dimension at a time — which reproduces the strict left fold
+    DuckDB's list_reduce runs bit-for-bit (each elementwise IEEE op is
+    exactly rounded; only accumulation ORDER can differ, and the loop
+    pins it), and np.argmin's first-minimum rule over the cid-sorted
+    book matches DuckDB's min(struct(d2, cid, cv)) tie-break exactly.
+    The tiny ~M*K-row codebook (bounded: <= PQ_M * (PQ_K_TARGET +
+    PQ_MOD_FLOOR) rows at ANY corpus size) is collected and broadcast
+    — the standard model-broadcast pattern, same eager-build precedent
+    as ann_ivf_indexed.  Scores round to 6 digits before ranking, ties
+    break by vec_id.  The full pipeline (codebook, encode, ADC probe,
+    re-rank) is exactly oracle-checkable even though the RETRIEVAL is
+    approximate; recall vs brute force is pinned in pytest (the
+    SQ8/SRP contract)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     emb = _vectors(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    # subvectors: (vec_id, m, sv) with L = D div PQ_M dims per subspace
-    sub = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {PQ_M - 1}),"
-                f" m -> slice(v, m * (size(v) div {PQ_M}) + 1,"
-                f" size(v) div {PQ_M}))"
+    # fixed-K codebook stride, computed exactly as the oracle does
+    # (double division + ceil on exact small integers)
+    n_vec = emb.count()
+    pqmod = max(PQ_MOD_FLOOR, math.ceil(n_vec / float(PQ_K_TARGET)))
+    sub_expr = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}),"
+        f" m -> slice(v, m * (size(v) div {PQ_M}) + 1,"
+        f" size(v) div {PQ_M}))"
+    )
+    # codebook: filter the N-row vector table BEFORE exploding, so the
+    # modulus touches N rows and the explode touches only ~K of them;
+    # the result is <= M*(K_TARGET+floor) rows at any corpus size
+    cents = (
+        emb.filter(F.col("vec_id") % pqmod == 0)
+        .select("vec_id", F.posexplode(sub_expr).alias("m", "sv"))
+        .collect()
+    )
+    books: dict[int, tuple] = {}
+    for m in range(PQ_M):
+        rows = sorted(
+            (r.vec_id, r.sv) for r in cents if r.m == m
+        )  # cid-ascending: np.argmin's first-min = lowest cid
+        books[m] = (
+            np.array([c for c, _ in rows], dtype=np.int64),
+            np.array([sv for _, sv in rows], dtype=np.float64),
+        )
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def _encode(batches):
+        for pdf in batches:
+            out_cv = [None] * len(pdf)
+            mvals = pdf["m"].to_numpy()
+            for m in np.unique(mvals):
+                _, cb = bc_books.value[int(m)]  # (K, L) float64
+                idx = np.nonzero(mvals == m)[0]
+                sv = np.array(list(pdf["sv"].iloc[idx]), dtype=np.float64)
+                # strict left fold, one dimension at a time: matches
+                # aggregate/list_reduce accumulation order bit-for-bit
+                acc = np.zeros((sv.shape[0], cb.shape[0]))
+                for i in range(sv.shape[1]):
+                    d = sv[:, i : i + 1] - cb[None, :, i][0]
+                    acc = acc + d * d
+                best = np.argmin(acc, axis=1)
+                for row_pos, b in zip(idx, best):
+                    out_cv[row_pos] = cb[b].tolist()
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "m": mvals, "cv": out_cv}
             )
-        ).alias("m", "sv"),
-    )
-    cents = sub.filter(F.col("vec_id") % PQ_CENTROID_MOD == 0).select(
-        F.col("m").alias("cm"),
-        F.col("vec_id").alias("cid"),
-        F.col("sv").alias("cv"),
-    )
-    # exact L2 to every codeword of the row's subspace; the fold is the
-    # same strict left fold as the DuckDB list_reduce, so the doubles
-    # driving the assignment rank are bit-identical across engines
-    d2 = F.expr(
-        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as double), (acc, z) -> acc + z)"
-    )
-    asg = sub.join(F.broadcast(cents), sub.m == cents.cm).select(
-        "vec_id", "m", "cid", "cv", d2.alias("d2")
-    )
-    wa = Window.partitionBy("vec_id", "m").orderBy(
-        F.asc("d2"), F.asc("cid")
-    )
-    code = (
-        asg.withColumn("arn", F.row_number().over(wa))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "m", "cv")
+
+    # subvectors: (vec_id, m, sv) with L = D div PQ_M dims per
+    # subspace.  Repartition spreads the Arrow batches: a small corpus
+    # parquet reads as ONE split, which would pin the whole encode to
+    # one task; the shuffle moves only N*M subvector rows.
+    sub = emb.select(
+        "vec_id", F.posexplode(sub_expr).alias("m", "sv")
+    ).repartition("vec_id", "m")
+    code = sub.mapInPandas(
+        _encode, schema="vec_id bigint, m int, cv array<double>"
     )
     # dequantized vector: chosen codewords concatenated in subspace order
     deq = code.groupBy("vec_id").agg(
@@ -1100,9 +1144,10 @@ def ann_pq_topk(
 
 
 def ann_pq_sql() -> str:
-    """Exact DuckDB oracle for ann_pq_topk: modulus codebooks,
-    strict-fold L2 assignment (bit-identical to Spark's aggregate
-    fold), cid/vec_id tie-breaks, 6-digit score rounding."""
+    """Exact DuckDB oracle for ann_pq_topk: fixed-K strided codebook
+    (pqmod = greatest(floor, ceil(N/K))), min-struct L2 assignment
+    (bit-identical to Spark's aggregate fold and struct-min ordering),
+    cid/vec_id tie-breaks, 6-digit score rounding."""
     sub_l = f"(len(v) // {PQ_M})"
     d2 = (
         "list_reduce(list_transform(generate_series(1, len(s.sv)),"
@@ -1115,16 +1160,19 @@ def ann_pq_sql() -> str:
         " FROM embeddings),"
         f" q AS (SELECT vec_id AS qid, v AS qv FROM e"
         f"  WHERE vec_id < {N_QUERIES}),"
+        f" modv AS (SELECT GREATEST({PQ_MOD_FLOOR}, CAST(CEIL("
+        f"  COUNT(*) / {float(PQ_K_TARGET)}) AS BIGINT)) AS pqmod"
+        "  FROM e),"
         " sub AS (SELECT vec_id, t.m,"
         f"  v[t.m * {sub_l} + 1 : (t.m + 1) * {sub_l}] AS sv"
         f"  FROM e CROSS JOIN generate_series(0, {PQ_M - 1}) t(m)),"
-        " cents AS (SELECT m AS cm, vec_id AS cid, sv AS cv FROM sub"
-        f"  WHERE vec_id % {PQ_CENTROID_MOD} = 0),"
-        " asg AS (SELECT vec_id, m, cid, cv, ROW_NUMBER() OVER"
-        "  (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS arn"
+        " cents AS (SELECT m AS cm, vec_id AS cid, sv AS cv"
+        "  FROM sub, modv WHERE vec_id % pqmod = 0),"
+        " code AS (SELECT vec_id, m,"
+        "  (min(struct_pack(d2 := d2, cid := cid, cv := cv))).cv AS cv"
         "  FROM (SELECT s.vec_id, s.m, c.cid, c.cv,"
-        f"   {d2} AS d2 FROM sub s JOIN cents c ON c.cm = s.m)),"
-        " code AS (SELECT vec_id, m, cv FROM asg WHERE arn = 1),"
+        f"   {d2} AS d2 FROM sub s JOIN cents c ON c.cm = s.m)"
+        "  GROUP BY vec_id, m),"
         " deq AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS vq"
         "  FROM code GROUP BY vec_id),"
         " uq AS (SELECT qid, deq.vec_id AS vec_id,"
@@ -1151,4 +1199,166 @@ def ann_pq_sql() -> str:
         "  (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn"
         "  FROM exact)"
         f" SELECT qid, vec_id, cos_r, rn FROM ranked WHERE rn <= {TOP_K}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supervised embedding-space evaluations
+# ---------------------------------------------------------------------------
+
+
+def nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label nearest-centroid classification accuracy over the
+    labeled embedding table — the standard "is the embedding space
+    class-separable?" screen a training-data pipeline runs before
+    trusting vectors for curation decisions (a Rocchio/nearest-mean
+    classifier evaluated on its own training labels: high accuracy =
+    tight, well-separated label clusters; low accuracy = labels and
+    geometry disagree, so embedding-driven filtering would be noise).
+
+    Plan: one per-(label, dimension) DECIMAL mean aggregate (tiny: 10
+    labels x 64 dims), the centroid set broadcast against the corpus
+    for one map-side L2 fold per (vector, centroid), a per-vector
+    rank-1 window, then a per-label accuracy aggregate.  At 100 TB the
+    corpus is scanned twice (centroid pass + assign pass) and never
+    shuffled beyond label-keyed counters — the embedding_outliers
+    shape with a labeled centroid set.
+
+    Determinism: centroid means come from exact DECIMAL(24,12) sums on
+    both engines; the L2 distance is the same strict left fold DuckDB
+    runs via list_reduce; argmin ties break on the smaller label;
+    accuracy rounds to 6.  Emits (label, n_vectors, n_correct,
+    accuracy)."""
+    ev = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    cents = (
+        ev.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(24,12)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            "pos",
+            (F.col("s").cast("double") / F.col("n")).alias("m"),
+        )
+        .groupBy("clabel")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))),"
+                " s -> s.m)"
+            ).alias("cv")
+        )
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (a, z) -> a + z)"
+    )
+    scored = ev.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("clabel"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("clabel").alias("pred"))
+    )
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("pred") == F.col("label")).cast("bigint")).alias(
+            "n_correct"
+        ),
+        F.round(
+            F.sum((F.col("pred") == F.col("label")).cast("bigint")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            ROUND_DIGITS,
+        ).alias("accuracy"),
+    )
+
+
+NEAREST_CENTROID_EVAL_SQL = (
+    "WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,"
+    " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    " FROM embeddings),"
+    " u AS (SELECT label, unnest(generate_series(1, len(v))) AS pos,"
+    "  unnest(v) AS x FROM e),"
+    " dims AS (SELECT label AS clabel, pos,"
+    "  CAST(SUM(CAST(x AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*) AS m"
+    "  FROM u GROUP BY label, pos),"
+    " cents AS (SELECT clabel, list(m ORDER BY pos) AS cv FROM dims"
+    "  GROUP BY clabel),"
+    " d AS (SELECT e.vec_id, e.label, c.clabel,"
+    "  list_reduce(list_transform(generate_series(1, len(e.v)),"
+    "   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),"
+    "   (x, y) -> x + y) AS d2"
+    "  FROM e CROSS JOIN cents c),"
+    " a AS (SELECT vec_id, label, clabel, ROW_NUMBER() OVER"
+    "  (PARTITION BY vec_id ORDER BY d2 ASC, clabel ASC) AS rn FROM d),"
+    " p AS (SELECT label, clabel AS pred FROM a WHERE rn = 1)"
+    " SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,"
+    " CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_correct,"
+    " ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)"
+    f"  / COUNT(*), {ROUND_DIGITS}) AS accuracy"
+    " FROM p GROUP BY label"
+)
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k certificate for the hyperplane-hash ANN rung
+    (:func:`srp_lsh_topk`) against the exact brute-force top-k — the
+    eval harness a production ANN rollout runs before trusting a
+    probe-limited index (dedup_eval's analogue for similarity search).
+    A recall collapse here is the canary for a bad mask set / bucket
+    skew long before downstream curation quality moves.
+
+    Emits (qid, n_exact, n_hit, recall): n_exact = k, n_hit = how many
+    of the true top-k the SRP probe sequence recovered, recall rounded
+    to 6.  Certificate-priced: it runs BOTH the approximate and the
+    exact scorer (see SCALING.md's pricing table); production runs
+    srp_lsh_topk alone.
+
+    Scale: the exact side is the one-pass broadcast-query brute-force
+    scan; the approximate side touches only probed buckets; the
+    comparison is a k-row-per-query semi-join."""
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    approx = srp_lsh_topk(spark, sf_dir).select(
+        F.col("qid").alias("aqid"), F.col("vec_id").alias("avid")
+    )
+    hit = exact.join(
+        approx,
+        (F.col("qid") == F.col("aqid")) & (F.col("vec_id") == F.col("avid")),
+        "left",
+    )
+    return hit.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.col("avid").isNotNull().cast("bigint")).alias("n_hit"),
+        F.round(
+            F.sum(F.col("avid").isNotNull().cast("bigint")).cast("double")
+            / F.count(F.lit(1)),
+            ROUND_DIGITS,
+        ).alias("recall"),
+    )
+
+
+def ann_recall_eval_sql() -> str:
+    """Oracle: both sides recomputed exactly — the brute-force SQL and
+    the srp SQL as nested-CTE subqueries, then the identical per-query
+    hit aggregate."""
+    return (
+        f"WITH ex AS (SELECT qid, vec_id FROM ({ANN_COSINE_SQL})),"
+        f" ap AS (SELECT qid AS aqid, vec_id AS avid FROM ({srp_lsh_sql()}))"
+        " SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact,"
+        " CAST(SUM(CASE WHEN avid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_hit,"
+        " ROUND(CAST(SUM(CASE WHEN avid IS NOT NULL THEN 1 ELSE 0 END)"
+        f"  AS DOUBLE) / COUNT(*), {ROUND_DIGITS}) AS recall"
+        " FROM ex LEFT JOIN ap ON ap.aqid = ex.qid AND ap.avid = ex.vec_id"
+        " GROUP BY qid"
     )

@@ -109,14 +109,14 @@ def run_stream_to_memory(
 def _event_content_hash() -> "F.Column":
     """The content identity the ingest dedup keys on — shared by the
     streaming operator and its batch-agreement certificate so both
-    sides hash identical bytes."""
+    sides hash identical bytes.  Hashes the JSON encoding of the
+    field STRUCT, which is injective on (user_id, event_type, props):
+    field names disambiguate values and NULL fields can't collide
+    with delimiter characters inside a value — unlike concat_ws,
+    which both skips NULLs and is ambiguous when a field contains
+    the separator (ADVICE r07 #5)."""
     return F.md5(
-        F.concat_ws(
-            "|",
-            F.col("user_id").cast("string"),
-            "event_type",
-            F.col("props"),
-        )
+        F.to_json(F.struct("user_id", "event_type", "props"))
     )
 
 

@@ -123,6 +123,15 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # localCheckpoint the co-purchase edge set at plan time
         # (kcore additionally iterates its peel rounds)
         "kcore_peel", "clustering_coefficient", "degree_assortativity",
+        # synchronous LPA rounds localCheckpoint at plan time;
+        # graph_modularity consumes the memoized label table
+        "label_propagation", "graph_modularity",
+        # run real Structured Streaming queries (memory sink) at call
+        # time; batch/stream agreement is the certificate itself
+        "streaming_dedup_agreement", "streaming_join_agreement",
+        # collects its bounded M*K-row codebook at plan time (the
+        # ann_ivf_indexed eager-build precedent)
+        "ann_pq_topk",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set
@@ -151,6 +160,10 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "embedding_outliers",
         # crossJoin against the broadcast SINGLE-ROW n/total aggregate
         "revenue_concentration",
+        # broadcast-crossJoin against the 10-row label-centroid set
+        "nearest_centroid_eval",
+        # composes ann_cosine_topk's accepted 3-row query-set crossJoin
+        "ann_recall_eval",
     }
     for name, fn in sorted(entry_mod.queries().items()):
         if name in skip:
