@@ -67,3 +67,69 @@ def test_pq_mod_scales_linearly(n):
     pqmod = max(PQ_MOD_FLOOR, math.ceil(n / float(PQ_K_TARGET)))
     k = -(-n // pqmod)
     assert k <= PQ_K_TARGET + 1, (n, pqmod, k)
+
+
+def test_exact_ngram_dedup_contract(spark, sf_dir):
+    from smile_spark.operators.dedup import (
+        SUBSTR_GRAM_N,
+        exact_ngram_dedup,
+    )
+    from smile_spark.tables import table
+    import pyspark.sql.functions as F
+
+    rows = exact_ngram_dedup(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.size(F.split("text", " ")) >= SUBSTR_GRAM_N
+    ).count()
+    assert len(rows) == eligible
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_grams
+        assert r.flagged == (r.n_dup * 2 >= r.n_grams)
+    # the fixture is template-heavy: some cross-doc duplication exists
+    assert any(r.n_dup > 0 for r in rows)
+
+
+def test_exact_ngram_dedup_catches_partial_overlap(spark):
+    """Two docs sharing one 13-token span inside otherwise-distinct
+    text must both report exactly that duplicated gram set."""
+    import pyspark.sql.functions as F
+
+    span = " ".join(f"s{i}" for i in range(13))
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, span + " x1 x2 x3"),
+            (3, "y1 y2 y3 " + span),
+        ],
+        "doc_id long, text string",
+    )
+    import smile_spark.operators.dedup as D
+
+    n = D.SUBSTR_GRAM_N
+    toks = df.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= n
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {n - 1}),"
+                f" i -> array_join(slice(tk, i, {n}), ' '))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    gstat = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
+    per = {
+        r.doc_id: (r.n_grams, r.n_dup)
+        for r in grams.join(gstat, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("ndocs") > 1).cast("bigint")).alias("n_dup"),
+        )
+        .collect()
+    }
+    assert per[1] == (4, 0)  # 16 tokens -> 4 grams, none shared
+    # docs 2 and 3 share exactly the one span gram
+    assert per[2][1] == 1 and per[3][1] == 1
