@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_centroid_eval": S.nearest_centroid_eval,
         "ann_recall_eval": S.ann_recall_eval,
         "exact_ngram_dedup": D.exact_ngram_dedup,
+        "dup_span_cutlist": D.dup_span_cutlist,
         # --- remaining r05-green entries ---
         "token_count": T.token_count,
         "lang_id": T.lang_id,
@@ -592,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_centroid_eval": S.NEAREST_CENTROID_EVAL_SQL,
         "ann_recall_eval": S.ann_recall_eval_sql(),
         "exact_ngram_dedup": D.EXACT_NGRAM_DEDUP_SQL,
+        "dup_span_cutlist": D.DUP_SPAN_CUTLIST_SQL,
         "sliding_distinct_users": W.SLIDING_DISTINCT_USERS_SQL,
         "bigram_lm_fluency": T.BIGRAM_LM_FLUENCY_SQL,
         "session_path_topk": B.SESSION_PATH_TOPK_SQL,

@@ -1559,3 +1559,93 @@ EXACT_NGRAM_DEDUP_SQL = (
     " ROUND(CAST(n_dup AS DOUBLE) / n_grams, 6) AS dup_frac,"
     " n_dup * 2 >= n_grams AS flagged FROM per"
 )
+
+
+def dup_span_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut-list exact-substring dedup actually emits in production
+    (Lee et al. 2022 remove duplicated SPANS, not documents): per
+    document, the maximal merged spans of 13-token windows that appear
+    verbatim in at least one other document — (doc_id, span_start,
+    span_end, span_tokens), 1-based token positions, overlapping or
+    adjacent windows merged.  exact_ngram_dedup answers "how
+    duplicated is this doc"; this answers "which bytes to cut".
+
+    Plan: the same linear gram inventory (positions kept this time),
+    the duplicated-gram set from a distinct + count, a gram-keyed
+    semi-join back to positions, then classic gaps-and-islands per
+    document: one doc-keyed window pass flags breaks (position jumps
+    past the previous window's reach), a running sum numbers islands,
+    and a final (doc, island) aggregate emits merged spans.  Every
+    stage is linear; the windows shuffle once on doc_id.
+
+    Determinism: pure integer arithmetic end to end — positions,
+    break flags, island ids, and span bounds are exact on both
+    engines; no floats anywhere."""
+    n = SUBSTR_GRAM_N
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= n)
+    )
+    gpos = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {n - 1}),"
+                f" i -> array_join(slice(tk, i, {n}), ' '))"
+            )
+        ).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "gram")
+    gdocs = (
+        gpos.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("gram")
+    )
+    dup_pos = gpos.join(gdocs, "gram", "left_semi").select("doc_id", "i")
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(
+        F.col("i") > F.lag("i").over(wd) + n, F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = dup_pos.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("i").cast("bigint").alias("span_start"),
+        (F.max("i") + (n - 1)).cast("bigint").alias("span_end"),
+        (F.max("i") + (n - 1) - F.min("i") + 1)
+        .cast("bigint")
+        .alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+DUP_SPAN_CUTLIST_SQL = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk"
+    "  FROM documents),"
+    f" eligible AS (SELECT doc_id, tk FROM toks"
+    f"  WHERE len(tk) >= {SUBSTR_GRAM_N}),"
+    " gpos AS (SELECT doc_id, i,"
+    f"  array_to_string(tk[i : i + {SUBSTR_GRAM_N - 1}], ' ') AS gram"
+    f"  FROM eligible,"
+    f"  unnest(generate_series(1, len(tk) - {SUBSTR_GRAM_N - 1})) t(i)),"
+    " gdocs AS (SELECT gram FROM"
+    "  (SELECT DISTINCT doc_id, gram FROM gpos)"
+    "  GROUP BY gram HAVING COUNT(*) > 1),"
+    " dup_pos AS (SELECT p.doc_id, p.i FROM gpos p"
+    "  JOIN gdocs d ON d.gram = p.gram),"
+    " flagged AS (SELECT doc_id, i,"
+    "  CASE WHEN i > LAG(i) OVER (PARTITION BY doc_id ORDER BY i)"
+    f"   + {SUBSTR_GRAM_N} THEN 1 ELSE 0 END AS brk FROM dup_pos),"
+    " isl AS (SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id"
+    "  ORDER BY i ROWS UNBOUNDED PRECEDING) AS island FROM flagged)"
+    " SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,"
+    f" CAST(MAX(i) + {SUBSTR_GRAM_N - 1} AS BIGINT) AS span_end,"
+    f" CAST(MAX(i) + {SUBSTR_GRAM_N - 1} - MIN(i) + 1 AS BIGINT)"
+    "  AS span_tokens"
+    " FROM isl GROUP BY doc_id, island"
+)

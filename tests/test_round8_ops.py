@@ -133,3 +133,31 @@ def test_exact_ngram_dedup_catches_partial_overlap(spark):
     assert per[1] == (4, 0)  # 16 tokens -> 4 grams, none shared
     # docs 2 and 3 share exactly the one span gram
     assert per[2][1] == 1 and per[3][1] == 1
+
+
+def test_dup_span_cutlist_spans_are_disjoint(spark, sf_dir):
+    from collections import defaultdict
+
+    from smile_spark.operators.dedup import (
+        SUBSTR_GRAM_N,
+        dup_span_cutlist,
+        exact_ngram_dedup,
+    )
+
+    rows = dup_span_cutlist(spark, sf_dir).collect()
+    assert rows, "template-heavy fixture must have duplicated spans"
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert r.span_tokens == r.span_end - r.span_start + 1
+        assert r.span_tokens >= SUBSTR_GRAM_N
+        by_doc[r.doc_id].append((r.span_start, r.span_end))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1, "merged spans must not overlap or touch"
+    # consistency with the per-doc profile: a doc with a span must
+    # have n_dup > 0 there, and vice versa
+    prof = {
+        r.doc_id: r.n_dup for r in exact_ngram_dedup(spark, sf_dir).collect()
+    }
+    assert set(by_doc) == {d for d, nd in prof.items() if nd > 0}
