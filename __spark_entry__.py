@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": S.ann_recall_eval,
         "exact_ngram_dedup": D.exact_ngram_dedup,
         "dup_span_cutlist": D.dup_span_cutlist,
+        "gap_interpolate_daily": B.gap_interpolate_daily,
+        "benford_screen": Q.benford_screen,
         # --- remaining r05-green entries ---
         "token_count": T.token_count,
         "lang_id": T.lang_id,
@@ -594,6 +596,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_eval": S.ann_recall_eval_sql(),
         "exact_ngram_dedup": D.EXACT_NGRAM_DEDUP_SQL,
         "dup_span_cutlist": D.DUP_SPAN_CUTLIST_SQL,
+        "gap_interpolate_daily": B.GAP_INTERPOLATE_DAILY_SQL,
+        "benford_screen": Q.benford_screen_sql(),
         "sliding_distinct_users": W.SLIDING_DISTINCT_USERS_SQL,
         "bigram_lm_fluency": T.BIGRAM_LM_FLUENCY_SQL,
         "session_path_topk": B.SESSION_PATH_TOPK_SQL,

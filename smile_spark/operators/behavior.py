@@ -650,3 +650,108 @@ SESSION_PATH_TOPK_SQL = (
     "   (ORDER BY n_sessions DESC, path ASC) AS rn FROM counts)"
     f" WHERE rn <= {SESSION_PATH_K}"
 )
+
+
+def gap_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily VALUE series with missing days LINEARLY
+    INTERPOLATED between the surrounding observed days (and clamped to
+    the nearest observation at the span edges) — the time-series
+    densification a sensor/finance pipeline needs where
+    :func:`gap_fill_daily`'s zero-fill would be wrong (a missing
+    reading is not a zero reading).
+
+    Plan: the daily DECIMAL-exact value aggregate, the per-user
+    calendar spine (sequence + explode), a left join, then ONE
+    user-keyed window pass computing last/first observed value and day
+    with ignoreNulls frames — every stage keyed on user_id, one
+    partitioning end to end, and the interpolation itself is
+    row-local arithmetic.
+
+    Determinism: daily sums accumulate in DECIMAL(18,2) (order-
+    independent), day distances are exact integers, and the single
+    interpolation expression pv + (nv - pv) * (dd/DD) is written
+    identically on both engines before the ROUND to 6.  Emits
+    (user_id, day, is_observed, v_interp)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"), "value")
+        .groupBy("user_id", "d")
+        .agg(dsum("value", "v"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias(
+                "d"
+            ),
+        )
+    )
+    j = spine.join(daily, ["user_id", "d"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    w = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("pd", F.last(obs_d, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("nd", F.first(obs_d, ignorenulls=True).over(w_next))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                F.datediff("d", "pd").cast("double")
+                / F.datediff("nd", "pd").cast("double")
+            )
+        )
+    )
+    return w.select(
+        "user_id",
+        F.col("d").alias("day"),
+        F.col("v").isNotNull().alias("is_observed"),
+        F.round(interp, 6).alias("v_interp"),
+    )
+
+
+GAP_INTERPOLATE_DAILY_SQL = (
+    "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,"
+    "  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v"
+    "  FROM events GROUP BY 1, 2),"
+    " span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily"
+    "  GROUP BY user_id),"
+    " spine AS (SELECT user_id, unnest(generate_series(d0, d1,"
+    "  INTERVAL 1 DAY)) AS d FROM span),"
+    " j AS (SELECT s.user_id, s.d, daily.v FROM spine s"
+    "  LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d),"
+    " w AS (SELECT user_id, d, v,"
+    "  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d"
+    "   ROWS UNBOUNDED PRECEDING) AS pv,"
+    "  LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER"
+    "   (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS pd,"
+    "  FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d"
+    "   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,"
+    "  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER"
+    "   (PARTITION BY user_id ORDER BY d"
+    "   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd"
+    "  FROM j)"
+    " SELECT user_id, d AS day, v IS NOT NULL AS is_observed,"
+    " ROUND(CASE WHEN v IS NOT NULL THEN v"
+    "  WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv"
+    "  ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, d) AS DOUBLE)"
+    "   / CAST(date_diff('day', pd, nd) AS DOUBLE)) END, 6) AS v_interp"
+    " FROM w"
+)

@@ -737,3 +737,117 @@ MAD_OUTLIERS_APPROX_SQL = (
     " TRUE AS mad_in_tolerance"
     " FROM lineitem GROUP BY l_returnflag"
 )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, written as full-precision double
+# literals so BOTH engines parse the identical IEEE values (no libm
+# log at query time — the lsh_band_planner no-libm convention)
+BENFORD_EXPECTED = (
+    (1, "0.3010299956639812"),
+    (2, "0.17609125905568124"),
+    (3, "0.12493873660829992"),
+    (4, "0.09691001300805642"),
+    (5, "0.07918124604762482"),
+    (6, "0.06694678963061322"),
+    (7, "0.05799194697768673"),
+    (8, "0.05115252244738129"),
+    (9, "0.04575749056067514"),
+)
+
+
+def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Benford first-digit screen over order totals — the
+    classic numeric-integrity test for ingested financial columns
+    (fabricated, truncated, or unit-mangled figures move the leading-
+    digit histogram off log10(1+1/d); a synthetic-uniform fixture
+    deliberately FAILS it, which is exactly what the chi2 reports):
+    chi2 = sum_d (obs_d - n*e_d)^2 / (n*e_d) over digits 1..9.
+
+    Plan: broadcast dim join (orders->customer->nation, the TPC-H
+    shape), one (nation, digit) count with map-side combine, the
+    9-row expected table joined as a broadcast literal spine so
+    zero-count digits still contribute, then a per-nation DECIMAL-
+    quantized term sum.  Shuffles only (nation, digit) counters.
+
+    Determinism: counts are exact integers, the expected frequencies
+    are shared double literals, each chi2 term quantizes to
+    DECIMAL(28,12) before the sum (order-independent), and the first
+    digit comes from floor -> bigint -> string on both engines.
+    Emits (n_name, n_orders, chi2)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("n_nationkey"),
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        o.join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n), "n_nationkey")
+        .select("n_name", digit.alias("d"))
+        .groupBy("n_name", "d")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    exp_rows = ", ".join(f"({d}, {e}D)" for d, e in BENFORD_EXPECTED)
+    spine = spark.sql(
+        f"SELECT d, e FROM VALUES {exp_rows} AS t(d, e)"
+    )
+    totals = obs.groupBy("n_name").agg(
+        F.sum("obs").alias("n_orders")
+    )
+    full = (
+        totals.crossJoin(F.broadcast(spine))
+        .join(obs, ["n_name", "d"], "left")
+        .withColumn("o", F.coalesce("obs", F.lit(0)))
+    )
+    term = (
+        (F.col("o") - F.col("n_orders") * F.col("e"))
+        * (F.col("o") - F.col("n_orders") * F.col("e"))
+        / (F.col("n_orders") * F.col("e"))
+    )
+    return (
+        full.withColumn(
+            "t", F.round(term, 12).cast("decimal(28,12)")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.max("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.sum("t").cast("double"), 6).alias("chi2"),
+        )
+    )
+
+
+def benford_screen_sql() -> str:
+    exp_rows = ", ".join(f"({d}, {e})" for d, e in BENFORD_EXPECTED)
+    return (
+        "WITH obs AS (SELECT n.n_name,"
+        "  CAST(substr(CAST(CAST(FLOOR(o.o_totalprice) AS BIGINT)"
+        "   AS VARCHAR), 1, 1) AS INT) AS d,"
+        "  COUNT(*) AS obs"
+        "  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+        "  JOIN nation n ON n.n_nationkey = c.c_nationkey"
+        "  GROUP BY 1, 2),"
+        f" spine AS (SELECT d, CAST(e AS DOUBLE) AS e"
+        f"  FROM (VALUES {exp_rows}) t(d, e)),"
+        " totals AS (SELECT n_name, SUM(obs) AS n_orders FROM obs"
+        "  GROUP BY n_name),"
+        " fullsp AS (SELECT t.n_name, t.n_orders, s.d, s.e,"
+        "  COALESCE(obs.obs, 0) AS o"
+        "  FROM totals t CROSS JOIN spine s"
+        "  LEFT JOIN obs ON obs.n_name = t.n_name AND obs.d = s.d),"
+        " terms AS (SELECT n_name, n_orders,"
+        "  CAST(ROUND((o - n_orders * e) * (o - n_orders * e)"
+        "   / (n_orders * e), 12) AS DECIMAL(28,12)) AS t"
+        "  FROM fullsp)"
+        " SELECT n_name, CAST(MAX(n_orders) AS BIGINT) AS n_orders,"
+        " ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2"
+        " FROM terms GROUP BY n_name"
+    )

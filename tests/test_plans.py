@@ -162,6 +162,8 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "revenue_concentration",
         # broadcast-crossJoin against the 10-row label-centroid set
         "nearest_centroid_eval",
+        # crossJoin against the broadcast 9-row Benford digit spine
+        "benford_screen",
         # composes ann_cosine_topk's accepted 3-row query-set crossJoin
         "ann_recall_eval",
     }

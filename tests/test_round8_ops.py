@@ -161,3 +161,56 @@ def test_dup_span_cutlist_spans_are_disjoint(spark, sf_dir):
         r.doc_id: r.n_dup for r in exact_ngram_dedup(spark, sf_dir).collect()
     }
     assert set(by_doc) == {d for d, nd in prof.items() if nd > 0}
+
+
+def test_gap_interpolate_properties(spark, sf_dir):
+    from smile_spark.operators.behavior import gap_interpolate_daily
+
+    rows = gap_interpolate_daily(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        assert r.v_interp is not None
+        by_user.setdefault(r.user_id, []).append(r)
+    n_interp = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r.day)
+        # span edges are observed by construction
+        assert series[0].is_observed and series[-1].is_observed
+        # an interpolated value lies between its observed neighbours
+        for i, r in enumerate(series):
+            if r.is_observed:
+                continue
+            n_interp += 1
+            prev = next(
+                x for x in reversed(series[:i]) if x.is_observed
+            )
+            nxt = next(x for x in series[i + 1 :] if x.is_observed)
+            lo = min(prev.v_interp, nxt.v_interp)
+            hi = max(prev.v_interp, nxt.v_interp)
+            assert lo - 1e-6 <= r.v_interp <= hi + 1e-6
+    assert n_interp > 0, "fixture must contain gaps to interpolate"
+
+
+def test_benford_screen_contract(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from smile_spark.operators.quality import benford_screen
+    from smile_spark.tables import table
+
+    rows = benford_screen(spark, sf_dir).collect()
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), "c_nationkey"
+    )
+    n_nations = (
+        orders.join(cust, "ck").select("c_nationkey").distinct().count()
+    )
+    assert len(rows) == n_nations
+    total = table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+    for r in rows:
+        assert r.chi2 >= 0.0
+        assert r.n_orders > 0
