@@ -92,18 +92,37 @@ def run_stream_to_memory(
 ) -> DataFrame:
     """Drain a streaming DataFrame into an in-memory table and return
     the materialized result (test/debug harness; production would use
-    a real sink with a checkpoint location)."""
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    a real sink with a checkpoint location).
+
+    Streaming STATE partitioning follows spark.sql.shuffle.partitions
+    at query start, and every microbatch commits every state store —
+    at the batch default of 32 a stream-stream join pays 32 × 4
+    store commits per trigger, which dominated the certificate drains
+    (measured 17.2 s → 3.1 s at 8 partitions for
+    streaming_join_agreement at sf0.1).  The drain therefore sizes
+    state partitions to the fixture's traffic (override with
+    ``spark.smile.streaming.statePartitions``); a production
+    deployment sizes this to per-trigger volume, not to the batch
+    shuffle default.  Results are partitioning-independent — only the
+    commit overhead changes."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n_state = spark.conf.get("spark.smile.streaming.statePartitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", n_state)
     try:
-        query.processAllAvailable()
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     finally:
-        query.stop()
-    return df.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def _event_content_hash() -> "F.Column":
