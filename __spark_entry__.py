@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_cutlist": D.dup_span_cutlist,
         "gap_interpolate_daily": B.gap_interpolate_daily,
         "benford_screen": Q.benford_screen,
+        "hard_negative_mining": S.hard_negative_mining,
+        "group_split_no_leakage": P.group_split_no_leakage,
         # --- remaining r05-green entries ---
         "token_count": T.token_count,
         "lang_id": T.lang_id,
@@ -598,6 +600,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_cutlist": D.DUP_SPAN_CUTLIST_SQL,
         "gap_interpolate_daily": B.GAP_INTERPOLATE_DAILY_SQL,
         "benford_screen": Q.benford_screen_sql(),
+        "hard_negative_mining": S.HARD_NEGATIVE_MINING_SQL,
+        "group_split_no_leakage": P.group_split_no_leakage_sql(),
         "sliding_distinct_users": W.SLIDING_DISTINCT_USERS_SQL,
         "bigram_lm_fluency": T.BIGRAM_LM_FLUENCY_SQL,
         "session_path_topk": B.SESSION_PATH_TOPK_SQL,

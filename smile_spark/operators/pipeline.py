@@ -540,3 +540,129 @@ def dedup_cluster_sizes_sql() -> str:
         "  (SELECT COUNT(*) FROM documents)"
         "   - (SELECT COUNT(*) FROM comp)"
     )
+
+
+SPLIT_TRAIN_PCT = 90  # md5-bucket share of GROUPS assigned to train
+
+
+def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW leakage-free train/eval split certificate: assign every
+    document to a split by its NEAR-DUP GROUP (LSH connected
+    component; singletons are their own group), so two near-duplicate
+    documents can never land on opposite sides — the data-leakage
+    guard every training/eval protocol needs (a test doc whose
+    near-dup twin sits in train inflates every metric).  A doc-keyed
+    random split CANNOT give this property; the group is the unit.
+
+    Emits (n_train, n_eval, n_groups_train, n_groups_eval,
+    crossing_pairs) with crossing_pairs — near-dup pairs whose two
+    docs fall on different sides — structurally ZERO: both endpoints
+    share a component, hence a group, hence a side.  The certificate
+    computes it anyway from the raw pair table; a nonzero value means
+    the clustering or the bucketing broke.
+
+    Scale: the pair table is the LSH memo (built once per session),
+    components come from pointer-jumping cc_labels (O(log D) rounds),
+    the group attach is one left join, and the md5 split bucket is
+    the sampling_hash device — deterministic under any partitioning.
+    Everything past the pair table is dimension-sized."""
+    from smile_spark.operators.graph import cc_labels
+
+    pairs = D.dedup_minhash_lsh(spark, sf_dir).select("a", "b")
+    und = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = und.select(F.col("src").alias("id")).distinct()
+    comp = cc_labels(nodes, und)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    grouped = docs.join(
+        comp.select(F.col("id").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("grp")
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(grp as string)), 1, 8), 16, 10)"
+        " as bigint) % 100"
+    )
+    sided = grouped.select(
+        "doc_id",
+        "grp",
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    ).localCheckpoint()
+    sides = sided.agg(
+        F.sum((F.col("split") == "train").cast("bigint")).alias("n_train"),
+        F.sum((F.col("split") == "eval").cast("bigint")).alias("n_eval"),
+        F.count_distinct(
+            F.when(F.col("split") == "train", F.col("grp"))
+        ).alias("n_groups_train"),
+        F.count_distinct(
+            F.when(F.col("split") == "eval", F.col("grp"))
+        ).alias("n_groups_eval"),
+    )
+    crossing = (
+        pairs.join(
+            sided.select(F.col("doc_id").alias("a"),
+                         F.col("split").alias("sa")), "a"
+        )
+        .join(
+            sided.select(F.col("doc_id").alias("b"),
+                         F.col("split").alias("sb")), "b"
+        )
+        .agg(
+            F.sum((F.col("sa") != F.col("sb")).cast("bigint")).alias(
+                "crossing_raw"
+            )
+        )
+        .select(
+            F.coalesce("crossing_raw", F.lit(0))
+            .cast("bigint")
+            .alias("crossing_pairs")
+        )
+    )
+    return sides.crossJoin(crossing)
+
+
+def group_split_no_leakage_sql() -> str:
+    bucket = (
+        "(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 8))::BIGINT) % 100"
+    )
+    return (
+        "WITH RECURSIVE pairs AS ("
+        f" SELECT a, b FROM ({D.dedup_minhash_lsh_sql()}) lsh),"
+        " und AS (SELECT a, b FROM pairs"
+        "  UNION ALL SELECT b AS a, a AS b FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS id FROM und),"
+        " reach(id, r) AS ("
+        "  SELECT id, id FROM nodes"
+        "  UNION"
+        "  SELECT rr.id, u.b FROM reach rr JOIN und u ON u.a = rr.r),"
+        " comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),"
+        " grouped AS (SELECT d.doc_id,"
+        "  COALESCE(c.component, d.doc_id) AS grp"
+        "  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),"
+        " sided AS (SELECT doc_id, grp,"
+        f"  CASE WHEN {bucket} < {SPLIT_TRAIN_PCT}"
+        "   THEN 'train' ELSE 'eval' END AS split FROM grouped),"
+        " sides AS (SELECT"
+        "  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS n_train,"
+        "  CAST(SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS n_eval,"
+        "  CAST(COUNT(DISTINCT CASE WHEN split = 'train' THEN grp END)"
+        "   AS BIGINT) AS n_groups_train,"
+        "  CAST(COUNT(DISTINCT CASE WHEN split = 'eval' THEN grp END)"
+        "   AS BIGINT) AS n_groups_eval"
+        "  FROM sided),"
+        " crossing AS (SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <>"
+        "  sb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS crossing_pairs"
+        "  FROM pairs p JOIN sided sa ON sa.doc_id = p.a"
+        "  JOIN sided sb ON sb.doc_id = p.b)"
+        " SELECT n_train, n_eval, n_groups_train, n_groups_eval,"
+        " crossing_pairs FROM sides CROSS JOIN crossing"
+    )

@@ -1362,3 +1362,84 @@ def ann_recall_eval_sql() -> str:
         " FROM ex LEFT JOIN ap ON ap.aqid = ex.qid AND ap.avid = ex.vec_id"
         " GROUP BY qid"
     )
+
+
+def hard_negative_mining(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Top-k HARD NEGATIVES per query: the highest-cosine corpus
+    vectors whose label DIFFERS from the query's — the mining step
+    that builds contrastive training batches for embedding models
+    (random negatives are too easy; the near-boundary ones carry the
+    gradient signal).  The labeled twin of ann_cosine_topk.
+
+    Plan: broadcast the 3-vector query set (with labels) against the
+    corpus, one map-side cosine fold per (vector, query) with the
+    label-mismatch filter applied BEFORE ranking, then a per-query
+    rank-1..k window — the corpus never shuffles; only scored
+    candidate rows move.  At 100 TB the scoring pass rides any ANN
+    rung (IVF cells / SRP buckets) unchanged — mine negatives among
+    the probed candidates instead of the full corpus.
+
+    Determinism: the same strict-fold cosine as the ANN ladder,
+    ROUND(...,6) before ranking, ties break by vec_id.  Emits
+    (qid, q_label, vec_id, neg_label, cos_r, rn)."""
+    ev = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    q = ev.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        ev.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "qid",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(
+                _dot("v", "qv") / (_norm("v") * _norm("qv")), ROUND_DIGITS
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid",
+            "q_label",
+            "vec_id",
+            "neg_label",
+            "cos_r",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+HARD_NEGATIVE_MINING_SQL = (
+    "WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,"
+    " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    " FROM embeddings),"
+    " q AS (SELECT vec_id AS qid, label AS q_label, v AS qv FROM e"
+    f"  WHERE vec_id < {N_QUERIES}),"
+    " u AS (SELECT qid, q_label, e.vec_id, e.label AS neg_label,"
+    "  unnest(e.v) AS a, unnest(q.qv) AS b"
+    "  FROM e, q WHERE e.label <> q.q_label),"
+    " s AS (SELECT qid, q_label, vec_id, neg_label, SUM(a * b) AS dot,"
+    "  SUM(a * a) AS na, SUM(b * b) AS nb"
+    "  FROM u GROUP BY qid, q_label, vec_id, neg_label),"
+    " scored AS (SELECT qid, q_label, vec_id, neg_label,"
+    f"  ROUND(dot / (sqrt(na) * sqrt(nb)), {ROUND_DIGITS}) AS cos_r"
+    "  FROM s),"
+    " ranked AS (SELECT qid, q_label, vec_id, neg_label, cos_r,"
+    "  ROW_NUMBER() OVER (PARTITION BY qid"
+    "   ORDER BY cos_r DESC, vec_id ASC) AS rn FROM scored)"
+    " SELECT qid, q_label, vec_id, neg_label, cos_r, rn FROM ranked"
+    f" WHERE rn <= {TOP_K}"
+)

@@ -132,6 +132,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # collects its bounded M*K-row codebook at plan time (the
         # ann_ivf_indexed eager-build precedent)
         "ann_pq_topk",
+        # cc_labels pointer-jumping rounds localCheckpoint at plan
+        # time (the dedup_cluster_sizes precedent)
+        "group_split_no_leakage",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set
@@ -164,6 +167,8 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "nearest_centroid_eval",
         # crossJoin against the broadcast 9-row Benford digit spine
         "benford_screen",
+        # broadcast-crossJoin against the 3-row labeled query set
+        "hard_negative_mining",
         # composes ann_cosine_topk's accepted 3-row query-set crossJoin
         "ann_recall_eval",
     }

@@ -214,3 +214,29 @@ def test_benford_screen_contract(spark, sf_dir):
     for r in rows:
         assert r.chi2 >= 0.0
         assert r.n_orders > 0
+
+
+def test_hard_negatives_exclude_query_label(spark, sf_dir):
+    from smile_spark.operators.similarity import (
+        TOP_K,
+        hard_negative_mining,
+    )
+
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.neg_label != r.q_label
+        assert 1 <= r.rn <= TOP_K
+
+
+def test_group_split_certificate(spark, sf_dir):
+    from smile_spark.operators.pipeline import group_split_no_leakage
+    from smile_spark.tables import table
+
+    row = group_split_no_leakage(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.crossing_pairs == 0, "near-dup pair crossed the split"
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert r.n_train + r.n_eval == n_docs
+    assert r.n_train > r.n_eval > 0
