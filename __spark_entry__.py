@@ -120,11 +120,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": T.text_stats,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
-        # round; r09 NOTE: rotate (a) any NEW never-verified r08
-        # entries first, then (b) the remaining r05-green block below
-        # (interval_overlap_join .. date_parts), then (c) start on the
-        # r06-green block (streaming_state_agreement ..); the
-        # r07-green block (newest verdicts) rotates last.
+        # round; r09 NOTE: rotate (a) the EIGHT never-verified r08
+        # entries below (nearest_centroid_eval .. group_split_no_
+        # leakage) first, then (b) the remaining r05-green block
+        # (token_count .. date_parts — 34 entries), then (c) start on
+        # the r06-green block (streaming_state_agreement ..); the
+        # r07-green block (newest verdicts) rotates last.  Note the
+        # five r08 semantics-affecting changes to ALREADY-windowed
+        # entries (ann_pq_topk, label_propagation, graph_modularity,
+        # streaming_dedup_agreement, link_prediction_aa) sit INSIDE
+        # the r08 window, so their r08 verdicts certify current code.
         # ------------------------------------------------------------------
         # --- NEW in r08, never driver-verified: first into r09 ---
         "nearest_centroid_eval": S.nearest_centroid_eval,
