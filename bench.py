@@ -185,6 +185,21 @@ def main() -> None:
         s = samples.get(name)
         if s and max(s) > 1.3 * min(s) and min(s) > 0.2:
             time_one(name, fn)
+    # HEAVY queries decay over MORE than three invocations (setsim at
+    # sf0.1 measured 25.2 -> 17.6 -> 15.5 -> 11.4 -> 13.5 s across five
+    # back-to-back runs: codegen/JIT warm-up, not noise — and because
+    # consecutive mid-decay samples agree within 1.3x, the retry rule
+    # above never fires).  Give anything still above the heavy
+    # threshold two extra timed samples so its min sits at steady
+    # state; costs ~30 s of bench time on the one or two queries this
+    # touches, and removes the 14-21 s round-over-round wobble that
+    # kept tripping the +/-20% stabilization bar.
+    HEAVY_SEC = 8.0
+    for name, fn in sorted(queries.items()):
+        s = samples.get(name)
+        if s and min(s) > HEAVY_SEC:
+            time_one(name, fn)
+            time_one(name, fn)
 
     run_controls("end")
 
