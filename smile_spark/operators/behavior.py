@@ -678,6 +678,12 @@ def gap_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "d")
         .agg(dsum("value", "v"))
     )
+    return gap_interpolate_frame(daily)
+
+
+def gap_interpolate_frame(daily: DataFrame) -> DataFrame:
+    """Core spine + linear interpolation over any (user_id, d, v)
+    daily frame — exposed for property testing."""
     spine = (
         daily.groupBy("user_id")
         .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))

@@ -1505,12 +1505,18 @@ def exact_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never H^2).  At 100 TB the gram strings would be 64-bit hashes
     (xxhash of the window) to cut shuffle bytes; the fixture keeps the
     raw string so the DuckDB oracle is textual."""
-    n = SUBSTR_GRAM_N
-    toks = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("tk"))
-        .filter(F.size("tk") >= n)
+    return exact_ngram_frame(
+        table(spark, sf_dir, "documents"), SUBSTR_GRAM_N
     )
+
+
+def exact_ngram_frame(docs: DataFrame, n: int) -> DataFrame:
+    """Core per-doc duplicate-gram profile over any (doc_id, text)
+    frame at window size ``n`` — exposed for property testing with
+    small grams."""
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("tk")
+    ).filter(F.size("tk") >= n)
     grams = toks.select(
         "doc_id",
         F.explode(
@@ -1581,12 +1587,18 @@ def dup_span_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: pure integer arithmetic end to end — positions,
     break flags, island ids, and span bounds are exact on both
     engines; no floats anywhere."""
-    n = SUBSTR_GRAM_N
-    toks = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("tk"))
-        .filter(F.size("tk") >= n)
+    return dup_span_frame(
+        table(spark, sf_dir, "documents"), SUBSTR_GRAM_N
     )
+
+
+def dup_span_frame(docs: DataFrame, n: int) -> DataFrame:
+    """Core merged-span cut list over any (doc_id, text) frame at
+    window size ``n`` — exposed for property testing with small
+    grams."""
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("tk")
+    ).filter(F.size("tk") >= n)
     gpos = toks.select(
         "doc_id",
         F.posexplode(

@@ -75,3 +75,132 @@ def test_setsim_frame_jaccard_exactly_tau_boundary(spark):
     assert (3, 4) in got and got[(3, 4)] == SETSIM_TAU
     assert (5, 6) not in got
     assert set(got) == {(1, 2), (3, 4)}
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]),  # tiny alphabet → shared grams
+        min_size=0,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_dup_profile(token_lists, n):
+    """Pure-python reference for exact_ngram_frame/dup_span_frame."""
+    grams = {}  # gram -> set of docs
+    pos = {}    # doc -> [positions]
+    for d, toks in enumerate(token_lists):
+        if len(toks) < n:
+            continue
+        pos[d] = []
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            grams.setdefault(g, set()).add(d)
+            pos[d].append((i + 1, g))
+    profile, spans = {}, {}
+    for d, plist in pos.items():
+        dgrams = {g for _, g in plist}
+        ndup = sum(1 for g in dgrams if len(grams[g]) > 1)
+        profile[d] = (len(dgrams), ndup)
+        dp = sorted(i for i, g in plist if len(grams[g]) > 1)
+        out, cur = [], None
+        for i in dp:
+            if cur is None or i > cur[1] - n + 1 + n:  # i > prev_i + n
+                if cur:
+                    out.append(tuple(cur))
+                cur = [i, i + n - 1]
+            else:
+                cur[1] = i + n - 1
+        if cur:
+            out.append(tuple(cur))
+        if out:
+            spans[d] = out
+    return profile, spans
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(token_lists=docs_strategy)
+def test_ngram_dedup_and_cutlist_match_bruteforce(spark, token_lists):
+    """The distributed gram profile AND the merged-span cut list equal
+    the pure-python reference on arbitrary small corpora — duplicate
+    grams inside ONE doc, empty docs, all-identical docs, and
+    adjacent/overlapping window merges included."""
+    from smile_spark.operators.dedup import (
+        dup_span_frame,
+        exact_ngram_frame,
+    )
+
+    n = 3
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    want_profile, want_spans = _ref_dup_profile(token_lists, n)
+
+    got_profile = {
+        r.doc_id: (r.n_grams, r.n_dup)
+        for r in exact_ngram_frame(df, n).collect()
+    }
+    assert got_profile == want_profile, (token_lists, got_profile)
+
+    got_spans = {}
+    for r in dup_span_frame(df, n).collect():
+        got_spans.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end)
+        )
+    got_spans = {d: sorted(v) for d, v in got_spans.items()}
+    assert got_spans == want_spans, (token_lists, got_spans, want_spans)
+
+
+series_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=9),     # day offset
+    st.integers(min_value=-50, max_value=50),  # value (exact in double)
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(series=series_strategy)
+def test_gap_interpolate_matches_reference(spark, series):
+    """The windowed linear interpolation equals the closed-form
+    reference on arbitrary sparse integer series — single-point
+    series, adjacent observed days (nothing to fill), and long gaps."""
+    import datetime as dt
+
+    from smile_spark.operators.behavior import gap_interpolate_frame
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(days=off), float(v))
+        for off, v in sorted(series.items())
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d timestamp, v double")
+    got = {
+        (r.day - base).days: (r.is_observed, r.v_interp)
+        for r in gap_interpolate_frame(df).collect()
+    }
+    offs = sorted(series)
+    assert set(got) == set(range(offs[0], offs[-1] + 1))
+    for day in range(offs[0], offs[-1] + 1):
+        if day in series:
+            assert got[day] == (True, float(series[day])), (series, got)
+            continue
+        prev = max(o for o in offs if o < day)
+        nxt = min(o for o in offs if o > day)
+        want = series[prev] + (series[nxt] - series[prev]) * (
+            (day - prev) / (nxt - prev)
+        )
+        assert got[day][0] is False
+        assert abs(got[day][1] - round(want, 6)) < 1e-9, (series, day, got)
