@@ -49,89 +49,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-8 window (exactly 50, the rotation plan
-    the r07 VERDICT prescribed verbatim): (1) the EIGHT r07 additions
-    that have never held a driver verdict (streaming_dedup_agreement
-    .. streaming_join_agreement); (2) ALL 27 r04-stale entries
-    (agg_stats .. dedup_canonical — newest verdict three rounds old);
-    (3) the five multimodal ops whose semantics changed in r07
-    (multimodal_meta/frames/resize/audio_chunks/frame_stats — their
-    r05 verdicts no longer certify the current code) plus the ten
-    oldest r05-green entries (winsorize_prices_approx .. text_stats).
-    After this window completes, the never-verified count returns to
-    zero and NO registered entry's newest verdict predates r05.
+    insertion order.  Round-9 window (exactly 50, the rotation the
+    r08 VERDICT prescribed): (1) the EIGHT r08 additions that have
+    never held a driver verdict (nearest_centroid_eval ..
+    group_split_no_leakage); (2) ALL 34 r05-green entries whose
+    newest verdict is four rounds old (token_count .. date_parts);
+    (3) eight r06-green entries — the seven oldest
+    (streaming_state_agreement .. streaming_window_agreement) plus
+    setsim_join_prefix, whose internals changed this round.  After
+    this window completes, the never-verified count returns to zero
+    and NO registered entry's newest verdict predates r06.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- (1) the EIGHT r07 additions, never driver-verified ---
-        "streaming_dedup_agreement": ST.streaming_dedup_agreement,
-        "ann_pq_topk": S.ann_pq_topk,
-        "link_prediction_aa": G.link_prediction_aa,
-        "lsh_band_planner": D.lsh_band_planner,
-        "label_propagation": G.label_propagation,
-        "rake_keyphrases": T.rake_keyphrases,
-        "graph_modularity": G.graph_modularity,
-        "streaming_join_agreement": ST.streaming_join_agreement,
-        # --- (2) ALL 27 r04-stale entries (newest verdict r04) ---
-        "agg_stats": R.agg_stats,
-        "array_functions": AN.array_functions,
-        "asof_latest_order": A.asof_latest_order,
-        "casts_parse": R.casts_parse,
-        "corr_stats": AN.corr_stats,
-        "cube_summary": AN.cube_summary,
-        "dedup_exact": D.dedup_exact,
-        "graph_check": G.graph_check,
-        "join_variants": R.join_variants,
-        "json_functions": AN.json_functions,
-        "lead_lag_delta": AN.lead_lag_delta,
-        "map_functions": AN.map_functions,
-        "math_functions": AN.math_functions,
-        "minhash_signature": D.minhash_signature,
-        "percentiles": AN.percentiles,
-        "regex_functions": AN.regex_functions,
-        "regional_revenue": R.regional_revenue,
-        "rollup_summary": R.rollup_summary,
-        "sampling_hash": AN.sampling_hash,
-        "scan_filter_count": R.scan_filter_count,
-        "set_ops": R.set_ops,
-        "simhash": D.simhash,
-        "stratified_sample": AN.stratified_sample,
-        "string_functions": R.string_functions,
-        "top_customers": R.top_customers,
-        "dedup_minhash_lsh": D.dedup_minhash_lsh,
-        "dedup_canonical": P.dedup_canonical,
-        # --- (3) the five multimodal ops whose semantics changed in
-        # r07 (unified onto the real PGM/WAV codecs — their r05
-        # verdicts no longer certify the current code), plus the ten
-        # oldest r05-green entries ---
-        "multimodal_meta": M.multimodal_meta,
-        "multimodal_frames": M.multimodal_frames,
-        "multimodal_resize": M.multimodal_resize,
-        "multimodal_audio_chunks": M.multimodal_audio_chunks,
-        "multimodal_frame_stats": M.multimodal_frame_stats,
-        "winsorize_prices_approx": AN.winsorize_prices_approx,
-        "ann_ivf_indexed": S.ann_ivf_indexed,
-        "containment_topk": D.containment_topk,
-        "golden_part_records": P.golden_part_records,
-        "shortest_path_route": G.shortest_path_route,
-        "hashjoin_agg": R.hashjoin_agg,
-        "bfs": G.bfs,
-        "simhash_pairs": D.simhash_pairs,
-        "ngram_jaccard_topk": D.ngram_jaccard_topk,
-        "text_stats": T.text_stats,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round; r09 NOTE: rotate (a) the EIGHT never-verified r08
-        # entries below (nearest_centroid_eval .. group_split_no_
-        # leakage) first, then (b) the remaining r05-green block
-        # (token_count .. date_parts — 34 entries), then (c) start on
-        # the r06-green block (streaming_state_agreement ..); the
-        # r07-green block (newest verdicts) rotates last.  Note the
-        # five r08 semantics-affecting changes to ALREADY-windowed
-        # entries (ann_pq_topk, label_propagation, graph_modularity,
-        # streaming_dedup_agreement, link_prediction_aa) sit INSIDE
-        # the r08 window, so their r08 verdicts certify current code.
-        # ------------------------------------------------------------------
-        # --- NEW in r08, never driver-verified: first into r09 ---
+        # --- (1) the EIGHT r08 additions, never driver-verified ---
         "nearest_centroid_eval": S.nearest_centroid_eval,
         "ann_recall_eval": S.ann_recall_eval,
         "exact_ngram_dedup": D.exact_ngram_dedup,
@@ -140,7 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_screen": Q.benford_screen,
         "hard_negative_mining": S.hard_negative_mining,
         "group_split_no_leakage": P.group_split_no_leakage,
-        # --- remaining r05-green entries ---
+        # --- (2) ALL 34 r05-green entries (newest verdict four rounds old) ---
         "token_count": T.token_count,
         "lang_id": T.lang_id,
         "fingerprint": T.fingerprint,
@@ -175,7 +105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitwise_functions": AN.bitwise_functions,
         "try_cast_handling": R.try_cast_handling,
         "date_parts": AN.date_parts,
-        # --- r06-green entries ---
+        # --- (3) eight r06-green entries: the seven oldest plus
+        # setsim_join_prefix, whose prefix-join internals changed this
+        # round (64-bit token hashing) and therefore needs a fresh
+        # verdict ahead of its unmodified r06 peers ---
         "streaming_state_agreement": ST.streaming_state_agreement,
         "srp_lsh_topk": S.srp_lsh_topk,
         "sliding_distinct_users": W.sliding_distinct_users,
@@ -183,6 +116,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_path_topk": B.session_path_topk,
         "embedding_outliers": S.embedding_outliers,
         "streaming_window_agreement": ST.streaming_window_agreement,
+        "setsim_join_prefix": D.setsim_join_prefix,
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round; r10 NOTE: rotate (a) any never-verified r09 additions
+        # first (appended at the END of this dict, see the marker
+        # comment below), then (b) the remaining r06-green block
+        # (jsonl_roundtrip ..), then (c) start on the r07-green block
+        # (revenue_concentration ..); the r08-verified block (newest
+        # verdicts, streaming_dedup_agreement ..) rotates last.
+        # ------------------------------------------------------------------
+        # --- remaining r06-green entries ---
         "jsonl_roundtrip": TF.jsonl_roundtrip,
         "compaction_roundtrip": CP.compaction_roundtrip,
         "incremental_ingest_certificate": IC.incremental_ingest_certificate,
@@ -196,7 +140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_bins": AN.equi_depth_bins,
         "skyline_pareto": AN.skyline_pareto,
         "mad_outliers": Q.mad_outliers,
-        "setsim_join_prefix": D.setsim_join_prefix,
         "kcore_peel": G.kcore_peel,
         "ewma_anomaly": B.ewma_anomaly,
         "ann_sq8_topk": S.ann_sq8_topk,
@@ -277,6 +220,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_prices": AN.winsorize_prices,
         "bucketed_join_revenue": BK.bucketed_join_revenue,
         "copurchase_pairs": R.copurchase_pairs,
+        # --- r08-verified entries (newest verdicts) ---
+        "streaming_dedup_agreement": ST.streaming_dedup_agreement,
+        "ann_pq_topk": S.ann_pq_topk,
+        "link_prediction_aa": G.link_prediction_aa,
+        "lsh_band_planner": D.lsh_band_planner,
+        "label_propagation": G.label_propagation,
+        "rake_keyphrases": T.rake_keyphrases,
+        "graph_modularity": G.graph_modularity,
+        "streaming_join_agreement": ST.streaming_join_agreement,
+        "agg_stats": R.agg_stats,
+        "array_functions": AN.array_functions,
+        "asof_latest_order": A.asof_latest_order,
+        "casts_parse": R.casts_parse,
+        "corr_stats": AN.corr_stats,
+        "cube_summary": AN.cube_summary,
+        "dedup_exact": D.dedup_exact,
+        "graph_check": G.graph_check,
+        "join_variants": R.join_variants,
+        "json_functions": AN.json_functions,
+        "lead_lag_delta": AN.lead_lag_delta,
+        "map_functions": AN.map_functions,
+        "math_functions": AN.math_functions,
+        "minhash_signature": D.minhash_signature,
+        "percentiles": AN.percentiles,
+        "regex_functions": AN.regex_functions,
+        "regional_revenue": R.regional_revenue,
+        "rollup_summary": R.rollup_summary,
+        "sampling_hash": AN.sampling_hash,
+        "scan_filter_count": R.scan_filter_count,
+        "set_ops": R.set_ops,
+        "simhash": D.simhash,
+        "stratified_sample": AN.stratified_sample,
+        "string_functions": R.string_functions,
+        "top_customers": R.top_customers,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_canonical": P.dedup_canonical,
+        "multimodal_meta": M.multimodal_meta,
+        "multimodal_frames": M.multimodal_frames,
+        "multimodal_resize": M.multimodal_resize,
+        "multimodal_audio_chunks": M.multimodal_audio_chunks,
+        "multimodal_frame_stats": M.multimodal_frame_stats,
+        "winsorize_prices_approx": AN.winsorize_prices_approx,
+        "ann_ivf_indexed": S.ann_ivf_indexed,
+        "containment_topk": D.containment_topk,
+        "golden_part_records": P.golden_part_records,
+        "shortest_path_route": G.shortest_path_route,
+        "hashjoin_agg": R.hashjoin_agg,
+        "bfs": G.bfs,
+        "simhash_pairs": D.simhash_pairs,
+        "ngram_jaccard_topk": D.ngram_jaccard_topk,
+        "text_stats": T.text_stats,
+        # --- NEW in r09, never driver-verified: first into r10 ---
     }
     return q
 
