@@ -122,7 +122,11 @@ def main() -> None:
     from smile_spark.operators import dedup as _dedup
 
     for _ in range(2):
-        _dedup._LSH_PAIR_CACHE.clear()
+        # clear_lsh_cache also unpersists the discarded build's
+        # checkpointed blocks (bands/cand/shingles/pairs) — a bare
+        # dict clear leaked them in executor storage for the rest of
+        # the bench run (ADVICE r08 #4)
+        _dedup.clear_lsh_cache()
         t0 = time.perf_counter()
         try:
             _force(_dedup.dedup_minhash_lsh(spark, sf_dir))
@@ -142,7 +146,9 @@ def main() -> None:
     from smile_spark.operators import graph as _graph
 
     for _ in range(2):
-        _graph._LPA_LABELS_CACHE.clear()
+        # unpersists the discarded build's label/stub checkpoints too
+        # (ADVICE r08 #4)
+        _graph.clear_lpa_cache()
         t0 = time.perf_counter()
         try:
             _force(_graph.label_propagation(spark, sf_dir))
@@ -220,12 +226,40 @@ def main() -> None:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
+    def _trimmed_median(vals: list[float]) -> float | None:
+        # Drop the single largest control before taking the median:
+        # one GC/scheduler blowout in an 8-query control block
+        # (BENCH_r08: rollup_summary 0.87 -> 6.30 s in the end block)
+        # dragged value_norm_end 1.6x away from value_norm_start and
+        # made the two normalized figures useless for cross-box
+        # comparison (VERDICT r08 next-round #3).  The median is
+        # already robust to the value itself; trimming keeps the
+        # SAMPLE SET identical at both ends when one entry blows up.
+        if not vals:
+            return None
+        s = sorted(vals)
+        if len(s) > 2:
+            s = s[:-1]
+        return _median(s)
+
     norm = {}
+    meds: dict[str, float] = {}
     for tag in ("start", "end"):
-        med = _median([c[tag] for c in controls.values() if tag in c])
+        med = _trimmed_median(
+            [c[tag] for c in controls.values() if tag in c]
+        )
         if med:
+            meds[tag] = med
             norm[f"value_norm_{tag}"] = round(total / med, 2)
             norm[f"control_median_{tag}"] = round(med, 4)
+    # drift_ok: the two control medians agree within 25%, i.e. the
+    # session ran at one machine speed and either normalized figure
+    # can arbitrate a cross-box comparison.  False flags the run as
+    # speed-drifted — compare raw per-query times with wide error
+    # bars instead of trusting value_norm_*.
+    if len(meds) == 2:
+        lo, hi = sorted(meds.values())
+        norm["drift_ok"] = bool(hi <= 1.25 * lo)
     detail = {
         "metric": "total_query_wall_time",
         "value": total,

@@ -393,6 +393,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     result = _dedup_minhash_lsh_build(spark, sf_dir).localCheckpoint()
+    _LSH_CHECKPOINTS.append(result)
     _LSH_PAIR_CACHE[key] = result
     return result
 
@@ -424,6 +425,7 @@ def _dedup_minhash_lsh_build(
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     ).localCheckpoint()
+    _LSH_CHECKPOINTS.append(bands)
     ba = bands.select(F.col("doc_id").alias("a"), "band", "bkey")
     bb = bands.select(F.col("doc_id").alias("b"), "band", "bkey")
     # NO coalesce here: the candidate table is corpus-proportional on a
@@ -438,6 +440,7 @@ def _dedup_minhash_lsh_build(
         .distinct()
         .localCheckpoint()
     )
+    _LSH_CHECKPOINTS.append(cand)
     # Exact verification only ever touches documents that appear in a
     # candidate pair — a vanishing fraction of the corpus by LSH
     # design.  Semi-join the doc table down to those ids BEFORE the
@@ -456,6 +459,7 @@ def _dedup_minhash_lsh_build(
     # The distinct shingle set feeds three consumers (sizes, both join
     # sides); checkpoint so the explode+distinct runs once, not thrice.
     sh = _shingles(cand_docs).localCheckpoint()
+    _LSH_CHECKPOINTS.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("a"), "sh")
     sb = sh.select(F.col("doc_id").alias("b"), "sh")
@@ -495,6 +499,27 @@ def _dedup_minhash_lsh_build(
 # role.  (Round-1 dedup_canonical recomputed the 4.5 s LSH inside its
 # own 5.7 s pass — this is the fix.)
 _LSH_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+# every localCheckpoint the LSH build creates (bands/cand/shingles
+# intermediates plus the final pair table) so clear_lsh_cache can
+# release discarded builds' block storage (ADVICE r08 #4)
+_LSH_CHECKPOINTS: list[DataFrame] = []
+
+
+def clear_lsh_cache() -> None:
+    """Drop the LSH pair-table memo AND free its checkpointed blocks.
+
+    Mirrors ``graph.clear_lpa_cache``: the bench's cold
+    ``lsh_pairs_build`` loop rebuilds the memo; without the explicit
+    unpersist each discarded build leaks its bands/cand/shingles/pair
+    checkpoints in executor storage until the application exits.
+    Unpersisted checkpoints cannot be recomputed — only call when no
+    live consumer holds the old pair table."""
+    from smile_spark.session import unpersist_checkpoint
+
+    for df in _LSH_CHECKPOINTS:
+        unpersist_checkpoint(df)
+    _LSH_CHECKPOINTS.clear()
+    _LSH_PAIR_CACHE.clear()
 
 
 def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:

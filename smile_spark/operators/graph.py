@@ -1641,6 +1641,27 @@ LPA_ROUNDS = 3
 # _COPURCHASE_DEG_CACHE pattern) so the 3 synchronous rounds run once
 # per session instead of once per consumer (VERDICT r07 next-round #4).
 _LPA_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# every localCheckpoint the LPA build creates (stubs + per-round label
+# tables, not just the final one), so clear_lpa_cache can release the
+# block-manager storage a discarded build left behind (ADVICE r08 #4)
+_LPA_CHECKPOINTS: list[DataFrame] = []
+
+
+def clear_lpa_cache() -> None:
+    """Drop the LPA label memo AND free its checkpointed blocks.
+
+    The bench's cold ``lpa_build`` loop rebuilds the memo from
+    scratch; clearing only the dict would leak every discarded
+    build's localCheckpoint blocks in executor storage for the rest
+    of the application.  Callers must ensure no live consumer still
+    holds the old label table (unpersisted checkpoints cannot be
+    recomputed)."""
+    from smile_spark.session import unpersist_checkpoint
+
+    for df in _LPA_CHECKPOINTS:
+        unpersist_checkpoint(df)
+    _LPA_CHECKPOINTS.clear()
+    _LPA_LABELS_CACHE.clear()
 
 
 def _lpa_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1654,9 +1675,11 @@ def _lpa_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        _LPA_CHECKPOINTS.append(stubs)
         labels = stubs.select(F.col("u").alias("id")).distinct().select(
             "id", F.col("id").alias("lbl")
         ).localCheckpoint()
+        _LPA_CHECKPOINTS.append(labels)
         w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
         for _ in range(LPA_ROUNDS):
             labels = (
@@ -1670,6 +1693,7 @@ def _lpa_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("id", "lbl")
                 .localCheckpoint()
             )
+            _LPA_CHECKPOINTS.append(labels)
         _LPA_LABELS_CACHE[key] = labels
     return _LPA_LABELS_CACHE[key]
 

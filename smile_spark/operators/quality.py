@@ -777,10 +777,18 @@ def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     are shared double literals, each chi2 term quantizes to
     DECIMAL(28,12) before the sum (order-independent), and the first
     digit comes from floor -> bigint -> string on both engines.
-    Emits (n_name, n_orders, chi2)."""
+    Emits (n_name, n_orders, chi2).
+
+    Domain: totals < 1 are filtered out explicitly (both engines).
+    Benford's law is defined on positive magnitudes with a leading
+    digit 1-9; without the filter a non-positive value would yield a
+    NULL/'-' digit row that inflates n_orders while never joining the
+    1-9 spine on Spark, and errors outright in DuckDB's CAST — a trap
+    when the operator is reused on a column that, unlike TPC-H
+    o_totalprice, admits non-positive values (ADVICE r08 #3)."""
     o = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
-    )
+    ).filter(F.col("o_totalprice") >= 1)
     c = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_nationkey").alias("n_nationkey"),
@@ -834,6 +842,7 @@ def benford_screen_sql() -> str:
         "  COUNT(*) AS obs"
         "  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
         "  JOIN nation n ON n.n_nationkey = c.c_nationkey"
+        "  WHERE o.o_totalprice >= 1"
         "  GROUP BY 1, 2),"
         f" spine AS (SELECT d, CAST(e AS DOUBLE) AS e"
         f"  FROM (VALUES {exp_rows}) t(d, e)),"

@@ -1088,8 +1088,17 @@ def ann_pq_topk(
                 best = np.argmin(acc, axis=1)
                 for row_pos, b in zip(idx, best):
                     out_cv[row_pos] = cb[b].tolist()
+            # all three columns positional: pdf["vec_id"] carries the
+            # incoming index, and pandas would realign it against the
+            # default-indexed frame while mvals/out_cv stay positional,
+            # silently mis-assigning codes on a non-default index
+            # (ADVICE r08 #2)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "m": mvals, "cv": out_cv}
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "m": mvals,
+                    "cv": out_cv,
+                }
             )
 
     # subvectors: (vec_id, m, sv) with L = D div PQ_M dims per

@@ -93,3 +93,26 @@ def get_spark(
     for k, v in confs.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def unpersist_checkpoint(df) -> None:
+    """Free the block-manager storage behind a ``localCheckpoint``-ed
+    DataFrame.
+
+    ``DataFrame.unpersist()`` only evicts CacheManager entries
+    (``.cache()``/``.persist()``); a local checkpoint instead persists
+    its internal RDD directly, reachable only through the analyzed
+    ``LogicalRDD``.  Session memos that discard checkpointed
+    DataFrames (the bench's cold ``*_build`` rebuild loops, ADVICE r08
+    #4) must release those blocks explicitly or they occupy executor
+    storage for the rest of the application.
+
+    The checkpointed data becomes UNRECOVERABLE (lineage was
+    truncated) — only call this on DataFrames no live consumer will
+    touch again.  Best-effort: py4j internals may shift across Spark
+    versions, and a leak is preferable to a crash.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — leak beats crash here
+        pass

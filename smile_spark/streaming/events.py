@@ -18,6 +18,8 @@ hand-written stateful loop.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -87,6 +89,12 @@ def streaming_tumbling(
     )
 
 
+# serializes run_stream_to_memory drains: the state-partition override
+# below is session-global, so overlapping drains could restore a stale
+# previous value (ADVICE r08 #1)
+_DRAIN_LOCK = threading.Lock()
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -104,24 +112,37 @@ def run_stream_to_memory(
     ``spark.smile.streaming.statePartitions``); a production
     deployment sizes this to per-trigger volume, not to the batch
     shuffle default.  Results are partitioning-independent — only the
-    commit overhead changes."""
+    commit overhead changes.
+
+    The override is SESSION-GLOBAL for the duration of the drain
+    (state partitioning cannot be set per-query in Spark): a batch
+    query planned concurrently in the same session would silently
+    plan with the drain's small shuffle-partition count, and two
+    concurrent drains could restore each other's previous value.
+    ``_DRAIN_LOCK`` therefore serializes drains within this process,
+    and batch queries must not be planned on this session while a
+    drain is in flight (ADVICE r08 #1; the bench and the test suite
+    already run drains standalone)."""
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    n_state = spark.conf.get("spark.smile.streaming.statePartitions", "8")
-    spark.conf.set("spark.sql.shuffle.partitions", n_state)
-    try:
-        query = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .start()
+    with _DRAIN_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        n_state = spark.conf.get(
+            "spark.smile.streaming.statePartitions", "8"
         )
+        spark.conf.set("spark.sql.shuffle.partitions", n_state)
         try:
-            query.processAllAvailable()
+            query = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         finally:
-            query.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
