@@ -49,84 +49,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-9 window (exactly 50, the rotation the
-    r08 VERDICT prescribed): (1) the EIGHT r08 additions that have
-    never held a driver verdict (nearest_centroid_eval ..
-    group_split_no_leakage); (2) ALL 34 r05-green entries whose
-    newest verdict is four rounds old (token_count .. date_parts);
-    (3) eight r06-green entries — the seven oldest
-    (streaming_state_agreement .. streaming_window_agreement) plus
-    setsim_join_prefix, whose internals changed this round.  After
-    this window completes, the never-verified count returns to zero
-    and NO registered entry's newest verdict predates r06.
+    insertion order.  Round-10 window (exactly 50, the rotation the
+    r09 VERDICT prescribed): (1) the THREE r10 additions that have
+    never held a driver verdict (semantic_dedup,
+    setsim_hash_agreement, ngram_hash_agreement); (2) ALL 42
+    r06-green entries, the oldest verdict tier (jsonl_roundtrip ..
+    revenue_share); (3) the five oldest r07-green entries
+    (revenue_concentration .. fuzzy_name_match).  After this window
+    completes, no registered entry's newest verdict predates r07.
+    r11 NOTE: rotate (a) any never-verified r11 additions first,
+    then (b) the remaining 45 r07-green entries (event_transition_matrix
+    .. copurchase_pairs), then (c) start on the r08-verified block;
+    the r09- and r10-verified blocks rotate last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- (1) the EIGHT r08 additions, never driver-verified ---
-        "nearest_centroid_eval": S.nearest_centroid_eval,
-        "ann_recall_eval": S.ann_recall_eval,
-        "exact_ngram_dedup": D.exact_ngram_dedup,
-        "dup_span_cutlist": D.dup_span_cutlist,
-        "gap_interpolate_daily": B.gap_interpolate_daily,
-        "benford_screen": Q.benford_screen,
-        "hard_negative_mining": S.hard_negative_mining,
-        "group_split_no_leakage": P.group_split_no_leakage,
-        # --- (2) ALL 34 r05-green entries (newest verdict four rounds old) ---
-        "token_count": T.token_count,
-        "lang_id": T.lang_id,
-        "fingerprint": T.fingerprint,
-        "kmv_distinct_tokens": K.kmv_distinct_tokens,
-        "ann_cosine_topk": S.ann_cosine_topk,
-        "ann_ivf_topk": S.ann_ivf_topk,
-        "embedding_norms": S.embedding_norms,
-        "window_tumbling": W.window_tumbling,
-        "hypertable_daily": W.hypertable_daily,
-        "window_sliding": W.window_sliding,
-        "window_session": W.window_session,
-        "corpus_quality_filter": P.corpus_quality_filter,
-        "corpus_curation_manifest": P.corpus_curation_manifest,
-        "pivot_wide": AN.pivot_wide,
-        "date_functions": AN.date_functions,
-        "window_rank": R.window_rank,
-        "window_ranking": AN.window_ranking,
-        "text_normalize": C.text_normalize,
-        "doc_chunks": C.doc_chunks,
-        "ngram_counts": C.ngram_counts,
-        "cdc_latest_state": C.cdc_latest_state,
-        "source_temperature_mix": C.source_temperature_mix,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "skew_salted_revenue": R.skew_salted_revenue,
-        "price_histogram": AN.price_histogram,
-        "null_semantics": AN.null_semantics,
-        "set_ops_all": R.set_ops_all,
-        "range_frame_sum": AN.range_frame_sum,
-        "string_agg_priorities": R.string_agg_priorities,
-        "window_first_last": AN.window_first_last,
-        "conditional_aggs": AN.conditional_aggs,
-        "bitwise_functions": AN.bitwise_functions,
-        "try_cast_handling": R.try_cast_handling,
-        "date_parts": AN.date_parts,
-        # --- (3) eight r06-green entries: the seven oldest plus
-        # setsim_join_prefix, whose prefix-join internals changed this
-        # round (64-bit token hashing) and therefore needs a fresh
-        # verdict ahead of its unmodified r06 peers ---
-        "streaming_state_agreement": ST.streaming_state_agreement,
-        "srp_lsh_topk": S.srp_lsh_topk,
-        "sliding_distinct_users": W.sliding_distinct_users,
-        "bigram_lm_fluency": T.bigram_lm_fluency,
-        "session_path_topk": B.session_path_topk,
-        "embedding_outliers": S.embedding_outliers,
-        "streaming_window_agreement": ST.streaming_window_agreement,
-        "setsim_join_prefix": D.setsim_join_prefix,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round; r10 NOTE: rotate (a) any never-verified r09 additions
-        # first (appended at the END of this dict, see the marker
-        # comment below), then (b) the remaining r06-green block
-        # (jsonl_roundtrip ..), then (c) start on the r07-green block
-        # (revenue_concentration ..); the r08-verified block (newest
-        # verdicts, streaming_dedup_agreement ..) rotates last.
-        # ------------------------------------------------------------------
-        # --- remaining r06-green entries ---
+        # --- (1) NEW in r10, never driver-verified ---
+        "semantic_dedup": D.semantic_dedup,
+        "setsim_hash_agreement": D.setsim_hash_agreement,
+        "ngram_hash_agreement": D.ngram_hash_agreement,
+        # --- (2) ALL 42 r06-green entries (oldest verdict tier) ---
         "jsonl_roundtrip": TF.jsonl_roundtrip,
         "compaction_roundtrip": CP.compaction_roundtrip,
         "incremental_ingest_certificate": IC.incremental_ingest_certificate,
@@ -169,12 +110,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster": AN.zorder_cluster,
         "interval_overlap_join": A.interval_overlap_join,
         "revenue_share": AN.revenue_share,
-        # --- r07-green entries ---
+        # --- (3) the five oldest r07-green entries ---
         "revenue_concentration": AN.revenue_concentration,
         "degree_assortativity": G.degree_assortativity,
         "dedup_cluster_sizes": P.dedup_cluster_sizes,
         "watermark_late_audit": W.watermark_late_audit,
         "fuzzy_name_match": T.fuzzy_name_match,
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round (see the r11 NOTE in the docstring above for the next
+        # rotation).
+        # ------------------------------------------------------------------
+        # --- remaining 45 r07-green entries (head of the r11 window
+        # after any r11 additions) ---
         "event_transition_matrix": B.event_transition_matrix,
         "seasonality_profile": B.seasonality_profile,
         "cms_heavy_hitters": K.cms_heavy_hitters,
@@ -271,7 +219,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": D.simhash_pairs,
         "ngram_jaccard_topk": D.ngram_jaccard_topk,
         "text_stats": T.text_stats,
-        # --- NEW in r09, never driver-verified: first into r10 ---
+        # --- r09-verified entries (the r09 window; rotate last) ---
+        # (1) the EIGHT r08 additions, verified r09
+        "nearest_centroid_eval": S.nearest_centroid_eval,
+        "nearest_centroid_eval": S.nearest_centroid_eval,
+        "ann_recall_eval": S.ann_recall_eval,
+        "exact_ngram_dedup": D.exact_ngram_dedup,
+        "dup_span_cutlist": D.dup_span_cutlist,
+        "gap_interpolate_daily": B.gap_interpolate_daily,
+        "benford_screen": Q.benford_screen,
+        "hard_negative_mining": S.hard_negative_mining,
+        "group_split_no_leakage": P.group_split_no_leakage,
+        # (2) the 34 r05-green entries, verified r09
+        "token_count": T.token_count,
+        "lang_id": T.lang_id,
+        "fingerprint": T.fingerprint,
+        "kmv_distinct_tokens": K.kmv_distinct_tokens,
+        "ann_cosine_topk": S.ann_cosine_topk,
+        "ann_ivf_topk": S.ann_ivf_topk,
+        "embedding_norms": S.embedding_norms,
+        "window_tumbling": W.window_tumbling,
+        "hypertable_daily": W.hypertable_daily,
+        "window_sliding": W.window_sliding,
+        "window_session": W.window_session,
+        "corpus_quality_filter": P.corpus_quality_filter,
+        "corpus_curation_manifest": P.corpus_curation_manifest,
+        "pivot_wide": AN.pivot_wide,
+        "date_functions": AN.date_functions,
+        "window_rank": R.window_rank,
+        "window_ranking": AN.window_ranking,
+        "text_normalize": C.text_normalize,
+        "doc_chunks": C.doc_chunks,
+        "ngram_counts": C.ngram_counts,
+        "cdc_latest_state": C.cdc_latest_state,
+        "source_temperature_mix": C.source_temperature_mix,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "skew_salted_revenue": R.skew_salted_revenue,
+        "price_histogram": AN.price_histogram,
+        "null_semantics": AN.null_semantics,
+        "set_ops_all": R.set_ops_all,
+        "range_frame_sum": AN.range_frame_sum,
+        "string_agg_priorities": R.string_agg_priorities,
+        "window_first_last": AN.window_first_last,
+        "conditional_aggs": AN.conditional_aggs,
+        "bitwise_functions": AN.bitwise_functions,
+        "try_cast_handling": R.try_cast_handling,
+        "date_parts": AN.date_parts,
+        # (3) eight r06-green entries verified r09: the seven oldest
+        # plus setsim_join_prefix, rotated ahead of its unmodified r06
+        # peers in anticipation of the prefix-join rework (the 64-bit
+        # token hashing itself shipped in r10, not r09 — the r09 note
+        # claiming otherwise was wrong; VERDICT r09 What's-wrong #1)
+        "streaming_state_agreement": ST.streaming_state_agreement,
+        "srp_lsh_topk": S.srp_lsh_topk,
+        "sliding_distinct_users": W.sliding_distinct_users,
+        "bigram_lm_fluency": T.bigram_lm_fluency,
+        "session_path_topk": B.session_path_topk,
+        "embedding_outliers": S.embedding_outliers,
+        "streaming_window_agreement": ST.streaming_window_agreement,
+        "setsim_join_prefix": D.setsim_join_prefix,
+        # --- NEW in r10 (late additions, if any): first into r11 ---
     }
     return q
 
@@ -631,4 +638,11 @@ def oracle_sql() -> dict[str, str]:
         "streaming_join_agreement": ST.STREAMING_JOIN_AGREEMENT_SQL,
         "dedup_cluster_sizes": P.dedup_cluster_sizes_sql(),
         "watermark_late_audit": W.WATERMARK_LATE_AUDIT_SQL,
+        # r10: SemDeDup + the 64-bit-key agreement certificates.  The
+        # certificate oracles compute the STRING-semantics truth and
+        # pin zero mismatches, so a hash collision (or any hashed/
+        # string divergence) turns the entry red at the driver gate.
+        "semantic_dedup": D.SEMANTIC_DEDUP_SQL,
+        "setsim_hash_agreement": D.SETSIM_HASH_AGREEMENT_SQL,
+        "ngram_hash_agreement": D.NGRAM_HASH_AGREEMENT_SQL,
     }

@@ -683,6 +683,163 @@ def dedup_embedding_cosine_sql(quant_bits: int = NEARDUP_QUANT_BITS) -> str:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+# Synthetic-gaussian fixture calibration: intra-cluster cosines top
+# out near 0.5-0.6, so the demo threshold sits where every SF yields
+# a non-trivial drop set (87/99/706 tau-pairs at sf0.001/0.01/0.1).
+# Real embedding corpora run ~0.95+ (the paper's 1 - eps).
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication over the embedding corpus —
+    the dedup ladder's embedding-level rung (exact → simhash →
+    MinHash → setsim → substring → THIS): cluster vectors by nearest
+    centroid, and within each cluster drop every vector that has
+    cosine >= SEMDEDUP_TAU with ANY cluster-mate ranked before it.
+    Rank keeps the LOW-centroid-similarity (= far-from-centroid)
+    member of each duplicate neighborhood, the retention rule the
+    paper found best preserves diversity: y outranks x iff
+    (y.d2 > x.d2) or (y.d2 == x.d2 and y.vec_id < x.vec_id).  Per
+    the reference implementation, "ranked before" is evaluated
+    against ALL cluster-mates, dropped or not — the rule is one
+    matrix pass, not an iterative selection.
+
+    Emits one row per vector: (vec_id, cid, keep, dup_of) with
+    dup_of = the highest-ranked dominator (NULL for kept rows).
+
+    Scale: clustering reuses the broadcast-centroid assignment of
+    embedding_kmeans/_cells — at fixture scale the centroid set is
+    the deterministic vec_id % 97 subsample; at 100 TB it comes from
+    an offline k-means whose K grows with the corpus so the expected
+    cluster stays ~constant-sized, keeping the intra-cluster pair
+    pass LINEAR in the corpus (cluster_size x corpus rows, the
+    SemDeDup design point).  The pair self-join is cid-keyed — a hot
+    cluster is the one skew risk, bounded upstream by K (and by the
+    salting device if a production corpus demands it); nothing is
+    ever all-pairs across clusters.
+
+    Determinism vs DuckDB: centroid assignment is the proven
+    array_min-struct argmin (== ROW_NUMBER d2 ASC, cid ASC); d2 and
+    cosine are strict left folds; cosine rounds to 6 before the tau
+    compare; dominator choice is a (d2 DESC, vec_id ASC) row_number
+    — every device already hash-verified in embedding_kmeans /
+    dedup_embedding_cosine / nearest_centroid_eval.
+    """
+    from smile_spark.operators.similarity import (
+        _assign,
+        _cells,
+        _dot,
+        _norm,
+        _vectors,
+    )
+
+    emb = _vectors(spark, sf_dir)
+    cents = _cells(spark, sf_dir)
+    assigned = _assign(emb, cents)
+    x = assigned.select(
+        F.col("vec_id").alias("xid"),
+        F.col("v").alias("xv"),
+        "cid",
+        F.col("d2").alias("xd2"),
+    )
+    y = assigned.select(
+        F.col("vec_id").alias("yid"),
+        F.col("v").alias("yv"),
+        "cid",
+        F.col("d2").alias("yd2"),
+    )
+    doms = (
+        x.join(y, "cid")
+        .filter(
+            (F.col("xid") != F.col("yid"))
+            & (
+                (F.col("yd2") > F.col("xd2"))
+                | (
+                    (F.col("yd2") == F.col("xd2"))
+                    & (F.col("yid") < F.col("xid"))
+                )
+            )
+        )
+        .withColumn(
+            "cos_r",
+            F.round(
+                _dot("xv", "yv") / (_norm("xv") * _norm("yv")), 6
+            ),
+        )
+        .filter(F.col("cos_r") >= SEMDEDUP_TAU)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("xid").orderBy(
+        F.desc("yd2"), F.asc("yid")
+    )
+    first_dom = (
+        doms.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("xid", F.col("yid").alias("dup_of"))
+    )
+    return (
+        assigned.join(
+            first_dom, assigned["vec_id"] == first_dom["xid"], "left"
+        )
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("xid").isNull().alias("keep"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+        )
+    )
+
+
+def semantic_dedup_sql() -> str:
+    """Exact DuckDB oracle: same centroid subsample, same fold-exact
+    d2/cosine, same argmin and dominator tie-breaks."""
+    from smile_spark.operators.similarity import CENTROID_MOD
+
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),"
+        " (x, y) -> x + y)"
+    )
+    cos = (
+        "list_reduce(list_transform(generate_series(1, len(x.v)),"
+        " i -> x.v[i] * y.v[i]), (a, b) -> a + b)"
+        " / (sqrt(list_reduce(list_transform(x.v, t -> t * t),"
+        " (a, b) -> a + b))"
+        " * sqrt(list_reduce(list_transform(y.v, t -> t * t),"
+        " (a, b) -> a + b)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, t -> CAST(t AS DOUBLE)) AS v"
+        " FROM embeddings),"
+        f" c AS (SELECT vec_id AS cid, v AS cv FROM e"
+        f"  WHERE vec_id % {CENTROID_MOD} = 0),"
+        f" s AS (SELECT e.vec_id, e.v, c.cid, {d2} AS d2 FROM e, c),"
+        " a AS (SELECT vec_id, v, cid, d2 FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        "   ORDER BY d2 ASC, cid ASC) AS rn FROM s) WHERE rn = 1),"
+        " doms AS (SELECT x.vec_id AS xid, y.vec_id AS yid, y.d2 AS yd2"
+        "  FROM a x JOIN a y ON x.cid = y.cid"
+        "   AND x.vec_id <> y.vec_id"
+        "   AND (y.d2 > x.d2 OR (y.d2 = x.d2 AND y.vec_id < x.vec_id))"
+        f"  WHERE ROUND({cos}, 6) >= {SEMDEDUP_TAU}),"
+        " fd AS (SELECT xid, yid AS dup_of FROM ("
+        "  SELECT xid, yid, ROW_NUMBER() OVER (PARTITION BY xid"
+        "   ORDER BY yd2 DESC, yid ASC) AS rn FROM doms) WHERE rn = 1)"
+        " SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,"
+        " fd.xid IS NULL AS keep, CAST(fd.dup_of AS BIGINT) AS dup_of"
+        " FROM a LEFT JOIN fd ON fd.xid = a.vec_id"
+    )
+
+
+SEMANTIC_DEDUP_SQL = semantic_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 
@@ -991,19 +1148,31 @@ SETSIM_PAIRS_PER_TASK = 500_000
 SETSIM_MAX_SALTS = 64
 
 
+def _setsim_n_salts_pairs(
+    hot_pairs: int,
+    pairs_per_task: int = SETSIM_PAIRS_PER_TASK,
+    cap: int = SETSIM_MAX_SALTS,
+) -> int:
+    """Salt factor from the hottest token's OBSERVED candidate-pair
+    count (probe-bucket x index-bucket product): the join must spread
+    those pairs so no task exceeds ``pairs_per_task``.  Monotone in
+    the skew, 1 for small corpora (no replication overhead), capped so
+    the replicated index side stays bounded."""
+    return max(1, min(cap, -(-hot_pairs // pairs_per_task)))
+
+
 def _setsim_n_salts(
     hot_bucket: int,
     pairs_per_task: int = SETSIM_PAIRS_PER_TASK,
     cap: int = SETSIM_MAX_SALTS,
 ) -> int:
-    """Salt factor for the prefix-token join, derived from the hottest
-    observed prefix-bucket size: the token shared by ``hot_bucket``
-    docs yields ~hot^2/2 candidate pairs, and the join must spread
-    them so no task exceeds ``pairs_per_task``.  Monotone in the skew,
-    1 for small corpora (no replication overhead), capped so the
-    replicated small side stays bounded."""
-    pairs = hot_bucket * hot_bucket // 2
-    return max(1, min(cap, -(-pairs // pairs_per_task)))
+    """Salt factor for a SYMMETRIC prefix bucket of ``hot_bucket``
+    docs (~hot^2/2 candidate pairs) — kept for the property tests;
+    the production path sizes from the asymmetric probe x index
+    product via :func:`_setsim_n_salts_pairs`."""
+    return _setsim_n_salts_pairs(
+        hot_bucket * hot_bucket // 2, pairs_per_task, cap
+    )
 
 
 def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1037,29 +1206,136 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on tok (rare keys, bounded skew) and the verify stage is
     semi-joined down to candidate ids first — no corpus-proportional
     table is ever broadcast (the r05 design's one scale defect).
+    Tokens are 64-bit ``xxhash64`` keys end to end (see
+    :func:`setsim_join_frame`); the string path survives behind
+    ``spark.smile.setsim.tokenHash=false`` as the oracle-shaped form.
     """
     return setsim_join_frame(table(spark, sf_dir, "documents"))
 
 
-def setsim_join_frame(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
+# Checkpointed intermediates of the MOST RECENT setsim_join_frame
+# call, released at the start of the next call: each invocation
+# localCheckpoints four stages (toks / prefix / cand / arrays), and
+# without this hand-off repeated invocations in one session (bench
+# warmup + timed passes + decay samples = 5-7 runs) accumulate
+# gigabytes of dead blocks in executor storage — measured as 11 s ->
+# 48 s timing blowups by the fifth back-to-back run at sf0.1.  Same
+# constraint as the LSH/LPA memos: the PREVIOUS result must be fully
+# consumed before the next call (true for the bench and driver, which
+# run queries sequentially).
+_SETSIM_LIVE_CHECKPOINTS: list[DataFrame] = []
+
+
+def _setsim_release_previous() -> None:
+    from smile_spark.session import unpersist_checkpoint
+
+    while _SETSIM_LIVE_CHECKPOINTS:
+        unpersist_checkpoint(_SETSIM_LIVE_CHECKPOINTS.pop())
+
+
+def setsim_join_frame(
+    docs: DataFrame,
+    checkpoint: bool = True,
+    hash_tokens: bool | None = None,
+    release_previous: bool = True,
+) -> DataFrame:
     """The prefix-filtered exact Jaccard join over any (doc_id, text)
     frame — the core of :func:`setsim_join_prefix`, exposed for reuse
     and boundary testing (pairs with Jaccard EXACTLY tau are the cases
     the integer thresholds exist for).
 
+    ``hash_tokens`` (default: session conf
+    ``spark.smile.setsim.tokenHash``, true) replaces every token with
+    its ``xxhash64`` BEFORE the first shuffle: the per-doc distinct,
+    the document-frequency aggregate, the prefix equi-join key, and
+    the verify-side token arrays all carry fixed-width 8-byte longs
+    instead of variable-length strings — at 100 TB the shuffle-byte
+    cut on the tokenize/distinct and prefix-join stages is the
+    difference between a network-bound and a CPU-bound job.  The pair
+    set is IDENTICAL to the string path (the prefix filter only needs
+    a consistent global token order, and any total order works; the
+    (df, tok) tie-break just becomes (df, hash)) unless two corpus
+    tokens collide in 64 bits — ~1e-9 for a 10^5-token fixture
+    vocabulary, and detected rather than trusted:
+    :func:`setsim_hash_agreement` certifies path agreement on a
+    corpus block, and tests/test_dedup.py asserts full-output
+    equality at two SFs.  ``hash_tokens=False`` keeps the raw-string
+    path (the form the textual DuckDB oracle mirrors token-for-token).
+
     ``checkpoint=False`` keeps the full logical plan visible (the
     candidate table otherwise localCheckpoints, because it feeds both
     the id semi-join and the verify join) — used by the plan audit.
     """
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
+    if hash_tokens is None:
+        hash_tokens = str(
+            docs.sparkSession.conf.get("spark.smile.setsim.tokenHash", "true")
+        ).lower() == "true"
+    if checkpoint and release_previous:
+        # free the previous invocation's checkpointed stages before
+        # materializing this one's (see _SETSIM_LIVE_CHECKPOINTS).
+        # release_previous=False lets one query run the join TWICE
+        # (setsim_hash_agreement) without the second call freeing the
+        # first's still-unconsumed blocks.
+        _setsim_release_previous()
+    raw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
+    if hash_tokens:
+        # hash BEFORE the distinct so even the first shuffle moves
+        # 8-byte keys, not token text
+        raw = raw.select("doc_id", F.xxhash64("tok").alias("tok"))
+    toks = raw.distinct()
     if checkpoint:
         # toks feeds BOTH the prefix pipeline and the verify-side
         # array collection — materialize the tokenize+distinct once
         # instead of twice per run (measured ~3 s/pass at sf0.1)
         toks = toks.localCheckpoint()
+        _SETSIM_LIVE_CHECKPOINTS.append(toks)
+    # GROUP step (the GroupJoin optimization, Bouros et al. EDBT'12):
+    # documents with IDENTICAL distinct-token sets are interchangeable
+    # for set similarity — J(a, b) = 1 within a group, and J(a, x)
+    # is identical for every member a of a group.  On a template-heavy
+    # corpus this collapses the quadratic core hard (sf0.1: 5,000 docs
+    # -> 3,935 unique sets, one group of 248 verbatim-template docs
+    # alone accounts for 30.6k result pairs), so the prefix join,
+    # candidate distinct, and exact verify all run on GROUP
+    # REPRESENTATIVES only; results expand back through two
+    # output-proportional membership joins plus the intra-group
+    # all-pairs (J = 1 by construction, no verify needed).  Grouping
+    # is EXACT — the group key is the sorted token array itself, not
+    # a hash — and costs one corpus-linear groupBy(doc) + one
+    # groupBy(set) shuffle, which the verify-array collection needed
+    # to build anyway.  Lossless: every output value (na, nb, i,
+    # jaccard) depends on the pair's token SETS only.
+    dsets = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tok")).alias("ts")
+    )
+    if checkpoint:
+        # dsets feeds the membership aggregate AND the verify arrays
+        dsets = dsets.localCheckpoint()
+        _SETSIM_LIVE_CHECKPOINTS.append(dsets)
+    membership = (
+        dsets.groupBy("ts")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("ms"),
+        )
+        .select(
+            F.explode("ms").alias("doc_id"),
+            "rep",
+            F.size("ts").cast("bigint").alias("n"),
+        )
+    )
+    if checkpoint:
+        # membership is read five times (rep filter, expansion x2,
+        # intra-group x2) and is tiny — (doc_id, rep, n) ints
+        membership = membership.localCheckpoint()
+        _SETSIM_LIVE_CHECKPOINTS.append(membership)
+    reps = membership.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id"
+    )
+    # the quadratic core sees representatives only from here on
+    toks = toks.join(reps, "doc_id", "semi")
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql.window import Window
@@ -1070,95 +1346,139 @@ def setsim_join_frame(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
         .join(sizes, "doc_id")
         .withColumn("pos", F.row_number().over(wdoc))
     )
-    # plen = n - ceil(tau*n) + 1, ceil in exact integers
+    # ASYMMETRIC prefixes (PPJoin, Xiao et al. TODS'11): the probe
+    # side keeps the AllPairs length plen = n - ceil(tau*n) + 1, the
+    # INDEX side only needs plen_idx = n - ceil(2*tau/(1+tau)*n) + 1.
+    # Lossless: for a qualifying pair let w be the FIRST shared token
+    # in the global (df, tok) order and y the canonical-smaller doc
+    # ((n, id) order).  All shared tokens rank >= w, so the overlap i
+    # satisfies i <= n_side - pos_side(w) + 1 on EACH side; with
+    # i >= alpha = ceil(tau/(1+tau)*(nx+ny)) >= ceil(tau*nx) (length
+    # filter) the probe bound follows, and alpha >=
+    # ceil(2*tau/(1+tau)*ny) (ny <= nx) gives the sharper index
+    # bound.  At tau = 9/10 the index prefix is ~n/19 + 1 vs ~n/10 + 1
+    # — the raw join output (sum over tokens of probe-bucket x
+    # index-bucket) roughly HALVES vs the symmetric join, measured
+    # 3.28M -> 2.0M candidates at sf0.1.  Ceils in exact integers.
     ceil_tau_n = F.expr(
         f"({SETSIM_TAU_NUM} * n + {SETSIM_TAU_DEN - 1})"
         f" div {SETSIM_TAU_DEN}"
     )
     plen = F.col("n") - ceil_tau_n + 1
+    ceil_idx_n = F.expr(
+        f"(2 * {SETSIM_TAU_NUM} * n + {_SETSIM_ALPHA_DEN - 1})"
+        f" div {_SETSIM_ALPHA_DEN}"
+    )
+    plen_idx = F.col("n") - ceil_idx_n + 1
     prefix = ranked.filter(F.col("pos") <= plen).select(
-        "doc_id", "tok", "n", "pos"
+        "doc_id",
+        "tok",
+        "n",
+        "pos",
+        (F.col("pos") <= plen_idx).alias("in_idx"),
     )
     if checkpoint:
         # prefix feeds the salt-factor probe plus both join sides —
         # cut the lineage so the rank window computes exactly once
         prefix = prefix.localCheckpoint()
-    # Size the salt factor from the OBSERVED hottest prefix bucket
-    # instead of a hand-tuned constant: a bucket of h docs yields
-    # ~h^2/2 candidate pairs for that token, and the salt spread must
-    # keep each task's share bounded regardless of how template-heavy
-    # the corpus is.  The probe is one tiny aggregate over the
-    # (checkpointed) prefix table — O(distinct prefix tokens) rows.
-    # A session conf overrides for cluster-specific tuning.
+        _SETSIM_LIVE_CHECKPOINTS.append(prefix)
+    # Size the salt factor from the OBSERVED hottest token's
+    # probe-bucket x index-bucket product instead of a hand-tuned
+    # constant: that product is the candidate-pair count the join
+    # emits for the token, and the salt spread must keep each task's
+    # share bounded regardless of how template-heavy the corpus is.
+    # The probe is one tiny aggregate over the (checkpointed) prefix
+    # table — O(distinct prefix tokens) rows.  A session conf
+    # overrides for cluster-specific tuning.
     conf_salts = docs.sparkSession.conf.get("spark.smile.setsim.nSalts", None)
     if conf_salts is not None:
         n_salts = int(conf_salts)
     else:
         hot = (
             prefix.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c").alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("cp"),
+                F.sum(F.col("in_idx").cast("bigint")).alias("ci"),
+            )
+            .agg(F.max(F.col("cp") * F.col("ci")).alias("h"))
             .first()["h"]
         )
-        n_salts = _setsim_n_salts(int(hot or 0))
-    pa = prefix.select(
-        F.col("doc_id").alias("a"),
+        n_salts = _setsim_n_salts_pairs(int(hot or 0))
+    px = prefix.select(
+        F.col("doc_id").alias("x"),
         "tok",
-        F.col("n").alias("na"),
-        F.col("pos").alias("ia"),
+        F.col("n").alias("nx"),
+        F.col("pos").alias("ix"),
     )
-    pb = prefix.select(
-        F.col("doc_id").alias("b"),
+    py = prefix.filter("in_idx").select(
+        F.col("doc_id").alias("y"),
         "tok",
-        F.col("n").alias("nb"),
-        F.col("pos").alias("ib"),
+        F.col("n").alias("ny"),
+        F.col("pos").alias("iy"),
     )
     # PPJoin positional filter: a shared prefix token at positions
-    # (ia, ib) bounds the overlap by 1 + min(na-ia, nb-ib); pairs that
-    # cannot reach the required alpha = ceil(tau/(1+tau)*(na+nb)) are
+    # (ix, iy) bounds the overlap by 1 + min(nx-ix, ny-iy); pairs that
+    # cannot reach the required alpha = ceil(tau/(1+tau)*(nx+ny)) are
     # dropped INSIDE the join (lossless: the bound holds for the first
     # shared token of any qualifying pair).  On this template-heavy
     # corpus the raw prefix join upper bound is 44M rows at sf0.1 —
-    # the inline filters keep that from ever reaching the distinct.
+    # the asymmetric index prefix and the inline filters keep that
+    # from ever reaching the distinct.
     alpha = F.expr(
-        f"({_SETSIM_ALPHA_NUM} * (na + nb) + {_SETSIM_ALPHA_DEN - 1})"
+        f"({_SETSIM_ALPHA_NUM} * (nx + ny) + {_SETSIM_ALPHA_DEN - 1})"
         f" div {_SETSIM_ALPHA_DEN}"
     )
     # The prefix-token join is SALTED (functions/skew.py): "prefix
     # tokens are rare" fails on a template-heavy corpus — here the
-    # hottest prefix token sits in 3,816 docs' prefixes at sf0.1, so a
-    # plain shuffle join does that token's 14.6M candidate pairs in
-    # ONE task (output amplification AQE's skew split can't see: the
-    # INPUT partitions are tiny).  Salting spreads each hot token over
-    # n_salts reducers by replicating the 14k-row a-side — bounded
-    # cost, balanced output.  The previous explicit broadcast of the
-    # full prefix table was balanced too but grew with the corpus and
-    # would hit the 8GB broadcast cap / driver OOM long before 100 TB
-    # (VERDICT r05 What's-wrong #1); the salted join keeps the balance
-    # with a corpus-independent replication factor instead.
+    # hottest prefix token sits in 3,816 docs' probe prefixes at
+    # sf0.1, so a plain shuffle join does that token's millions of
+    # candidate pairs in ONE task (output amplification AQE's skew
+    # split can't see: the INPUT partitions are tiny).  Salting
+    # spreads each hot token over n_salts reducers by replicating the
+    # (short-prefix, hence small) index side — bounded cost, balanced
+    # output.  The previous explicit broadcast of the full prefix
+    # table was balanced too but grew with the corpus and would hit
+    # the 8GB broadcast cap / driver OOM long before 100 TB (VERDICT
+    # r05 What's-wrong #1); the salted join keeps the balance with a
+    # corpus-independent replication factor instead.
     from smile_spark.functions.skew import salted_join
 
     cand = (
-        salted_join(pb, pa, "tok", n_salts=n_salts)
+        salted_join(px, py, "tok", n_salts=n_salts)
         .filter(
-            (F.col("a") < F.col("b"))
-            & (
-                F.lit(SETSIM_TAU_DEN) * F.col("nb")
-                >= F.lit(SETSIM_TAU_NUM) * F.col("na")
+            # y strictly canonical-smaller than x in (n, id) order —
+            # each unordered pair is generated in exactly one role
+            # assignment, and the index-prefix bound applies to y
+            (
+                (F.col("ny") < F.col("nx"))
+                | ((F.col("ny") == F.col("nx")) & (F.col("y") < F.col("x")))
             )
+            # length filter: ny >= tau * nx (the other direction is
+            # implied by ny <= nx)
             & (
-                F.lit(SETSIM_TAU_DEN) * F.col("na")
-                >= F.lit(SETSIM_TAU_NUM) * F.col("nb")
+                F.lit(SETSIM_TAU_DEN) * F.col("ny")
+                >= F.lit(SETSIM_TAU_NUM) * F.col("nx")
             )
             & (
                 1
                 + F.least(
-                    F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")
+                    F.col("nx") - F.col("ix"), F.col("ny") - F.col("iy")
                 )
                 >= alpha
             )
         )
-        .select("a", "b", "na", "nb")
+        # output contract is id-ordered (a < b), independent of the
+        # (n, id) role order the join used
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            F.when(F.col("x") < F.col("y"), F.col("nx"))
+            .otherwise(F.col("ny"))
+            .alias("na"),
+            F.when(F.col("x") < F.col("y"), F.col("ny"))
+            .otherwise(F.col("nx"))
+            .alias("nb"),
+        )
         .distinct()
     )
     if checkpoint:
@@ -1166,6 +1486,7 @@ def setsim_join_frame(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
         # lineage so the (expensive) prefix join runs exactly once,
         # the same contract as _dedup_minhash_lsh_build's cand.
         cand = cand.localCheckpoint()
+        _SETSIM_LIVE_CHECKPOINTS.append(cand)
     # Exact verification only ever touches documents that appear in a
     # candidate pair — semi-join the token-array table down to those
     # ids BEFORE collecting arrays (the dedup_minhash_lsh template at
@@ -1177,15 +1498,14 @@ def setsim_join_frame(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
         .union(cand.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    arrays = (
-        toks.join(F.broadcast(cand_ids), "doc_id", "semi")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("tok")).alias("toks"))
+    arrays = dsets.join(F.broadcast(cand_ids), "doc_id", "semi").select(
+        "doc_id", F.col("ts").alias("toks")
     )
     if checkpoint:
         # both verify sides read arrays — one corpus token explode,
         # not two (the table itself is candidate-bounded, i.e. tiny)
         arrays = arrays.localCheckpoint()
+        _SETSIM_LIVE_CHECKPOINTS.append(arrays)
     # fan_out BEFORE the verify: AQE coalesces the candidate distinct
     # to ~1 partition by its shuffle BYTES (3.28M 4-int rows compress
     # small), but verify cost is per-ROW array_intersect work — the
@@ -1220,32 +1540,144 @@ def setsim_join_frame(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
         )
         .filter(F.col("jaccard") >= SETSIM_TAU)
     )
-    return verified.select(
-        "a",
-        "b",
-        F.col("na").cast("bigint").alias("na"),
-        F.col("nb").cast("bigint").alias("nb"),
-        "i",
-        "jaccard",
+    # EXPAND group representatives back to documents — both joins are
+    # output-proportional (each joined row IS one result row).
+    # Inter-group: a verified rep pair (ra, rb) holds for every
+    # (member of ra's group) x (member of rb's group); na/nb swap with
+    # the id order because the output contract is id-ordered.
+    ma = membership.select(
+        F.col("rep").alias("a"), F.col("doc_id").alias("da")
     )
+    mb = membership.select(
+        F.col("rep").alias("b"), F.col("doc_id").alias("db")
+    )
+    inter = (
+        verified.join(ma, "a")
+        .join(mb, "b")
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            F.when(F.col("da") < F.col("db"), F.col("na"))
+            .otherwise(F.col("nb"))
+            .cast("bigint")
+            .alias("na"),
+            F.when(F.col("da") < F.col("db"), F.col("nb"))
+            .otherwise(F.col("na"))
+            .cast("bigint")
+            .alias("nb"),
+            "i",
+            "jaccard",
+        )
+    )
+    # Intra-group: members share one token set, so every in-group pair
+    # is a result with i = na = nb = n and jaccard exactly 1.0 — no
+    # candidate generation, no verify.  ROUND(n/(n+n-n), 6) = 1.0 on
+    # both engines.
+    ga = membership.select("rep", F.col("doc_id").alias("da"), "n")
+    gb = membership.select("rep", F.col("doc_id").alias("db"))
+    intra = (
+        ga.join(gb, "rep")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("a"),
+            F.col("db").alias("b"),
+            F.col("n").alias("na"),
+            F.col("n").alias("nb"),
+            F.col("n").alias("i"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 # The prefix filter is LOSSLESS, so the oracle needs no prefix logic:
 # exact all-pairs Jaccard >= tau produces the identical pair set.
-SETSIM_JOIN_SQL = (
-    "WITH toks AS (SELECT DISTINCT doc_id, tok FROM documents,"
-    "  unnest(string_split(text, ' ')) t(tok)),"
-    " sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),"
-    " inter AS (SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS i"
-    "  FROM toks ta JOIN toks tb ON ta.tok = tb.tok"
-    "   AND ta.doc_id < tb.doc_id GROUP BY 1, 2),"
-    " jacc AS (SELECT a, b,"
-    "  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,"
-    "  CAST(i AS BIGINT) AS i,"
-    "  ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard"
-    "  FROM inter JOIN sizes sa ON sa.doc_id = inter.a"
-    "  JOIN sizes sb ON sb.doc_id = inter.b)"
-    f" SELECT a, b, na, nb, i, jaccard FROM jacc WHERE jaccard >= {SETSIM_TAU}"
+def _setsim_sql(doc_where: str = "") -> str:
+    """All-pairs exact-Jaccard oracle SQL, optionally over a filtered
+    document block (``doc_where`` like ``"WHERE doc_id % 2 = 0"``)."""
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, tok FROM documents,"
+        f"  unnest(string_split(text, ' ')) t(tok) {doc_where}),"
+        " sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks"
+        "  GROUP BY doc_id),"
+        " inter AS (SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS i"
+        "  FROM toks ta JOIN toks tb ON ta.tok = tb.tok"
+        "   AND ta.doc_id < tb.doc_id GROUP BY 1, 2),"
+        " jacc AS (SELECT a, b,"
+        "  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,"
+        "  CAST(i AS BIGINT) AS i,"
+        "  ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard"
+        "  FROM inter JOIN sizes sa ON sa.doc_id = inter.a"
+        "  JOIN sizes sb ON sb.doc_id = inter.b)"
+        " SELECT a, b, na, nb, i, jaccard FROM jacc"
+        f" WHERE jaccard >= {SETSIM_TAU}"
+    )
+
+
+SETSIM_JOIN_SQL = _setsim_sql()
+
+# Certificate block: doc_id % MOD == 0, the dedup_eval device — MOD
+# is 2 at every fixture SF (so the DuckDB oracle, which cannot observe
+# corpus size, stays exact) and would grow with the corpus at 100 TB
+# so the double-execution audit stays fixed-cost.
+SETSIM_CERT_MOD = 2
+
+
+def setsim_hash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certificate that the 64-bit-token prefix join and the
+    raw-string prefix join produce the IDENTICAL pair set — the audit
+    a production rollout runs before trusting hashed keys at 100 TB,
+    where a silent xxhash64 collision would merge two tokens and
+    could (in the worst case) admit a false pair.  Runs the full
+    prefix-filtered join TWICE over the deterministic audit block
+    (doc_id % SETSIM_CERT_MOD == 0), full-outer-joins the two pair
+    sets on (a, b), and reduces to one row: pair counts per path,
+    pairs common to both, and rounded-jaccard disagreements among
+    common pairs.  Healthy output: all three counts equal, zero
+    mismatches — which is also exactly what the (string-semantics)
+    DuckDB oracle asserts, so ANY hash-induced divergence turns this
+    entry red at the driver's correctness gate rather than silently
+    shipping.
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_CERT_MOD == 0
+    )
+    hashed = setsim_join_frame(docs, hash_tokens=True).select(
+        "a", "b", F.col("jaccard").alias("jh")
+    )
+    strung = setsim_join_frame(
+        docs, hash_tokens=False, release_previous=False
+    ).select("a", "b", F.col("jaccard").alias("js"))
+    both = hashed.join(strung, ["a", "b"], "full")
+    return both.agg(
+        F.sum(F.col("jh").isNotNull().cast("bigint")).alias(
+            "n_pairs_hashed"
+        ),
+        F.sum(F.col("js").isNotNull().cast("bigint")).alias(
+            "n_pairs_string"
+        ),
+        F.sum(
+            (F.col("jh").isNotNull() & F.col("js").isNotNull()).cast(
+                "bigint"
+            )
+        ).alias("n_common"),
+        F.sum(
+            (
+                F.col("jh").isNotNull()
+                & F.col("js").isNotNull()
+                & (F.col("jh") != F.col("js"))
+            ).cast("bigint")
+        ).alias("n_jaccard_mismatch"),
+    )
+
+
+SETSIM_HASH_AGREEMENT_SQL = (
+    "WITH pairs AS ("
+    + _setsim_sql(f"WHERE doc_id % {SETSIM_CERT_MOD} = 0")
+    + ") SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_hashed,"
+    " CAST(COUNT(*) AS BIGINT) AS n_pairs_string,"
+    " CAST(COUNT(*) AS BIGINT) AS n_common,"
+    " CAST(0 AS BIGINT) AS n_jaccard_mismatch FROM pairs"
 )
 
 
@@ -1527,29 +1959,48 @@ def exact_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable gram count, one gram-keyed equi-join back, one doc-keyed
     aggregate — every stage linear in corpus tokens, shuffles keyed on
     gram/doc (hot template grams produce count rows and H joined rows,
-    never H^2).  At 100 TB the gram strings would be 64-bit hashes
-    (xxhash of the window) to cut shuffle bytes; the fixture keeps the
-    raw string so the DuckDB oracle is textual."""
+    never H^2).  The gram key is a 64-bit ``xxhash64`` of the window
+    text (``spark.smile.ngram.gramHash``, default true): a 13-token
+    gram is ~80-100 bytes of text, so hashing cuts the distinct +
+    count + join shuffles ~10x at 100 TB; the string path survives
+    behind the conf as the oracle-shaped form, and
+    :func:`ngram_hash_agreement` certifies the two paths agree."""
     return exact_ngram_frame(
         table(spark, sf_dir, "documents"), SUBSTR_GRAM_N
     )
 
 
-def exact_ngram_frame(docs: DataFrame, n: int) -> DataFrame:
+def _gram_expr(n: int, hashed: bool) -> str:
+    """SQL expr producing the per-doc array of n-gram keys over the
+    token array ``tk`` — raw window text, or its xxhash64 (8-byte
+    shuffle keys; see exact_ngram_dedup's scale note)."""
+    win = f"array_join(slice(tk, i, {n}), ' ')"
+    if hashed:
+        win = f"xxhash64({win})"
+    return f"transform(sequence(1, size(tk) - {n - 1}), i -> {win})"
+
+
+def _gram_hash_conf(docs: DataFrame, hash_grams: bool | None) -> bool:
+    if hash_grams is None:
+        return str(
+            docs.sparkSession.conf.get("spark.smile.ngram.gramHash", "true")
+        ).lower() == "true"
+    return hash_grams
+
+
+def exact_ngram_frame(
+    docs: DataFrame, n: int, hash_grams: bool | None = None
+) -> DataFrame:
     """Core per-doc duplicate-gram profile over any (doc_id, text)
     frame at window size ``n`` — exposed for property testing with
-    small grams."""
+    small grams.  ``hash_grams`` as in :func:`dup_span_frame`."""
+    hashed = _gram_hash_conf(docs, hash_grams)
     toks = docs.select(
         "doc_id", F.split("text", " ").alias("tk")
     ).filter(F.size("tk") >= n)
     grams = toks.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(tk) - {n - 1}),"
-                f" i -> array_join(slice(tk, i, {n}), ' '))"
-            )
-        ).alias("gram"),
+        F.explode(F.expr(_gram_expr(n, hashed))).alias("gram"),
     ).distinct()
     gstat = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
     per = (
@@ -1571,24 +2022,92 @@ def exact_ngram_frame(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
-EXACT_NGRAM_DEDUP_SQL = (
-    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk"
-    "  FROM documents),"
-    " eligible AS (SELECT doc_id, tk FROM toks"
-    f"  WHERE len(tk) >= {SUBSTR_GRAM_N}),"
-    " grams AS (SELECT DISTINCT doc_id,"
-    f"  array_to_string(tk[i : i + {SUBSTR_GRAM_N - 1}], ' ') AS gram"
-    f"  FROM eligible,"
-    f"  unnest(generate_series(1, len(tk) - {SUBSTR_GRAM_N - 1})) t(i)),"
-    " gstat AS (SELECT gram, COUNT(*) AS ndocs FROM grams GROUP BY gram),"
-    " per AS (SELECT g.doc_id,"
-    "  CAST(COUNT(*) AS BIGINT) AS n_grams,"
-    "  CAST(SUM(CASE WHEN s.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)"
-    "   AS n_dup"
-    "  FROM grams g JOIN gstat s ON s.gram = g.gram GROUP BY g.doc_id)"
-    " SELECT doc_id, n_grams, n_dup,"
-    " ROUND(CAST(n_dup AS DOUBLE) / n_grams, 6) AS dup_frac,"
-    " n_dup * 2 >= n_grams AS flagged FROM per"
+def _exact_ngram_sql(doc_where: str = "") -> str:
+    """Textual n-gram profile oracle SQL, optionally over a filtered
+    document block."""
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        f"  FROM documents {doc_where}),"
+        " eligible AS (SELECT doc_id, tk FROM toks"
+        f"  WHERE len(tk) >= {SUBSTR_GRAM_N}),"
+        " grams AS (SELECT DISTINCT doc_id,"
+        f"  array_to_string(tk[i : i + {SUBSTR_GRAM_N - 1}], ' ') AS gram"
+        f"  FROM eligible,"
+        f"  unnest(generate_series(1, len(tk) - {SUBSTR_GRAM_N - 1}))"
+        "   t(i)),"
+        " gstat AS (SELECT gram, COUNT(*) AS ndocs FROM grams"
+        "  GROUP BY gram),"
+        " per AS (SELECT g.doc_id,"
+        "  CAST(COUNT(*) AS BIGINT) AS n_grams,"
+        "  CAST(SUM(CASE WHEN s.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_dup"
+        "  FROM grams g JOIN gstat s ON s.gram = g.gram"
+        "  GROUP BY g.doc_id)"
+        " SELECT doc_id, n_grams, n_dup,"
+        " ROUND(CAST(n_dup AS DOUBLE) / n_grams, 6) AS dup_frac,"
+        " n_dup * 2 >= n_grams AS flagged FROM per"
+    )
+
+
+EXACT_NGRAM_DEDUP_SQL = _exact_ngram_sql()
+
+
+def ngram_hash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certificate that the xxhash64 13-gram key and the raw-string
+    13-gram key yield IDENTICAL per-document duplication profiles —
+    :func:`setsim_hash_agreement`'s sibling for the exact-substring
+    family (exact_ngram_dedup and dup_span_cutlist share the gram-key
+    device, so one certified key certifies both).  Runs the profile
+    twice over the deterministic audit block (doc_id %
+    SETSIM_CERT_MOD == 0), full-outer-joins per doc_id, and reduces
+    to one row: per-path doc counts, profile disagreements, and the
+    block's total duplicated-gram count as a value anchor.  The
+    DuckDB oracle computes the string-semantics truth, so any
+    hash-induced profile drift turns the entry red at the driver
+    gate.
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_CERT_MOD == 0
+    )
+    ph = exact_ngram_frame(docs, SUBSTR_GRAM_N, hash_grams=True).select(
+        "doc_id",
+        F.col("n_grams").alias("gh"),
+        F.col("n_dup").alias("dh"),
+    )
+    ps = exact_ngram_frame(docs, SUBSTR_GRAM_N, hash_grams=False).select(
+        "doc_id",
+        F.col("n_grams").alias("gs"),
+        F.col("n_dup").alias("ds"),
+    )
+    both = ph.join(ps, "doc_id", "full")
+    return both.agg(
+        F.sum(F.col("gh").isNotNull().cast("bigint")).alias(
+            "n_docs_hashed"
+        ),
+        F.sum(F.col("gs").isNotNull().cast("bigint")).alias(
+            "n_docs_string"
+        ),
+        F.sum(
+            (
+                F.col("gh").isNull()
+                | F.col("gs").isNull()
+                | (F.col("gh") != F.col("gs"))
+                | (F.col("dh") != F.col("ds"))
+            ).cast("bigint")
+        ).alias("n_profile_mismatch"),
+        F.coalesce(F.sum("dh"), F.lit(0)).cast("bigint").alias(
+            "dup_grams"
+        ),
+    )
+
+
+NGRAM_HASH_AGREEMENT_SQL = (
+    "WITH per AS ("
+    + _exact_ngram_sql(f"WHERE doc_id % {SETSIM_CERT_MOD} = 0")
+    + ") SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_hashed,"
+    " CAST(COUNT(*) AS BIGINT) AS n_docs_string,"
+    " CAST(0 AS BIGINT) AS n_profile_mismatch,"
+    " CAST(COALESCE(SUM(n_dup), 0) AS BIGINT) AS dup_grams FROM per"
 )
 
 
@@ -1617,21 +2136,24 @@ def dup_span_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dup_span_frame(docs: DataFrame, n: int) -> DataFrame:
+def dup_span_frame(
+    docs: DataFrame, n: int, hash_grams: bool | None = None
+) -> DataFrame:
     """Core merged-span cut list over any (doc_id, text) frame at
     window size ``n`` — exposed for property testing with small
-    grams."""
+    grams.  ``hash_grams`` (default: conf
+    ``spark.smile.ngram.gramHash``, true) joins on the 64-bit
+    xxhash64 of each window instead of its text — positions, spans,
+    and every output value are unchanged unless two distinct grams
+    collide in 64 bits (certified by :func:`ngram_hash_agreement` and
+    the two-SF equality tests)."""
+    hashed = _gram_hash_conf(docs, hash_grams)
     toks = docs.select(
         "doc_id", F.split("text", " ").alias("tk")
     ).filter(F.size("tk") >= n)
     gpos = toks.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(tk) - {n - 1}),"
-                f" i -> array_join(slice(tk, i, {n}), ' '))"
-            )
-        ).alias("p0", "gram"),
+        F.posexplode(F.expr(_gram_expr(n, hashed))).alias("p0", "gram"),
     ).select("doc_id", (F.col("p0") + 1).alias("i"), "gram")
     gdocs = (
         gpos.select("doc_id", "gram")

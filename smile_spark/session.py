@@ -110,9 +110,25 @@ def unpersist_checkpoint(df) -> None:
     The checkpointed data becomes UNRECOVERABLE (lineage was
     truncated) — only call this on DataFrames no live consumer will
     touch again.  Best-effort: py4j internals may shift across Spark
-    versions, and a leak is preferable to a crash.
+    versions, and a leak is preferable to a crash — but a broken py4j
+    path warns ONCE so a silently-regressed no-op is detectable
+    (ADVICE r09 #3) instead of reporting the leak class as fixed.
     """
+    global _UNPERSIST_WARNED
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # noqa: BLE001 — leak beats crash here
-        pass
+    except Exception as exc:  # noqa: BLE001 — leak beats crash here
+        if not _UNPERSIST_WARNED:
+            _UNPERSIST_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "unpersist_checkpoint is a no-op on this Spark build"
+                f" ({type(exc).__name__}: {exc}); checkpointed blocks"
+                " will leak for the life of the application",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+
+_UNPERSIST_WARNED = False

@@ -135,6 +135,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # cc_labels pointer-jumping rounds localCheckpoint at plan
         # time (the dedup_cluster_sizes precedent)
         "group_split_no_leakage",
+        # runs the prefix join TWICE with localCheckpoints at plan
+        # time (the hashed/string double execution IS the certificate)
+        "setsim_hash_agreement",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set
@@ -171,6 +174,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "hard_negative_mining",
         # composes ann_cosine_topk's accepted 3-row query-set crossJoin
         "ann_recall_eval",
+        # broadcast-crossJoin against the ONE-ROW collapsed centroid
+        # struct array (the _assign device shared with embedding_kmeans)
+        "semantic_dedup",
     }
     for name, fn in sorted(entry_mod.queries().items()):
         if name in skip:
