@@ -159,6 +159,26 @@ def main() -> None:
             round(time.perf_counter() - t0, 4)
         )
 
+    # Cold build of the co-purchase edge/degree/oriented memo chain
+    # (VERDICT r09 next-round #3): clustering_coefficient, kcore_peel,
+    # degree_assortativity and LPA all share these session memos, so
+    # their registered timings read warm tables — price the build once
+    # here, then leave the memos warm for the registered entries
+    # (the lpa_build precedent).  Runs AFTER the lpa loop: the LPA
+    # label memo is independently checkpointed, so clearing the edge
+    # chain underneath it is safe.
+    for _ in range(2):
+        _graph.clear_copurchase_cache()
+        t0 = time.perf_counter()
+        try:
+            _force(_graph._copurchase_oriented_cached(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["oriented_build"] = f"{type(exc).__name__}: {exc}"[:500]
+            break
+        samples.setdefault("oriented_build", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
     # Two passes, min per query: the first pass doubles as per-query
     # warmup (code cache, shuffle-file reuse is disabled by noop's
     # overwrite, OS pagecache), the min filters GC/scheduler noise so
@@ -207,18 +227,6 @@ def main() -> None:
             time_one(name, fn)
             time_one(name, fn)
 
-    run_controls("end")
-
-    timings = {name: min(s) for name, s in samples.items() if s}
-
-    total = round(sum(timings.values()), 4)
-    # Control-normalized totals: total wall time divided by the median
-    # drift-control time (start-side and end-side).  The drift
-    # controls are fixed, cheap, code-stable queries, so the median is
-    # a pure machine/session-speed unit — the driver's bench box runs
-    # ~2.5x slower than a builder-local box on identical commits, and
-    # round-over-round verdicts must compare THESE figures, not raw
-    # seconds (VERDICT r07 next-round #7).
     def _median(vals: list[float]) -> float | None:
         if not vals:
             return None
@@ -233,8 +241,11 @@ def main() -> None:
         # dragged value_norm_end 1.6x away from value_norm_start and
         # made the two normalized figures useless for cross-box
         # comparison (VERDICT r08 next-round #3).  The median is
-        # already robust to the value itself; trimming keeps the
-        # SAMPLE SET identical at both ends when one entry blows up.
+        # already robust to the value itself; trimming bounds a
+        # single blowout's influence on the median's position (the
+        # value-rank trim can drop a DIFFERENT control at each end,
+        # so the two medians are not guaranteed to cover the same
+        # sample set — ADVICE r09 #2).
         if not vals:
             return None
         s = sorted(vals)
@@ -242,6 +253,46 @@ def main() -> None:
             s = s[:-1]
         return _median(s)
 
+    def _controls_drift_ok() -> bool | None:
+        meds = []
+        for tag in ("start", "end"):
+            med = _trimmed_median(
+                [c[tag] for c in controls.values() if tag in c]
+            )
+            if med:
+                meds.append(med)
+        if len(meds) < 2:
+            return None
+        lo, hi = sorted(meds)
+        return bool(hi <= 1.25 * lo)
+
+    run_controls("end")
+
+    # Drift re-run rule (VERDICT r09 next-round #5): when the end-side
+    # control median disagrees with the start side by >25%, the
+    # session speed shifted mid-run and every per-query figure carries
+    # wide error bars — a drift-flagged run must never be the round's
+    # only number.  Give every query ONE more timed pass on the
+    # now-settled session (min() absorbs it; ~90 s at sf0.1), then
+    # re-measure the end controls; drift_retried records that the
+    # rule fired regardless of whether the retry cleared the flag.
+    drift_retried = False
+    if _controls_drift_ok() is False:
+        drift_retried = True
+        for name, fn in sorted(queries.items()):
+            time_one(name, fn)
+        run_controls("end")
+
+    timings = {name: min(s) for name, s in samples.items() if s}
+
+    total = round(sum(timings.values()), 4)
+    # Control-normalized totals: total wall time divided by the median
+    # drift-control time (start-side and end-side).  The drift
+    # controls are fixed, cheap, code-stable queries, so the median is
+    # a pure machine/session-speed unit — the driver's bench box runs
+    # ~2.5x slower than a builder-local box on identical commits, and
+    # round-over-round verdicts must compare THESE figures, not raw
+    # seconds (VERDICT r07 next-round #7).
     norm = {}
     meds: dict[str, float] = {}
     for tag in ("start", "end"):
@@ -266,6 +317,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "drift_control": controls,
+        "drift_retried": drift_retried,
         "sf": sf,
         **norm,
     }
@@ -298,6 +350,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "detail_file": "BENCH_LOCAL.json",
+        "drift_retried": drift_retried,
         **norm,
     }
     print(json.dumps(summary))

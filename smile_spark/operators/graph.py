@@ -1096,6 +1096,28 @@ def _copurchase_oriented_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _COPURCHASE_ORIENTED_CACHE[key]
 
 
+def clear_copurchase_cache() -> None:
+    """Drop the co-purchase edge/degree/oriented session memos AND
+    free their checkpointed blocks (the clear_lpa_cache contract).
+
+    Used by the bench's cold ``oriented_build`` loop so the memo
+    build the degree/wedge consumers share is priced separately from
+    the queries that read it.  Callers must ensure no live consumer
+    still holds the old tables (unpersisted checkpoints cannot be
+    recomputed); the LPA label memo is safe — it is checkpointed
+    independently and never re-reads the edge table."""
+    from smile_spark.session import unpersist_checkpoint
+
+    for cache in (
+        _COPURCHASE_ORIENTED_CACHE,
+        _COPURCHASE_DEG_CACHE,
+        _COPURCHASE_EDGE_CACHE,
+    ):
+        for df in cache.values():
+            unpersist_checkpoint(df)
+        cache.clear()
+
+
 def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-core decomposition peel profile of the part co-purchase graph
     (parts adjacent when they share an order): iteratively delete
@@ -1209,19 +1231,26 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Watts–Strogatz cohesion measure, the per-node refinement of a
     global triangle count.
 
-    Triangle enumeration is the DEGREE-ORIENTED wedge join (the
-    Ortmann–Brandes / "forward" orientation): each undirected edge is
-    directed from its lower (degree, id) endpoint to its higher one,
-    wedges come from self-joining the oriented list on the source
-    node, and each triangle closes by ONE equi-join probe on the
-    oriented (b, c) edge — every triangle found exactly once, no
-    cross join, no per-node adjacency materialization.  Orienting by
-    (degree, id) instead of bare id bounds per-node oriented
-    out-degree by O(sqrt(m)), so the wedge join stays balanced on
-    power-law graphs where a hub's id-oriented out-degree would be
-    its full degree (the documented production skew bound, promoted
-    from the r05 docstring).  Per-node counts then explode each
-    triangle to its three members (bounded 3x).
+    Triangle enumeration is DEGREE-ORIENTED edge-local adjacency
+    intersection (the "compact-forward" algorithm, Latapy 2008 /
+    Ortmann–Brandes orientation): each undirected edge is directed
+    from its lower (degree, id) endpoint to its higher one; per-node
+    sorted out-neighbor arrays are collected once (out-degree bounded
+    O(sqrt(m)) by the orientation, so arrays stay small even on
+    power-law graphs — max 97 at sf0.1); and each ORIENTED EDGE
+    (a, b) closes |N+(a) ∩ N+(b)| triangles via one JVM
+    array_intersect — every triangle found exactly once.  Per-node
+    counts come from ONE flatten-explode per edge (a and b each get
+    +|common|, every c in common gets +1), so the only exploded
+    volume is 3x the TRIANGLE count (5.7M rows at sf0.1) — the
+    previous wedge self-join shuffled the full 41M-row wedge table
+    into the closing join and cost ~5 s; this shape runs the same
+    enumeration map-side in ~2 s and scales with edges + triangles,
+    never wedges.  The out-neighbor table is one row per node (the
+    graph's node dimension, same class as the degree attach in
+    _copurchase_oriented_cached) — broadcast at fixture scale; on a
+    billion-node graph drop the hint and let the two attaches run as
+    co-partitioned shuffle joins.
 
     Returns (part, deg, n_tri, cc) for every node of the graph.
     """
@@ -1229,19 +1258,35 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oriented edge a -> b with (deg(a), a) < (deg(b), b), from the
     # session memo shared with every other degree/wedge consumer
     o = _copurchase_oriented_cached(spark, sf_dir)
-    e1 = o.select("a", "b", F.col("db").alias("kb"))
-    e2 = o.select("a", F.col("b").alias("c"), F.col("db").alias("kc"))
-    # wedge (b, c) at apex a with (deg, id)-ordered endpoints; the
-    # closing edge is then oriented b -> c by construction
-    wedges = e1.join(e2, "a").filter(
-        (F.col("kb") < F.col("kc"))
-        | ((F.col("kb") == F.col("kc")) & (F.col("b") < F.col("c")))
-    )
-    e3 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    tri = (
-        wedges.join(e3, ["b", "c"])
+    adj = o.groupBy("a").agg(F.array_sort(F.collect_list("b")).alias("nbr"))
+    withc = (
+        o.select("a", "b")
+        .join(
+            F.broadcast(
+                adj.select("a", F.col("nbr").alias("na_arr"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                adj.select(
+                    F.col("a").alias("b"), F.col("nbr").alias("nb_arr")
+                )
+            ),
+            "b",
+        )
         .select(
-            F.explode(F.array("a", "b", "c")).alias("id")
+            "a", "b", F.array_intersect("na_arr", "nb_arr").alias("common")
+        )
+    )
+    tri = (
+        withc.select(
+            F.explode(
+                F.expr(
+                    "flatten(array(array_repeat(a, size(common)),"
+                    " array_repeat(b, size(common)), common))"
+                )
+            ).alias("id")
         )
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_tri"))

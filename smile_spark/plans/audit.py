@@ -87,3 +87,40 @@ def assert_no_cartesian(df: DataFrame) -> None:
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         if bad in plan:
             raise AssertionError(f"{bad} in plan:\n{plan}")
+
+
+def executed_plan_descriptions(spark, thunk) -> list[str]:
+    """Run ``thunk`` and return the physical-plan description of EVERY
+    SQL execution it triggered — including jobs fired at DataFrame
+    construction time (localCheckpoint, eager index builds, streaming
+    microbatches), which a lazy ``formatted_plan`` on the returned
+    frame can never see past (checkpoints truncate lineage).
+
+    Reads the session's SQLAppStatusStore (the SQL tab's data source)
+    through py4j; the listener bus is drained first so the store is
+    current.  This is the audit surface for the iterative/eager
+    queries the lazy plan sweep in tests/test_plans.py must skip.
+    """
+    jss = spark._jsparkSession
+    store = jss.sharedState().statusStore()
+    before = store.executionsList().size()
+    thunk()
+    # the status store is fed asynchronously from the listener bus —
+    # drain it so every execution the thunk triggered is visible
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    lst = store.executionsList()
+    out = []
+    for i in range(before, lst.size()):
+        out.append(lst.apply(i).physicalPlanDescription())
+    return out
+
+
+def final_plan_section(desc: str) -> str:
+    """The '== Final Plan ==' section of an executed-plan description
+    (AQE re-plans at runtime; the initial plan's exchanges may be
+    elided or coalesced away, so counting over the whole text would
+    double-count).  Falls back to the full text for non-AQE plans."""
+    if "== Final Plan ==" in desc:
+        desc = desc.split("== Final Plan ==", 1)[1]
+        desc = desc.split("== Initial Plan ==", 1)[0]
+    return desc
