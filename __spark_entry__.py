@@ -50,23 +50,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
     insertion order.  Round-10 window (exactly 50, the rotation the
-    r09 VERDICT prescribed): (1) the THREE r10 additions that have
+    r09 VERDICT prescribed): (1) the SIX r10 additions that have
     never held a driver verdict (semantic_dedup,
-    setsim_hash_agreement, ngram_hash_agreement); (2) ALL 42
-    r06-green entries, the oldest verdict tier (jsonl_roundtrip ..
-    revenue_share); (3) the five oldest r07-green entries
-    (revenue_concentration .. fuzzy_name_match).  After this window
-    completes, no registered entry's newest verdict predates r07.
-    r11 NOTE: rotate (a) any never-verified r11 additions first,
-    then (b) the remaining 45 r07-green entries (event_transition_matrix
-    .. copurchase_pairs), then (c) start on the r08-verified block;
-    the r09- and r10-verified blocks rotate last.
+    setsim_hash_agreement, ngram_hash_agreement, join_skew_profile,
+    duplicate_set_groups, pca_power_iteration); (2) ALL 42 r06-green
+    entries, the oldest verdict tier (jsonl_roundtrip ..
+    revenue_share); (3) the two oldest r07-green entries
+    (revenue_concentration, degree_assortativity).  After this
+    window completes, no registered entry's newest verdict predates
+    r07.  r11 NOTE: rotate (a) any never-verified r11 additions
+    first, then (b) the remaining 48 r07-green entries
+    (dedup_cluster_sizes .. copurchase_pairs), then (c) start on the
+    r08-verified block; the r09- and r10-verified blocks rotate
+    last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- (1) NEW in r10, never driver-verified ---
         "semantic_dedup": D.semantic_dedup,
         "setsim_hash_agreement": D.setsim_hash_agreement,
         "ngram_hash_agreement": D.ngram_hash_agreement,
+        "join_skew_profile": Q.join_skew_profile,
+        "duplicate_set_groups": D.duplicate_set_groups,
+        "pca_power_iteration": FT.pca_power_iteration,
         # --- (2) ALL 42 r06-green entries (oldest verdict tier) ---
         "jsonl_roundtrip": TF.jsonl_roundtrip,
         "compaction_roundtrip": CP.compaction_roundtrip,
@@ -110,19 +115,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster": AN.zorder_cluster,
         "interval_overlap_join": A.interval_overlap_join,
         "revenue_share": AN.revenue_share,
-        # --- (3) the five oldest r07-green entries ---
+        # --- (3) the two oldest r07-green entries ---
         "revenue_concentration": AN.revenue_concentration,
         "degree_assortativity": G.degree_assortativity,
-        "dedup_cluster_sizes": P.dedup_cluster_sizes,
-        "watermark_late_audit": W.watermark_late_audit,
-        "fuzzy_name_match": T.fuzzy_name_match,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round (see the r11 NOTE in the docstring above for the next
         # rotation).
         # ------------------------------------------------------------------
-        # --- remaining 45 r07-green entries (head of the r11 window
+        # --- remaining 48 r07-green entries (head of the r11 window
         # after any r11 additions) ---
+        "dedup_cluster_sizes": P.dedup_cluster_sizes,
+        "watermark_late_audit": W.watermark_late_audit,
+        "fuzzy_name_match": T.fuzzy_name_match,
         "event_transition_matrix": B.event_transition_matrix,
         "seasonality_profile": B.seasonality_profile,
         "cms_heavy_hitters": K.cms_heavy_hitters,
@@ -645,4 +650,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": D.SEMANTIC_DEDUP_SQL,
         "setsim_hash_agreement": D.SETSIM_HASH_AGREEMENT_SQL,
         "ngram_hash_agreement": D.NGRAM_HASH_AGREEMENT_SQL,
+        "join_skew_profile": Q.JOIN_SKEW_PROFILE_SQL,
+        "duplicate_set_groups": D.DUPLICATE_SET_GROUPS_SQL,
+        "pca_power_iteration": FT.pca_power_iteration_sql(),
     }

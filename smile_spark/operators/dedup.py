@@ -2208,3 +2208,80 @@ DUP_SPAN_CUTLIST_SQL = (
     "  AS span_tokens"
     " FROM isl GROUP BY doc_id, island"
 )
+
+
+# ---------------------------------------------------------------------------
+# Identical-token-set group statistics (the GroupJoin planning view)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_set_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level statistics of the IDENTICAL-token-set groups that
+    the setsim GroupJoin collapse (setsim_join_frame's GROUP step)
+    exploits — the planning view a dedup rollout reads to decide
+    whether representative collapse pays on a given corpus: how many
+    documents share a verbatim token set with another, how large the
+    biggest template family is, what fraction of the quadratic core
+    the collapse removes, and how many result pairs come for FREE as
+    intra-group J=1 expansions.
+
+    Emits one row: (n_docs, n_groups, max_group_docs, n_dup_docs,
+    collapse_pct, intra_pairs) with collapse_pct = 100 *
+    (n_docs - n_groups) / n_docs rounded to 4 and intra_pairs =
+    sum over groups of g*(g-1)/2 (exact integers).
+
+    Scale: the same corpus-linear tokenize + per-doc set + set-keyed
+    groupBy the GroupJoin itself runs (token sets travel as 64-bit
+    hashes under spark.smile.setsim.tokenHash, default true), then a
+    one-row aggregate — strictly cheaper than any join it plans for.
+    """
+    docs = table(spark, sf_dir, "documents")
+    hash_tokens = str(
+        spark.conf.get("spark.smile.setsim.tokenHash", "true")
+    ).lower() == "true"
+    raw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    if hash_tokens:
+        raw = raw.select("doc_id", F.xxhash64("tok").alias("tok"))
+    dsets = (
+        raw.distinct()
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("tok")).alias("ts"))
+    )
+    groups = dsets.groupBy("ts").agg(F.count(F.lit(1)).alias("g"))
+    return groups.agg(
+        F.sum("g").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.max("g").cast("bigint").alias("max_group_docs"),
+        F.sum(F.when(F.col("g") > 1, F.col("g")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.round(
+            100.0
+            * (F.sum("g") - F.count(F.lit(1))).cast("double")
+            / F.sum("g"),
+            4,
+        ).alias("collapse_pct"),
+        F.sum(F.expr("g * (g - 1) div 2")).cast("bigint").alias(
+            "intra_pairs"
+        ),
+    )
+
+
+DUPLICATE_SET_GROUPS_SQL = (
+    "WITH toks AS (SELECT DISTINCT doc_id, tok FROM documents,"
+    "  unnest(string_split(text, ' ')) t(tok)),"
+    " dsets AS (SELECT doc_id, list_sort(list(tok)) AS ts FROM toks"
+    "  GROUP BY doc_id),"
+    " groups AS (SELECT ts, COUNT(*) AS g FROM dsets GROUP BY ts)"
+    " SELECT CAST(SUM(g) AS BIGINT) AS n_docs,"
+    " CAST(COUNT(*) AS BIGINT) AS n_groups,"
+    " CAST(MAX(g) AS BIGINT) AS max_group_docs,"
+    " CAST(SUM(CASE WHEN g > 1 THEN g ELSE 0 END) AS BIGINT)"
+    "  AS n_dup_docs,"
+    " ROUND(100.0 * CAST(SUM(g) - COUNT(*) AS DOUBLE) / SUM(g), 4)"
+    "  AS collapse_pct,"
+    " CAST(SUM(g * (g - 1) // 2) AS BIGINT) AS intra_pairs"
+    " FROM groups"
+)

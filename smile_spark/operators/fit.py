@@ -28,6 +28,7 @@ per-group code is genuinely not expressible as SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 OLS_SCALE = 100  # 2-decimal measures → exact integers
 OLS_ROUND = 6
@@ -141,3 +142,153 @@ GROUPED_OLS_FIT_SQL = (
     f"  / {OLS_SCALE}, 6) AS intercept"
     " FROM f"
 )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via fixed power iterations
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+PCA_MEAN_DEC = "decimal(27,18)"   # exact per-dimension mean accumulation
+PCA_W_DEC = "decimal(30,12)"      # exact accumulation of x_c * s terms
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (mean-centered) embedding
+    corpus after PCA_ITERS fixed power iterations from e1 — the
+    embedding-space drift/structure probe a training-data pipeline
+    runs per corpus snapshot (a dominant direction appearing between
+    snapshots usually means a new template or a collapsed encoder,
+    the same screen nearest_centroid_eval runs against labels but
+    unsupervised).
+
+    The iterative-ML-on-DataFrames shape of embedding_kmeans, applied
+    to v_{t+1} = normalize(Sum_i x_i (x_i . v_t)) with x_i = v_i - mu:
+    per round ONE broadcast of the 1-row (mu, v_t) state, a map-side
+    fold per vector for the projection s_i, and a (dimension)-keyed
+    DECIMAL partial-aggregate shuffle whose volume is dim x
+    partitions, independent of corpus size.  The driver loop ships
+    only the 64-double state — never data — and the result is defined
+    as "PCA_ITERS iterations from e1" (fixed, deterministic), not as
+    a converged eigenvector.
+
+    Determinism vs DuckDB: means and the per-dimension w sums
+    accumulate in DECIMAL (exact, order-free); every dot product and
+    the norm are strict left folds; the division by the norm happens
+    once per element.  Emits (pos, loading) per dimension, rounded 6.
+    """
+    from smile_spark.operators.similarity import _vectors
+
+    emb = _vectors(spark, sf_dir)
+    mu = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast(PCA_MEAN_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))),"
+                " s -> s.m)"
+            ).alias("mu")
+        )
+    )
+    cur = mu.select(
+        "mu",
+        F.expr(
+            "transform(mu, (x, i) -> CASE WHEN i = 0 THEN"
+            " CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+        ).alias("vt"),
+    )
+    for _ in range(PCA_ITERS):
+        scored = emb.crossJoin(F.broadcast(cur)).select(
+            "v",
+            "mu",
+            F.expr(
+                "aggregate(zip_with(zip_with(v, mu, (a, b) -> a - b),"
+                " vt, (x, y) -> x * y), cast(0 as double),"
+                " (acc, z) -> acc + z)"
+            ).alias("s"),
+        )
+        warr = (
+            scored.select(
+                F.posexplode(
+                    F.expr("zip_with(v, mu, (a, b) -> a - b)")
+                ).alias("pos", "xc"),
+                "s",
+            )
+            .groupBy("pos")
+            .agg(
+                F.sum((F.col("xc") * F.col("s")).cast(PCA_W_DEC))
+                .cast("double")
+                .alias("w")
+            )
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, w))),"
+                    " s -> s.w)"
+                ).alias("w")
+            )
+        )
+        nw = warr.select(
+            "w",
+            F.expr(
+                "sqrt(aggregate(transform(w, y -> y * y),"
+                " cast(0 as double), (a, z) -> a + z))"
+            ).alias("nrm"),
+        )
+        cur = nw.crossJoin(F.broadcast(mu)).select(
+            "mu", F.expr("transform(w, y -> y / nrm)").alias("vt")
+        )
+    return cur.select(F.posexplode("vt").alias("pos", "l")).select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round("l", 6).alias("loading"),
+    )
+
+
+def pca_power_iteration_sql() -> str:
+    """Exact DuckDB oracle: the identical PCA_ITERS iterations
+    unrolled as CTEs, same DECIMAL accumulations and fold orders."""
+    s_expr = (
+        "list_reduce(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - m.mu[i]) * m.vt[i]), (a, b) -> a + b)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, t -> CAST(t AS DOUBLE)) AS v"
+        " FROM embeddings),"
+        " dims AS (SELECT vec_id, i - 1 AS pos, v[i] AS x FROM e,"
+        "  unnest(generate_series(1, len(v))) g(i)),"
+        " mu0 AS (SELECT pos,"
+        f"  CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*)"
+        "   AS m FROM dims GROUP BY pos),"
+        " muarr AS (SELECT list(m ORDER BY pos) AS mu FROM mu0),"
+        " it0 AS (SELECT mu, list_transform(generate_series(1, len(mu)),"
+        "  i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)"
+        "   ELSE CAST(0.0 AS DOUBLE) END) AS vt FROM muarr)"
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        parts.append(
+            f", s{k} AS (SELECT e.vec_id, e.v, m.mu, {s_expr} AS s"
+            f"  FROM e, it{k - 1} m)"
+            f", wd{k} AS (SELECT i - 1 AS pos,"
+            f"  (v[i] - mu[i]) * s AS t FROM s{k},"
+            "  unnest(generate_series(1, len(v))) g(i))"
+            f", w0{k} AS (SELECT pos,"
+            "  CAST(SUM(CAST(t AS DECIMAL(30,12))) AS DOUBLE) AS w"
+            f"  FROM wd{k} GROUP BY pos)"
+            f", wa{k} AS (SELECT list(w ORDER BY pos) AS w FROM w0{k})"
+            f", it{k} AS (SELECT m.mu, list_transform(a.w,"
+            "  y -> y / sqrt(list_reduce(list_transform(a.w,"
+            "  y2 -> y2 * y2), (p, q) -> p + q))) AS vt"
+            f"  FROM wa{k} a, muarr m)"
+        )
+    parts.append(
+        " SELECT CAST(i - 1 AS BIGINT) AS pos, ROUND(vt[i], 6)"
+        f" AS loading FROM it{PCA_ITERS},"
+        " unnest(generate_series(1, len(vt))) g(i)"
+    )
+    return "".join(parts)

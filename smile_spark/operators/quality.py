@@ -860,3 +860,114 @@ def benford_screen_sql() -> str:
         " ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2"
         " FROM terms GROUP BY n_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile (shuffle-planning diagnostic)
+# ---------------------------------------------------------------------------
+
+# a key is "hot" when its row count exceeds this multiple of the mean
+SKEW_HOT_FACTOR = 2
+
+
+def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile of the events.user_id join key — the
+    shuffle-planning diagnostic a 100 TB shop runs BEFORE keying a
+    join or aggregation on a column: per-key row counts reduce to one
+    summary row of the numbers that decide the physical strategy —
+    how many keys, how big the hottest one is, what share of rows the
+    hot keys own, and the integer salt factor that would level the
+    hottest reducer to the mean (the spread functions/skew.py's
+    salted_join and setsim's observation-driven probe consume; see
+    SCALING.md on AQE's blind spot for output-amplification skew).
+
+    Emits (n_keys, total_rows, max_rows, avg_rows, top_share,
+    n_hot_keys, hot_rows_share, rec_salts): hot = count > 
+    SKEW_HOT_FACTOR x mean, compared in exact integers
+    (c * n_keys > FACTOR * total); rec_salts = ceil(max/mean) =
+    (max * n_keys + total - 1) div total.
+
+    Scale: one map-side-combinable count per key (shuffle volume =
+    distinct keys), one broadcast of the single totals row back
+    across the key counts, one final aggregate.  Every statistic is
+    exact-integer or one double division rounded to 6 — no
+    interpolated percentiles, so the result is engine-invariant.
+    """
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_rows"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_keys").alias("n_keys"),
+            F.max("total_rows").alias("total_rows"),
+            F.max("max_rows").cast("bigint").alias("max_rows"),
+            F.round(
+                F.max("total_rows").cast("double") / F.max("n_keys"), 6
+            ).alias("avg_rows"),
+            F.round(
+                F.max("max_rows").cast("double") / F.max("total_rows"), 6
+            ).alias("top_share"),
+            F.sum(
+                (
+                    F.col("c") * F.col("n_keys")
+                    > F.lit(SKEW_HOT_FACTOR) * F.col("total_rows")
+                ).cast("bigint")
+            ).alias("n_hot_keys"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("c") * F.col("n_keys")
+                        > F.lit(SKEW_HOT_FACTOR) * F.col("total_rows"),
+                        F.col("c"),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.max("total_rows"),
+                6,
+            ).alias("hot_rows_share"),
+            F.expr(
+                "(max(max_rows) * max(n_keys) + max(total_rows) - 1)"
+                " div max(total_rows)"
+            ).cast("bigint").alias("rec_salts"),
+        )
+        .select(
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("total_rows").cast("bigint").alias("total_rows"),
+            "max_rows",
+            "avg_rows",
+            "top_share",
+            "n_hot_keys",
+            "hot_rows_share",
+            "rec_salts",
+        )
+    )
+
+
+JOIN_SKEW_PROFILE_SQL = (
+    "WITH counts AS (SELECT user_id, COUNT(*) AS c FROM events"
+    "  GROUP BY user_id),"
+    " tot AS (SELECT COUNT(*) AS n_keys, SUM(c) AS total_rows,"
+    "  MAX(c) AS max_rows FROM counts)"
+    " SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,"
+    " CAST(MAX(total_rows) AS BIGINT) AS total_rows,"
+    " CAST(MAX(max_rows) AS BIGINT) AS max_rows,"
+    " ROUND(CAST(MAX(total_rows) AS DOUBLE) / MAX(n_keys), 6)"
+    "  AS avg_rows,"
+    " ROUND(CAST(MAX(max_rows) AS DOUBLE) / MAX(total_rows), 6)"
+    "  AS top_share,"
+    f" CAST(SUM(CASE WHEN c * n_keys > {SKEW_HOT_FACTOR} * total_rows"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys,"
+    f" ROUND(CAST(SUM(CASE WHEN c * n_keys > {SKEW_HOT_FACTOR}"
+    "  * total_rows THEN c ELSE 0 END) AS DOUBLE) / MAX(total_rows), 6)"
+    "  AS hot_rows_share,"
+    " CAST((MAX(max_rows) * MAX(n_keys) + MAX(total_rows) - 1)"
+    "  // MAX(total_rows) AS BIGINT) AS rec_salts"
+    " FROM counts, tot"
+)

@@ -177,6 +177,11 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # broadcast-crossJoin against the ONE-ROW collapsed centroid
         # struct array (the _assign device shared with embedding_kmeans)
         "semantic_dedup",
+        # crossJoin against the broadcast SINGLE-ROW key-count totals leg
+        "join_skew_profile",
+        # three crossJoins against the broadcast ONE-ROW (mu, v_t)
+        # iteration state (the embedding_kmeans centroid-state shape)
+        "pca_power_iteration",
     }
     for name, fn in sorted(entry_mod.queries().items()):
         if name in skip:

@@ -198,3 +198,82 @@ def test_semantic_dedup_pairs_within_embedding_cosine(spark, sf_dir):
     }
     comparable = {e for e in edges if bmap[e[0]] == bmap[e[1]]}
     assert comparable.issubset(cos_pairs)
+
+
+# ---------------------------------------------------------------------------
+# join_skew_profile / duplicate_set_groups / pca_power_iteration
+# ---------------------------------------------------------------------------
+
+
+def test_join_skew_profile_oracle(spark, sf_dir):
+    from smile_spark.operators.quality import (
+        JOIN_SKEW_PROFILE_SQL,
+        join_skew_profile,
+    )
+
+    assert_matches_oracle(
+        spark, join_skew_profile, JOIN_SKEW_PROFILE_SQL, sf_dir
+    )
+    r = join_skew_profile(spark, SF001).collect()[0]
+    # internal consistency: shares in [0,1], salt factor >= 1, hot
+    # rows can never outnumber total rows
+    assert 0.0 <= r.top_share <= 1.0
+    assert 0.0 <= r.hot_rows_share <= 1.0
+    assert r.rec_salts >= 1
+    assert r.max_rows <= r.total_rows
+    assert r.n_hot_keys <= r.n_keys
+
+
+def test_duplicate_set_groups_oracle(spark, sf_dir):
+    from smile_spark.operators.dedup import (
+        DUPLICATE_SET_GROUPS_SQL,
+        duplicate_set_groups,
+    )
+
+    assert_matches_oracle(
+        spark, duplicate_set_groups, DUPLICATE_SET_GROUPS_SQL, sf_dir
+    )
+
+
+def test_duplicate_set_groups_matches_setsim_intra_pairs(spark, sf_dir):
+    """Cross-operator consistency: intra_pairs (the pairs the GroupJoin
+    expansion emits at jaccard exactly 1.0) must equal the number of
+    J=1.0 pairs in the full setsim result whose endpoints share a
+    token set — and every such setsim pair has identical na/nb."""
+    from smile_spark.operators.dedup import (
+        duplicate_set_groups,
+        setsim_join_prefix,
+    )
+
+    g = duplicate_set_groups(spark, sf_dir).collect()[0]
+    pairs = setsim_join_prefix(spark, sf_dir).collect()
+    ones = [r for r in pairs if r.jaccard == 1.0 and r.i == r.na == r.nb]
+    assert len(ones) == g.intra_pairs
+
+
+def test_pca_power_iteration_oracle(spark, sf_dir):
+    from smile_spark.operators.fit import (
+        pca_power_iteration,
+        pca_power_iteration_sql,
+    )
+
+    assert_matches_oracle(
+        spark, pca_power_iteration, pca_power_iteration_sql(), sf_dir
+    )
+    assert_matches_oracle(
+        spark, pca_power_iteration, pca_power_iteration_sql(), SF001
+    )
+
+
+def test_pca_power_iteration_unit_norm(spark, sf_dir):
+    """The returned direction is (numerically) unit-norm and has one
+    row per embedding dimension."""
+    import math
+
+    from smile_spark.operators.fit import pca_power_iteration
+
+    rows = pca_power_iteration(spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert set(r.pos for r in rows) == set(range(64))
+    norm = math.sqrt(sum(r.loading**2 for r in rows))
+    assert abs(norm - 1.0) < 1e-4
