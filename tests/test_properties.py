@@ -204,3 +204,52 @@ def test_gap_interpolate_matches_reference(spark, series):
         )
         assert got[day][0] is False
         assert abs(got[day][1] - round(want, 6)) < 1e-9, (series, day, got)
+
+
+setsim_corpora = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=11),  # 12-token alphabet
+        min_size=1,
+        max_size=14,
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=setsim_corpora)
+def test_setsim_frame_matches_bruteforce(spark, docs):
+    """The full r10 pipeline — xxhash64 token keys, identical-set
+    GroupJoin collapse + expansion, asymmetric PPJoin prefixes,
+    salting, verify — equals brute-force thresholded Jaccard on
+    arbitrary small corpora.  The tiny alphabet forces exactly the
+    hazards the rework introduced: many identical token sets (group
+    expansion paths, intra-group J=1 pairs), equal-size ties in the
+    (n, id) canonical order, and boundary Jaccards."""
+    from smile_spark.operators.dedup import SETSIM_TAU, setsim_join_frame
+    from smile_spark.operators.fit import _round_half_up
+
+    rows = [
+        (i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.a, r.b): (r.na, r.nb, r.i, r.jaccard)
+        for r in setsim_join_frame(df).collect()
+    }
+
+    sets = [set(f"t{t}" for t in toks) for toks in docs]
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            i = len(sets[a] & sets[b])
+            na, nb = len(sets[a]), len(sets[b])
+            jac = _round_half_up(i / (na + nb - i))
+            if jac >= SETSIM_TAU:
+                want[(a, b)] = (na, nb, i, jac)
+    assert got == want, (docs, got, want)
