@@ -227,7 +227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r09-verified entries (the r09 window; rotate last) ---
         # (1) the EIGHT r08 additions, verified r09
         "nearest_centroid_eval": S.nearest_centroid_eval,
-        "nearest_centroid_eval": S.nearest_centroid_eval,
         "ann_recall_eval": S.ann_recall_eval,
         "exact_ngram_dedup": D.exact_ngram_dedup,
         "dup_span_cutlist": D.dup_span_cutlist,

@@ -279,6 +279,13 @@ def main() -> None:
     drift_retried = False
     if _controls_drift_ok() is False:
         drift_retried = True
+        # Preserve the drifted end-side control timings that triggered
+        # the retry (ADVICE r10): the re-measure below overwrites the
+        # "end" tag, and without this the recorded evidence of the
+        # original drift magnitude would be lost.
+        for c in controls.values():
+            if "end" in c:
+                c["end_preretry"] = c["end"]
         for name, fn in sorted(queries.items()):
             time_one(name, fn)
         run_controls("end")

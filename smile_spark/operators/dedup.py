@@ -1213,31 +1213,31 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim_join_frame(table(spark, sf_dir, "documents"))
 
 
-# Checkpointed intermediates of the MOST RECENT setsim_join_frame
-# call, released at the start of the next call: each invocation
-# localCheckpoints four stages (toks / prefix / cand / arrays), and
-# without this hand-off repeated invocations in one session (bench
-# warmup + timed passes + decay samples = 5-7 runs) accumulate
-# gigabytes of dead blocks in executor storage — measured as 11 s ->
-# 48 s timing blowups by the fifth back-to-back run at sf0.1.  Same
-# constraint as the LSH/LPA memos: the PREVIOUS result must be fully
-# consumed before the next call (true for the bench and driver, which
-# run queries sequentially).
-_SETSIM_LIVE_CHECKPOINTS: list[DataFrame] = []
-
-
-def _setsim_release_previous() -> None:
+# Checkpoint lifetime is tied to the RETURNED frame (ADVICE r10
+# medium): each setsim_join_frame invocation localCheckpoints up to
+# six stages into a per-invocation group, and a weakref finalizer on
+# the result releases that group's blocks when the result is
+# garbage-collected.  CPython refcounting makes this deterministic
+# for the bench/driver pattern (the previous result goes out of scope
+# before the next call), so back-to-back runs still never accumulate
+# dead blocks — measured 11 s -> 48 s timing blowups by the fifth
+# sf0.1 run without release.  Unlike the previous
+# released-at-next-call design, two LIVE setsim frames (interleaved
+# or threaded callers, setsim_hash_agreement's double run) are now
+# safe: neither frame's checkpoints are freed while the frame itself
+# is still reachable, so the sequential-consumption contract — and
+# the release_previous escape hatch it required — are gone.
+def _setsim_release_group(group: list) -> None:
     from smile_spark.session import unpersist_checkpoint
 
-    while _SETSIM_LIVE_CHECKPOINTS:
-        unpersist_checkpoint(_SETSIM_LIVE_CHECKPOINTS.pop())
+    while group:
+        unpersist_checkpoint(group.pop())
 
 
 def setsim_join_frame(
     docs: DataFrame,
     checkpoint: bool = True,
     hash_tokens: bool | None = None,
-    release_previous: bool = True,
 ) -> DataFrame:
     """The prefix-filtered exact Jaccard join over any (doc_id, text)
     frame — the core of :func:`setsim_join_prefix`, exposed for reuse
@@ -1270,13 +1270,9 @@ def setsim_join_frame(
         hash_tokens = str(
             docs.sparkSession.conf.get("spark.smile.setsim.tokenHash", "true")
         ).lower() == "true"
-    if checkpoint and release_previous:
-        # free the previous invocation's checkpointed stages before
-        # materializing this one's (see _SETSIM_LIVE_CHECKPOINTS).
-        # release_previous=False lets one query run the join TWICE
-        # (setsim_hash_agreement) without the second call freeing the
-        # first's still-unconsumed blocks.
-        _setsim_release_previous()
+    # this invocation's checkpointed stages; released when the
+    # RETURNED frame is garbage-collected (see _setsim_release_group)
+    group: list[DataFrame] = []
     raw = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -1290,7 +1286,7 @@ def setsim_join_frame(
         # array collection — materialize the tokenize+distinct once
         # instead of twice per run (measured ~3 s/pass at sf0.1)
         toks = toks.localCheckpoint()
-        _SETSIM_LIVE_CHECKPOINTS.append(toks)
+        group.append(toks)
     # GROUP step (the GroupJoin optimization, Bouros et al. EDBT'12):
     # documents with IDENTICAL distinct-token sets are interchangeable
     # for set similarity — J(a, b) = 1 within a group, and J(a, x)
@@ -1313,7 +1309,7 @@ def setsim_join_frame(
     if checkpoint:
         # dsets feeds the membership aggregate AND the verify arrays
         dsets = dsets.localCheckpoint()
-        _SETSIM_LIVE_CHECKPOINTS.append(dsets)
+        group.append(dsets)
     membership = (
         dsets.groupBy("ts")
         .agg(
@@ -1330,7 +1326,7 @@ def setsim_join_frame(
         # membership is read five times (rep filter, expansion x2,
         # intra-group x2) and is tiny — (doc_id, rep, n) ints
         membership = membership.localCheckpoint()
-        _SETSIM_LIVE_CHECKPOINTS.append(membership)
+        group.append(membership)
     reps = membership.filter(F.col("doc_id") == F.col("rep")).select(
         "doc_id"
     )
@@ -1381,7 +1377,7 @@ def setsim_join_frame(
         # prefix feeds the salt-factor probe plus both join sides —
         # cut the lineage so the rank window computes exactly once
         prefix = prefix.localCheckpoint()
-        _SETSIM_LIVE_CHECKPOINTS.append(prefix)
+        group.append(prefix)
     # Size the salt factor from the OBSERVED hottest token's
     # probe-bucket x index-bucket product instead of a hand-tuned
     # constant: that product is the candidate-pair count the join
@@ -1486,7 +1482,7 @@ def setsim_join_frame(
         # lineage so the (expensive) prefix join runs exactly once,
         # the same contract as _dedup_minhash_lsh_build's cand.
         cand = cand.localCheckpoint()
-        _SETSIM_LIVE_CHECKPOINTS.append(cand)
+        group.append(cand)
     # Exact verification only ever touches documents that appear in a
     # candidate pair — semi-join the token-array table down to those
     # ids BEFORE collecting arrays (the dedup_minhash_lsh template at
@@ -1505,7 +1501,7 @@ def setsim_join_frame(
         # both verify sides read arrays — one corpus token explode,
         # not two (the table itself is candidate-bounded, i.e. tiny)
         arrays = arrays.localCheckpoint()
-        _SETSIM_LIVE_CHECKPOINTS.append(arrays)
+        group.append(arrays)
     # fan_out BEFORE the verify: AQE coalesces the candidate distinct
     # to ~1 partition by its shuffle BYTES (3.28M 4-int rows compress
     # small), but verify cost is per-ROW array_intersect work — the
@@ -1587,7 +1583,16 @@ def setsim_join_frame(
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return inter.unionByName(intra)
+    result = inter.unionByName(intra)
+    if group:
+        import weakref
+
+        # release this invocation's checkpoint blocks when the result
+        # frame dies; deterministic under CPython refcounting for the
+        # sequential bench/driver pattern, and safe for callers that
+        # hold several live setsim frames at once.
+        weakref.finalize(result, _setsim_release_group, group)
+    return result
 
 
 # The prefix filter is LOSSLESS, so the oracle needs no prefix logic:
@@ -1642,14 +1647,16 @@ def setsim_hash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % SETSIM_CERT_MOD == 0
     )
-    hashed = setsim_join_frame(docs, hash_tokens=True).select(
-        "a", "b", F.col("jaccard").alias("jh")
-    )
-    strung = setsim_join_frame(
-        docs, hash_tokens=False, release_previous=False
-    ).select("a", "b", F.col("jaccard").alias("js"))
+    # Hold BOTH setsim frames alive until the returned aggregate
+    # itself dies: checkpoint lifetime is tied to each frame's Python
+    # object (weakref finalizer), and the derived select/join frames
+    # below do not keep their parent alive on their own.
+    hframe = setsim_join_frame(docs, hash_tokens=True)
+    sframe = setsim_join_frame(docs, hash_tokens=False)
+    hashed = hframe.select("a", "b", F.col("jaccard").alias("jh"))
+    strung = sframe.select("a", "b", F.col("jaccard").alias("js"))
     both = hashed.join(strung, ["a", "b"], "full")
-    return both.agg(
+    out = both.agg(
         F.sum(F.col("jh").isNotNull().cast("bigint")).alias(
             "n_pairs_hashed"
         ),
@@ -1669,6 +1676,10 @@ def setsim_hash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
         ).alias("n_jaccard_mismatch"),
     )
+    # keep the parent frames (and so their checkpoint blocks) alive
+    # for as long as the caller holds the certificate frame
+    out._smile_keepalive = (hframe, sframe)
+    return out
 
 
 SETSIM_HASH_AGREEMENT_SQL = (

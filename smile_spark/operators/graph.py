@@ -1248,9 +1248,11 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration map-side in ~2 s and scales with edges + triangles,
     never wedges.  The out-neighbor table is one row per node (the
     graph's node dimension, same class as the degree attach in
-    _copurchase_oriented_cached) — broadcast at fixture scale; on a
-    billion-node graph drop the hint and let the two attaches run as
-    co-partitioned shuffle joins.
+    _copurchase_oriented_cached) — broadcast at fixture scale, gated
+    on ``spark.smile.graph.broadcastAdjacency`` (default true): set
+    it false on a billion-node graph and both attaches run as
+    co-partitioned shuffle joins with no code edit (ADVICE r10 — a
+    hard hint would otherwise attempt the build regardless of size).
 
     Returns (part, deg, n_tri, cc) for every node of the graph.
     """
@@ -1259,16 +1261,21 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session memo shared with every other degree/wedge consumer
     o = _copurchase_oriented_cached(spark, sf_dir)
     adj = o.groupBy("a").agg(F.array_sort(F.collect_list("b")).alias("nbr"))
+    bcast_adj = (
+        spark.conf.get("spark.smile.graph.broadcastAdjacency", "true")
+        == "true"
+    )
+    _hint = F.broadcast if bcast_adj else (lambda df: df)
     withc = (
         o.select("a", "b")
         .join(
-            F.broadcast(
+            _hint(
                 adj.select("a", F.col("nbr").alias("na_arr"))
             ),
             "a",
         )
         .join(
-            F.broadcast(
+            _hint(
                 adj.select(
                     F.col("a").alias("b"), F.col("nbr").alias("nb_arr")
                 )

@@ -103,16 +103,26 @@ def executed_plan_descriptions(spark, thunk) -> list[str]:
     """
     jss = spark._jsparkSession
     store = jss.sharedState().statusStore()
-    before = store.executionsList().size()
+    # Key executions by executionId, not list position: the store
+    # evicts old entries once spark.sql.ui.retainedExecutions
+    # (default 1000) is exceeded — reachable in a long shared-session
+    # test run — and positional slicing would then attribute wrong
+    # plans or miss executions entirely (ADVICE r10).
+    before_lst = store.executionsList()
+    max_before = -1
+    for i in range(before_lst.size()):
+        max_before = max(max_before, before_lst.apply(i).executionId())
     thunk()
     # the status store is fed asynchronously from the listener bus —
     # drain it so every execution the thunk triggered is visible
     spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
     lst = store.executionsList()
-    out = []
-    for i in range(before, lst.size()):
-        out.append(lst.apply(i).physicalPlanDescription())
-    return out
+    with_ids = []
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() > max_before:
+            with_ids.append((e.executionId(), e.physicalPlanDescription()))
+    return [desc for _, desc in sorted(with_ids)]
 
 
 def final_plan_section(desc: str) -> str:

@@ -666,3 +666,48 @@ def test_bitmap_distinct_partial_aggregation(spark, sf_dir):
     from smile_spark.operators.sketch import bitmap_distinct
 
     assert_partial_aggregation(bitmap_distinct(spark, sf_dir))
+
+
+def _duplicate_dict_keys(src: str, func_name: str) -> list[str]:
+    """String keys that appear more than once in the dict literal
+    returned by ``func_name`` inside ``src`` (module source)."""
+    import ast
+    from collections import Counter
+
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == func_name:
+            for ret in ast.walk(node):
+                if isinstance(ret, ast.Dict):
+                    keys = [
+                        k.value
+                        for k in ret.keys
+                        if isinstance(k, ast.Constant)
+                        and isinstance(k.value, str)
+                    ]
+                    counts = Counter(keys)
+                    return sorted(k for k, n in counts.items() if n > 1)
+    raise AssertionError(f"no dict literal found in {func_name}")
+
+
+def test_registry_has_no_duplicate_keys():
+    """queries() / oracle_sql() are ordering-sensitive dict literals
+    (the driver verifies the first 50 entries in insertion order); a
+    duplicate key silently drops one registration, corrupting the
+    rotation bookkeeping (VERDICT r10 What's-wrong #1)."""
+    import pathlib
+
+    src = pathlib.Path(__file__).resolve().parents[1].joinpath(
+        "__spark_entry__.py"
+    ).read_text()
+    assert _duplicate_dict_keys(src, "queries") == []
+    assert _duplicate_dict_keys(src, "oracle_sql") == []
+
+
+def test_duplicate_key_guard_detects_duplicates():
+    """The guard itself must go red on a deliberately duplicated key."""
+    bad = (
+        "def queries():\n"
+        "    return {'a': 1, 'b': 2, 'a': 3}\n"
+    )
+    assert _duplicate_dict_keys(bad, "queries") == ["a"]
