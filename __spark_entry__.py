@@ -49,82 +49,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-10 window (exactly 50, the rotation the
-    r09 VERDICT prescribed): (1) the SIX r10 additions that have
-    never held a driver verdict (semantic_dedup,
-    setsim_hash_agreement, ngram_hash_agreement, join_skew_profile,
-    duplicate_set_groups, pca_power_iteration); (2) ALL 42 r06-green
-    entries, the oldest verdict tier (jsonl_roundtrip ..
-    revenue_share); (3) the two oldest r07-green entries
-    (revenue_concentration, degree_assortativity).  After this
-    window completes, no registered entry's newest verdict predates
-    r07.  r11 NOTE: rotate (a) any never-verified r11 additions
-    first, then (b) the remaining 48 r07-green entries
-    (dedup_cluster_sizes .. copurchase_pairs), then (c) start on the
-    r08-verified block; the r09- and r10-verified blocks rotate
-    last.
+    insertion order.  Round-11 window (exactly 50, the rotation the
+    r10 VERDICT prescribed): (1) the TWO r11 additions that have
+    never held a driver verdict (image_dhash_dedup,
+    longest_repeat_profile); (2) ALL 48 remaining r07-green entries
+    (dedup_cluster_sizes .. copurchase_pairs) — 2 + 48 fills the
+    window with nothing slipping.  After this window completes, no
+    registered entry's newest verdict predates r08.  r12 NOTE:
+    rotate (a) any never-verified r12 additions first, then (b) the
+    r08-verified block (streaming_dedup_agreement .. text_stats),
+    then (c) start on the r09-verified block; the r10-verified block
+    rotates last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- (1) NEW in r10, never driver-verified ---
-        "semantic_dedup": D.semantic_dedup,
-        "setsim_hash_agreement": D.setsim_hash_agreement,
-        "ngram_hash_agreement": D.ngram_hash_agreement,
-        "join_skew_profile": Q.join_skew_profile,
-        "duplicate_set_groups": D.duplicate_set_groups,
-        "pca_power_iteration": FT.pca_power_iteration,
-        # --- (2) ALL 42 r06-green entries (oldest verdict tier) ---
-        "jsonl_roundtrip": TF.jsonl_roundtrip,
-        "compaction_roundtrip": CP.compaction_roundtrip,
-        "incremental_ingest_certificate": IC.incremental_ingest_certificate,
-        "schema_evolution_certificate": TF.schema_evolution_certificate,
-        "personalized_pagerank": G.personalized_pagerank,
-        "multimodal_decode_image": M.multimodal_decode_image,
-        "multimodal_decode_audio": M.multimodal_decode_audio,
-        "multimodal_decode_video": M.multimodal_decode_video,
-        "connected_components": G.connected_components,
-        "token_entropy": T.token_entropy,
-        "equi_depth_bins": AN.equi_depth_bins,
-        "skyline_pareto": AN.skyline_pareto,
-        "mad_outliers": Q.mad_outliers,
-        "kcore_peel": G.kcore_peel,
-        "ewma_anomaly": B.ewma_anomaly,
-        "ann_sq8_topk": S.ann_sq8_topk,
-        "spatial_grid_join": SP.spatial_grid_join,
-        "join_size_estimate": K.join_size_estimate,
-        "clustering_coefficient": G.clustering_coefficient,
-        "bm25_topk": T.bm25_topk,
-        "bitmap_distinct": K.bitmap_distinct,
-        "pattern_match_events": B.pattern_match_events,
-        "inverted_index_stats": T.inverted_index_stats,
-        "funnel_latency": B.funnel_latency,
-        "mad_outliers_approx": Q.mad_outliers_approx,
-        "dedup_eval": D.dedup_eval,
-        "stratified_kfold": C.stratified_kfold,
-        "grouping_sets_summary": AN.grouping_sets_summary,
-        "sql_order_priority": R.sql_order_priority,
-        "sql_subqueries": R.sql_subqueries,
-        "range_join_recent_events": A.range_join_recent_events,
-        "graph_load": G.graph_load,
-        "sessionize": B.sessionize,
-        "funnel_conversion": B.funnel_conversion,
-        "retention_cohorts": B.retention_cohorts,
-        "gap_fill_daily": B.gap_fill_daily,
-        "repetition_ratio": C.repetition_ratio,
-        "unpivot_long": AN.unpivot_long,
-        "rolling_daily_activity": B.rolling_daily_activity,
-        "zorder_cluster": AN.zorder_cluster,
-        "interval_overlap_join": A.interval_overlap_join,
-        "revenue_share": AN.revenue_share,
-        # --- (3) the two oldest r07-green entries ---
-        "revenue_concentration": AN.revenue_concentration,
-        "degree_assortativity": G.degree_assortativity,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round (see the r11 NOTE in the docstring above for the next
-        # rotation).
-        # ------------------------------------------------------------------
-        # --- remaining 48 r07-green entries (head of the r11 window
-        # after any r11 additions) ---
+        # --- (1) NEW in r11, never driver-verified ---
+        "image_dhash_dedup": M.image_dhash_dedup,
+        "longest_repeat_profile": D.longest_repeat_profile,
+        # --- (2) ALL 48 remaining r07-green entries ---
         "dedup_cluster_sizes": P.dedup_cluster_sizes,
         "watermark_late_audit": W.watermark_late_audit,
         "fuzzy_name_match": T.fuzzy_name_match,
@@ -173,7 +114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_prices": AN.winsorize_prices,
         "bucketed_join_revenue": BK.bucketed_join_revenue,
         "copurchase_pairs": R.copurchase_pairs,
-        # --- r08-verified entries (newest verdicts) ---
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round (see the r12 NOTE in the docstring above for the next
+        # rotation).
+        # ------------------------------------------------------------------
+        # --- r08-verified entries (head of the r12 window after any
+        # r12 additions) ---
         "streaming_dedup_agreement": ST.streaming_dedup_agreement,
         "ann_pq_topk": S.ann_pq_topk,
         "link_prediction_aa": G.link_prediction_aa,
@@ -282,7 +229,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": S.embedding_outliers,
         "streaming_window_agreement": ST.streaming_window_agreement,
         "setsim_join_prefix": D.setsim_join_prefix,
-        # --- NEW in r10 (late additions, if any): first into r11 ---
+        # --- r10-verified entries (the r10 window; rotate last) ---
+        # (1) the six r10 additions, verified r10
+        "semantic_dedup": D.semantic_dedup,
+        "setsim_hash_agreement": D.setsim_hash_agreement,
+        "ngram_hash_agreement": D.ngram_hash_agreement,
+        "join_skew_profile": Q.join_skew_profile,
+        "duplicate_set_groups": D.duplicate_set_groups,
+        "pca_power_iteration": FT.pca_power_iteration,
+        # (2) the 42 r06-green entries, verified r10
+        "jsonl_roundtrip": TF.jsonl_roundtrip,
+        "compaction_roundtrip": CP.compaction_roundtrip,
+        "incremental_ingest_certificate": IC.incremental_ingest_certificate,
+        "schema_evolution_certificate": TF.schema_evolution_certificate,
+        "personalized_pagerank": G.personalized_pagerank,
+        "multimodal_decode_image": M.multimodal_decode_image,
+        "multimodal_decode_audio": M.multimodal_decode_audio,
+        "multimodal_decode_video": M.multimodal_decode_video,
+        "connected_components": G.connected_components,
+        "token_entropy": T.token_entropy,
+        "equi_depth_bins": AN.equi_depth_bins,
+        "skyline_pareto": AN.skyline_pareto,
+        "mad_outliers": Q.mad_outliers,
+        "kcore_peel": G.kcore_peel,
+        "ewma_anomaly": B.ewma_anomaly,
+        "ann_sq8_topk": S.ann_sq8_topk,
+        "spatial_grid_join": SP.spatial_grid_join,
+        "join_size_estimate": K.join_size_estimate,
+        "clustering_coefficient": G.clustering_coefficient,
+        "bm25_topk": T.bm25_topk,
+        "bitmap_distinct": K.bitmap_distinct,
+        "pattern_match_events": B.pattern_match_events,
+        "inverted_index_stats": T.inverted_index_stats,
+        "funnel_latency": B.funnel_latency,
+        "mad_outliers_approx": Q.mad_outliers_approx,
+        "dedup_eval": D.dedup_eval,
+        "stratified_kfold": C.stratified_kfold,
+        "grouping_sets_summary": AN.grouping_sets_summary,
+        "sql_order_priority": R.sql_order_priority,
+        "sql_subqueries": R.sql_subqueries,
+        "range_join_recent_events": A.range_join_recent_events,
+        "graph_load": G.graph_load,
+        "sessionize": B.sessionize,
+        "funnel_conversion": B.funnel_conversion,
+        "retention_cohorts": B.retention_cohorts,
+        "gap_fill_daily": B.gap_fill_daily,
+        "repetition_ratio": C.repetition_ratio,
+        "unpivot_long": AN.unpivot_long,
+        "rolling_daily_activity": B.rolling_daily_activity,
+        "zorder_cluster": AN.zorder_cluster,
+        "interval_overlap_join": A.interval_overlap_join,
+        "revenue_share": AN.revenue_share,
+        # (3) the two r07-green entries verified r10
+        "revenue_concentration": AN.revenue_concentration,
+        "degree_assortativity": G.degree_assortativity,
+        # --- NEW in r11 (late additions, if any): first into r12 ---
     }
     return q
 
@@ -652,4 +653,10 @@ def oracle_sql() -> dict[str, str]:
         "join_skew_profile": Q.JOIN_SKEW_PROFILE_SQL,
         "duplicate_set_groups": D.DUPLICATE_SET_GROUPS_SQL,
         "pca_power_iteration": FT.pca_power_iteration_sql(),
+        # r11: the multimodal perceptual near-dup rung + the
+        # longest-repeat tuning profile.  The dHash oracle recomputes
+        # the hash in closed form from doc_id and verifies ALL image
+        # pairs (no banding), so a banding recall bug fails the gate.
+        "image_dhash_dedup": M.IMAGE_DHASH_DEDUP_SQL,
+        "longest_repeat_profile": D.LONGEST_REPEAT_PROFILE_SQL,
     }

@@ -2222,6 +2222,91 @@ DUP_SPAN_CUTLIST_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Longest-repeat length profile (cut-threshold tuning view)
+# ---------------------------------------------------------------------------
+
+
+def longest_repeat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document longest-duplicated-run profile — the statistic the
+    suffix-array formulation of exact-substring dedup (Lee et al.
+    2022) yields for free and the n-gram formulation must aggregate:
+    how long the LONGEST cross-document duplicated token run in each
+    document is, plus how much of the document duplicated spans cover.
+    A dedup rollout reads this distribution to tune the span-cut
+    threshold (cut only runs >= L) before committing to a cut list.
+
+    Emits (doc_id, n_tokens, n_spans, dup_tokens, max_run,
+    max_run_frac) for every doc with >= 13 tokens; docs with no
+    duplicated window get explicit zeros (max_run_frac 0.0), so the
+    output is a total profile, not a hit list.
+
+    Plan: the merged-span table from :func:`dup_span_frame` (linear
+    gram inventory + gaps-and-islands — 64-bit gram keys under
+    ``spark.smile.ngram.gramHash``), a doc-keyed aggregate over it
+    (spans per doc are disjoint by construction, so SUM(span_tokens)
+    is an exact covered-token count), and one left join back to the
+    per-doc token counts — every stage linear in corpus tokens,
+    shuffled on doc_id.  Integer arithmetic throughout; the one
+    double (max_run_frac) is a ROUND(int/int, 6) both engines compute
+    identically."""
+    return longest_repeat_frame(
+        table(spark, sf_dir, "documents"), SUBSTR_GRAM_N
+    )
+
+
+def longest_repeat_frame(
+    docs: DataFrame, n: int, hash_grams: bool | None = None
+) -> DataFrame:
+    """Core longest-repeat profile over any (doc_id, text) frame at
+    window size ``n`` — exposed for property testing with small
+    grams (brute-force suffix-scan comparison in
+    tests/test_properties.py)."""
+    spans = dup_span_frame(docs, n, hash_grams)
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= n)
+    per = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.max("span_tokens").alias("max_run"),
+    )
+    return toks.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("dup_tokens"),
+        F.coalesce("max_run", F.lit(0)).cast("bigint").alias("max_run"),
+        F.round(
+            F.coalesce("max_run", F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("max_run_frac"),
+    )
+
+
+LONGEST_REPEAT_PROFILE_SQL = (
+    f"WITH spans AS ({DUP_SPAN_CUTLIST_SQL}),"
+    " toks AS (SELECT doc_id,"
+    "  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+    f"  FROM documents WHERE len(string_split(text, ' '))"
+    f"   >= {SUBSTR_GRAM_N}),"
+    " per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,"
+    "  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,"
+    "  CAST(MAX(span_tokens) AS BIGINT) AS max_run"
+    "  FROM spans GROUP BY doc_id)"
+    " SELECT t.doc_id, t.n_tokens,"
+    " COALESCE(p.n_spans, 0) AS n_spans,"
+    " COALESCE(p.dup_tokens, 0) AS dup_tokens,"
+    " COALESCE(p.max_run, 0) AS max_run,"
+    " ROUND(CAST(COALESCE(p.max_run, 0) AS DOUBLE) / t.n_tokens, 6)"
+    "  AS max_run_frac"
+    " FROM toks t LEFT JOIN per p ON p.doc_id = t.doc_id"
+)
+
+
+# ---------------------------------------------------------------------------
 # Identical-token-set group statistics (the GroupJoin planning view)
 # ---------------------------------------------------------------------------
 

@@ -743,3 +743,164 @@ MULTIMODAL_DECODE_VIDEO_SQL = (
     " WHERE f.f % 2 = 0 AND t.i < d.w * d.h"
     " GROUP BY d.doc_id"
 )
+
+
+# --- perceptual near-duplicate images (dHash + banded Hamming) -------------
+
+# dHash grid: 9 columns x 8 rows, adjacent-column comparisons -> 64
+# bits; 4 bands of 16 bits.  By pigeonhole any pair at Hamming
+# distance <= 3 agrees on at least one whole band, so the band
+# equi-join has 100% recall at DHASH_MAX_DISTANCE — the standard
+# band-count >= radius+1 LSH sizing (wider bands = fewer, sparser
+# buckets; the 8x8-bit alternative tolerates radius 7 but its 256
+# possible band values saturate into O(N^2/256) candidates on a large
+# corpus, so 16-bit bands are the scale-safe point for radius 3).
+DHASH_GW, DHASH_GH = 9, 8
+DHASH_N_BANDS = 4
+DHASH_MAX_DISTANCE = 3
+
+DHASH_SCHEMA = "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+
+
+def image_dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image difference hash (dHash, the aHash/pHash family's
+    gradient member) over the REAL decode path: parse each
+    image-modality payload with :func:`decode_image`, nearest-neighbor
+    downsample to a 9x8 grid (sx = gx*w//9, sy = gy*h//8 — the
+    PIL.Image.resize(NEAREST) rule, exactly reproducible in closed
+    form by the oracle), compare horizontally adjacent grid pixels,
+    and pack the 64 comparison bits into 4 x 16-bit band integers
+    (band k = grid rows 2k and 2k+1, bit weight 2^((gy%2)*8+gx)).
+
+    Emits (doc_id, b0, b1, b2, b3).  Arrow-batched ``mapInPandas``:
+    payload bytes never leave the executor and hash parallelism is
+    scan parallelism, the same contract as every decoder here."""
+    import numpy as np
+
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "image")
+    col_w = 1 << np.arange(DHASH_GW - 1)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = decode_image(bytes(payload))
+                sx = (np.arange(DHASH_GW) * w) // DHASH_GW
+                sy = (np.arange(DHASH_GH) * h) // DHASH_GH
+                g = pix[np.ix_(sy, sx)].astype(np.int64)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+                rowbytes = bits @ col_w
+                bands = rowbytes[0::2] + (rowbytes[1::2] << 8)
+                out["doc_id"].append(int(doc_id))
+                for k in range(DHASH_N_BANDS):
+                    out[f"b{k}"].append(int(bands[k]))
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(hash_batch, DHASH_SCHEMA)
+
+
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash fingerprints +
+    banded-Hamming candidate generation + exact Hamming verify — the
+    multimodal rung of the dedup ladder (a crawl's resized/re-encoded
+    image copies survive byte-level dedup_exact but land within a few
+    dHash bits of each other).
+
+    Candidate generation is the :func:`simhash_pairs` banding device
+    over the band integers: explode each doc to 4 (band, val) rows and
+    equi-join on them — a shuffle on the band key, never a pair
+    enumeration, with 100% recall at distance <= 3 (pigeonhole over 4
+    bands).  The exact 64-bit Hamming verify (bit_count over 4 XORs,
+    pure JVM) runs on candidates only.  Fingerprints ride along the
+    band rows (4 ints), so no join back to a corpus-dimension hash
+    table is needed.  The hash table is localCheckpointed — one decode
+    pass feeds both join sides — and its blocks are released when the
+    returned frame dies (session.release_checkpoints_on_gc).
+
+    Returns (a, b, hamming) with a < b and hamming <= 3.
+    """
+    from smile_spark.session import release_checkpoints_on_gc
+
+    hashes = image_dhash_frame(spark, sf_dir).localCheckpoint()
+    band_structs = [
+        F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
+        for k in range(DHASH_N_BANDS)
+    ]
+    bands = hashes.select(
+        "doc_id",
+        "b0", "b1", "b2", "b3",
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.col("bb.band").alias("band"),
+        F.col("bb.val").alias("val"),
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("a"),
+        F.col("b0").alias("xa0"), F.col("b1").alias("xa1"),
+        F.col("b2").alias("xa2"), F.col("b3").alias("xa3"),
+        "band", "val",
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("b"),
+        F.col("b0").alias("xb0"), F.col("b1").alias("xb1"),
+        F.col("b2").alias("xb2"), F.col("b3").alias("xb3"),
+        "band", "val",
+    )
+    cand = (
+        ba.join(bb, ["band", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", "xa0", "xa1", "xa2", "xa3",
+            "xb0", "xb1", "xb2", "xb3",
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"xa{k}").bitwiseXOR(F.col(f"xb{k}"))
+        )
+        for k in range(DHASH_N_BANDS)
+    )
+    out = (
+        cand.select("a", "b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= DHASH_MAX_DISTANCE)
+    )
+    release_checkpoints_on_gc(out, [hashes])
+    return out
+
+
+# The oracle recomputes the dHash in closed form from doc_id (pixel
+# (gy, gx) of the sampled grid is (31*doc_id + 7*(sy*w + sx)) % 256
+# with sx = gx*w//9, sy = gy*h//8) and verifies ALL image pairs
+# exactly — no banding, so any banding recall bug on the Spark side
+# (a missed <=3 pair) fails the row-count/hash gate.
+IMAGE_DHASH_DEDUP_SQL = (
+    "WITH imgs AS (SELECT doc_id, 16 + doc_id % 16 AS w,"
+    "  8 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0),"
+    " cells AS (SELECT doc_id, gy, gx,"
+    "  ((31 * doc_id + 7 * (((gy * h) // 8) * w + ((gx * w) // 9)))"
+    "   % 256) AS p"
+    "  FROM imgs, range(8) t1(gy), range(9) t2(gx)),"
+    " bits AS (SELECT l.doc_id, l.gy, l.gx,"
+    "  CASE WHEN r.p > l.p THEN 1 ELSE 0 END AS bit"
+    "  FROM cells l JOIN cells r ON r.doc_id = l.doc_id"
+    "   AND r.gy = l.gy AND r.gx = l.gx + 1"
+    "  WHERE l.gx < 8),"
+    " bands AS (SELECT doc_id, gy // 2 AS band,"
+    "  CAST(SUM(bit * (1 << ((gy % 2) * 8 + gx))) AS INTEGER) AS val"
+    "  FROM bits GROUP BY doc_id, gy // 2),"
+    " hashes AS (SELECT doc_id,"
+    "  MAX(CASE WHEN band = 0 THEN val END) AS b0,"
+    "  MAX(CASE WHEN band = 1 THEN val END) AS b1,"
+    "  MAX(CASE WHEN band = 2 THEN val END) AS b2,"
+    "  MAX(CASE WHEN band = 3 THEN val END) AS b3"
+    "  FROM bands GROUP BY doc_id),"
+    " pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,"
+    "  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))"
+    "   + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))"
+    "   AS BIGINT) AS hamming"
+    "  FROM hashes x JOIN hashes y ON x.doc_id < y.doc_id)"
+    " SELECT a, b, hamming FROM pairs"
+    " WHERE hamming <= 3"
+)

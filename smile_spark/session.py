@@ -132,3 +132,20 @@ def unpersist_checkpoint(df) -> None:
 
 
 _UNPERSIST_WARNED = False
+
+
+def _release_checkpoint_group(group: list) -> None:
+    while group:
+        unpersist_checkpoint(group.pop())
+
+
+def release_checkpoints_on_gc(result, checkpoints) -> None:
+    """Tie the lifetime of ``localCheckpoint``-ed intermediates to a
+    result DataFrame: their block-manager storage is released when
+    ``result`` is garbage-collected (deterministic under CPython
+    refcounting once the caller drops the frame).  The caller must
+    keep ``result`` alive until every derived frame has evaluated —
+    derived DataFrames do not keep their Python parent alive."""
+    import weakref
+
+    weakref.finalize(result, _release_checkpoint_group, list(checkpoints))

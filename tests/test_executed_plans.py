@@ -69,6 +69,7 @@ MEASURED = {
     "ann_pq_topk": 3,
     "group_split_no_leakage": 5,
     "setsim_hash_agreement": 5,
+    "image_dhash_dedup": 1,  # r11 measured (band self-join + verify)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

@@ -253,3 +253,40 @@ def test_setsim_frame_matches_bruteforce(spark, docs):
             if jac >= SETSIM_TAU:
                 want[(a, b)] = (na, nb, i, jac)
     assert got == want, (docs, got, want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(token_lists=docs_strategy)
+def test_longest_repeat_profile_matches_bruteforce(spark, token_lists):
+    """The per-doc longest-repeat profile equals the aggregate of the
+    brute-force merged spans: max/sum/count over _ref_dup_profile's
+    span list, zeros for eligible docs with no duplicated window."""
+    from smile_spark.operators.dedup import longest_repeat_frame
+
+    n = 3
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    _, want_spans = _ref_dup_profile(token_lists, n)
+    want = {}
+    for d, toks in enumerate(token_lists):
+        if len(toks) < n:
+            continue
+        spans = want_spans.get(d, [])
+        lens = [e - s + 1 for s, e in spans]
+        want[d] = (
+            len(toks),
+            len(spans),
+            sum(lens),
+            max(lens, default=0),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens, r.max_run)
+        for r in longest_repeat_frame(df, n).collect()
+    }
+    assert got == want, (token_lists, got, want)

@@ -57,3 +57,79 @@ def test_setsim_finalizer_releases_blocks(spark, sf_dir):
     del frame
     gc.collect()
     assert n_persistent() < during
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (dHash + banded Hamming)
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_dedup_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.multimodal import IMAGE_DHASH_DEDUP_SQL, image_dhash_dedup
+
+    for d in (sf_dir, SF001):
+        assert_matches_oracle(spark, image_dhash_dedup, IMAGE_DHASH_DEDUP_SQL, d)
+
+
+def test_image_dhash_banding_recall_is_total(spark, sf_dir):
+    """The banded candidate join must find EVERY pair at Hamming <= 3
+    (pigeonhole over 4 x 16-bit bands) — compare the operator's output
+    against a brute-force all-pairs scan of the collected fingerprint
+    table."""
+    from smile_spark.operators.multimodal import (
+        DHASH_MAX_DISTANCE,
+        image_dhash_dedup,
+        image_dhash_frame,
+    )
+
+    rows = image_dhash_frame(spark, SF001).collect()
+    fp = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in rows}
+    ids = sorted(fp)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = sum(
+                bin(x ^ y).count("1") for x, y in zip(fp[a], fp[b])
+            )
+            if hd <= DHASH_MAX_DISTANCE:
+                want.add((a, b, hd))
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in image_dhash_dedup(spark, SF001).collect()
+    }
+    assert got == want
+    assert want, "fixture should contain near-duplicate images"
+
+
+def test_longest_repeat_profile_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.dedup import (
+        LONGEST_REPEAT_PROFILE_SQL,
+        longest_repeat_profile,
+    )
+
+    for d in (sf_dir, SF001):
+        assert_matches_oracle(
+            spark, longest_repeat_profile, LONGEST_REPEAT_PROFILE_SQL, d
+        )
+
+
+def test_longest_repeat_profile_consistent_with_cutlist(spark, sf_dir):
+    """max_run/dup_tokens/n_spans must be exactly the aggregate of the
+    registered cut list (the spans are disjoint, so SUM is a true
+    covered-token count and never exceeds n_tokens)."""
+    from smile_spark.operators.dedup import (
+        dup_span_cutlist,
+        longest_repeat_profile,
+    )
+
+    spans = {}
+    for r in dup_span_cutlist(spark, sf_dir).collect():
+        spans.setdefault(r.doc_id, []).append(r.span_tokens)
+    prof = longest_repeat_profile(spark, sf_dir).collect()
+    assert prof
+    for r in prof:
+        lens = spans.get(r.doc_id, [])
+        assert r.n_spans == len(lens)
+        assert r.dup_tokens == sum(lens)
+        assert r.max_run == max(lens, default=0)
+        assert r.dup_tokens <= r.n_tokens
