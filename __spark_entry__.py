@@ -49,23 +49,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-11 window (exactly 50, the rotation the
-    r10 VERDICT prescribed): (1) the TWO r11 additions that have
-    never held a driver verdict (image_dhash_dedup,
-    longest_repeat_profile); (2) ALL 48 remaining r07-green entries
-    (dedup_cluster_sizes .. copurchase_pairs) — 2 + 48 fills the
-    window with nothing slipping.  After this window completes, no
-    registered entry's newest verdict predates r08.  r12 NOTE:
-    rotate (a) any never-verified r12 additions first, then (b) the
-    r08-verified block (streaming_dedup_agreement .. text_stats),
-    then (c) start on the r09-verified block; the r10-verified block
-    rotates last.
+    insertion order.  Round-11 window (exactly 50): (1) the THREE
+    r11 additions that have never held a driver verdict
+    (image_dhash_dedup, longest_repeat_profile, video_frame_dedup);
+    (2) the first 47 of the 48 remaining r07-green entries
+    (dedup_cluster_sizes .. bucketed_join_revenue).  The r10 VERDICT
+    allotted 2 free slots; a third r11 addition means exactly ONE
+    r07 entry slips to r12: copurchase_pairs.  After this window
+    completes, no registered entry's newest verdict predates r08
+    except copurchase_pairs (r07).  r12 NOTE: rotate (a) any
+    never-verified r12 additions first, then (b) copurchase_pairs
+    (the slipped r07 entry), then (c) the r08-verified block
+    (streaming_dedup_agreement .. text_stats), then (d) start on the
+    r09-verified block; the r10-verified block rotates last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- (1) NEW in r11, never driver-verified ---
         "image_dhash_dedup": M.image_dhash_dedup,
         "longest_repeat_profile": D.longest_repeat_profile,
-        # --- (2) ALL 48 remaining r07-green entries ---
+        "video_frame_dedup": M.video_frame_dedup,
+        # --- (2) the first 47 remaining r07-green entries ---
         "dedup_cluster_sizes": P.dedup_cluster_sizes,
         "watermark_late_audit": W.watermark_late_audit,
         "fuzzy_name_match": T.fuzzy_name_match,
@@ -113,14 +116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": T.tfidf_top_terms,
         "winsorize_prices": AN.winsorize_prices,
         "bucketed_join_revenue": BK.bucketed_join_revenue,
-        "copurchase_pairs": R.copurchase_pairs,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round (see the r12 NOTE in the docstring above for the next
         # rotation).
         # ------------------------------------------------------------------
-        # --- r08-verified entries (head of the r12 window after any
-        # r12 additions) ---
+        # --- the ONE r07-green entry that slipped out of the r11
+        # window (first into r12 after any r12 additions) ---
+        "copurchase_pairs": R.copurchase_pairs,
+        # --- r08-verified entries (next in the r12 window) ---
         "streaming_dedup_agreement": ST.streaming_dedup_agreement,
         "ann_pq_topk": S.ann_pq_topk,
         "link_prediction_aa": G.link_prediction_aa,
@@ -659,4 +663,5 @@ def oracle_sql() -> dict[str, str]:
         # pairs (no banding), so a banding recall bug fails the gate.
         "image_dhash_dedup": M.IMAGE_DHASH_DEDUP_SQL,
         "longest_repeat_profile": D.LONGEST_REPEAT_PROFILE_SQL,
+        "video_frame_dedup": M.VIDEO_FRAME_DEDUP_SQL,
     }

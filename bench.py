@@ -15,6 +15,14 @@ bounded tail capture, so the detail and the summary are separated):
 
 Execution is forced with the noop sink (full pipeline, no driver
 collect), matching how a production job would consume the result.
+
+Arbitration rule (VERDICT r10 #3): a full run lists
+``arbitrate_suspects`` — queries >2x their r01 time or >1.5x the
+previous committed BENCH_LOCAL.json figure, with >1 s current cost.
+Before the round snapshot, give each suspect ONE solo re-time in a
+fresh session (``SPARK_GRAFT_BENCH_ONLY=q1,q2 python bench.py``); the
+solo run merges its figures into BENCH_LOCAL.json under ``"solo"``,
+next to the in-run figures, so the judge can read both.
 """
 
 from __future__ import annotations
@@ -121,7 +129,13 @@ def main() -> None:
     # table once and reuses it.
     from smile_spark.operators import dedup as _dedup
 
-    for _ in range(2):
+    def _build_wanted(bname: str) -> bool:
+        # cold *_build entries price session memos — always in a full
+        # run, but a solo arbitration subset should pay only for what
+        # it asked for
+        return (not only) or bname in queries or bname in (only or "")
+
+    for _ in range(2 if _build_wanted("lsh_pairs_build") else 0):
         # clear_lsh_cache also unpersists the discarded build's
         # checkpointed blocks (bands/cand/shingles/pairs) — a bare
         # dict clear leaked them in executor storage for the rest of
@@ -145,7 +159,7 @@ def main() -> None:
     # treatment.
     from smile_spark.operators import graph as _graph
 
-    for _ in range(2):
+    for _ in range(2 if _build_wanted("lpa_build") else 0):
         # unpersists the discarded build's label/stub checkpoints too
         # (ADVICE r08 #4)
         _graph.clear_lpa_cache()
@@ -167,7 +181,7 @@ def main() -> None:
     # (the lpa_build precedent).  Runs AFTER the lpa loop: the LPA
     # label memo is independently checkpointed, so clearing the edge
     # chain underneath it is safe.
-    for _ in range(2):
+    for _ in range(2 if _build_wanted("oriented_build") else 0):
         _graph.clear_copurchase_cache()
         t0 = time.perf_counter()
         try:
@@ -330,20 +344,72 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+    # Per-query arbitration rule (VERDICT r10 next-round #3): a query
+    # >2x its r01 time, or >1.5x its previous-round time, with >1 s
+    # current cost, cannot be trusted from an in-run figure alone —
+    # session load, suite growth, and box speed all move individual
+    # numbers.  List the suspects so the round checklist gives each
+    # ONE solo re-time in a fresh session (SPARK_GRAFT_BENCH_ONLY=...)
+    # before the snapshot; the solo run merges its figures into this
+    # file under "solo", next to the in-run figure.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+
+    def _round_queries(path: str) -> dict[str, float]:
+        try:
+            with open(os.path.join(repo_dir, path)) as f:
+                d = json.load(f)
+            d = d.get("parsed", d)
+            if d.get("sf") != sf:
+                return {}
+            return d.get("queries") or {}
+        except (OSError, ValueError):
+            return {}
+
+    r01 = _round_queries("BENCH_r01.json")
+    # previous round's full per-query map = the committed
+    # BENCH_LOCAL.json (read before this run overwrites it below);
+    # the BENCH_r{N}.json snapshots only keep the compact summary.
+    prev = _round_queries("BENCH_LOCAL.json")
+    suspects = sorted(
+        name
+        for name, t in timings.items()
+        if t > 1.0
+        and (
+            (name in r01 and t > 2.0 * r01[name])
+            or (name in prev and t > 1.5 * prev[name])
+        )
+    )
+    if not only and suspects:
+        detail["arbitrate_suspects"] = suspects
     # Full map: committed file first (survives any stdout truncation),
     # then its own stdout line for full-capture consumers.
     # Subset runs are attribution experiments — never clobber the
     # committed full-suite detail file.
     detail_name = "BENCH_SUBSET.json" if only else "BENCH_LOCAL.json"
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), detail_name
-    )
+    local_path = os.path.join(repo_dir, detail_name)
     try:
         with open(local_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError:
         pass  # read-only checkout must not kill the bench
+    if only:
+        # a solo re-time is the arbitration verdict for its queries —
+        # record each figure NEXT TO the in-run figure in the
+        # committed full-suite detail (merge, never clobber), at the
+        # matching SF only.
+        full_path = os.path.join(repo_dir, "BENCH_LOCAL.json")
+        try:
+            with open(full_path) as f:
+                full = json.load(f)
+            if full.get("sf") == sf:
+                solo = full.setdefault("solo", {})
+                solo.update(timings)
+                with open(full_path, "w") as f:
+                    json.dump(full, f, indent=1, sort_keys=True)
+                    f.write("\n")
+        except (OSError, ValueError):
+            pass
     print(json.dumps(detail))
     sys.stdout.flush()
     # LAST line is compact — it must survive a bounded tail capture
@@ -358,6 +424,7 @@ def main() -> None:
         "n_errors": len(errors),
         "detail_file": "BENCH_LOCAL.json",
         "drift_retried": drift_retried,
+        "n_arbitrate": len(suspects) if not only else 0,
         **norm,
     }
     print(json.dumps(summary))

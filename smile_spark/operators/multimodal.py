@@ -762,6 +762,23 @@ DHASH_MAX_DISTANCE = 3
 DHASH_SCHEMA = "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
 
 
+def _dhash_bands(pix, w: int, h: int):
+    """The dHash core over one decoded (h, w) uint8 raster:
+    nearest-neighbor sample to a DHASH_GW x DHASH_GH grid
+    (sx = gx*w//9, sy = gy*h//8 — the PIL NEAREST rule), compare
+    horizontally adjacent grid pixels, pack the 64 bits into 4
+    16-bit band ints (band k = grid rows 2k/2k+1, weight
+    2^((gy%2)*8+gx)).  Shared by the image and video-frame rungs."""
+    import numpy as np
+
+    sx = (np.arange(DHASH_GW) * w) // DHASH_GW
+    sy = (np.arange(DHASH_GH) * h) // DHASH_GH
+    g = pix[np.ix_(sy, sx)].astype(np.int64)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+    rowbytes = bits @ (1 << np.arange(DHASH_GW - 1))
+    return rowbytes[0::2] + (rowbytes[1::2] << 8)
+
+
 def image_dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image difference hash (dHash, the aHash/pHash family's
     gradient member) over the REAL decode path: parse each
@@ -778,19 +795,13 @@ def image_dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "image")
-    col_w = 1 << np.arange(DHASH_GW - 1)
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, pix = decode_image(bytes(payload))
-                sx = (np.arange(DHASH_GW) * w) // DHASH_GW
-                sy = (np.arange(DHASH_GH) * h) // DHASH_GH
-                g = pix[np.ix_(sy, sx)].astype(np.int64)
-                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
-                rowbytes = bits @ col_w
-                bands = rowbytes[0::2] + (rowbytes[1::2] << 8)
+                bands = _dhash_bands(pix, w, h)
                 out["doc_id"].append(int(doc_id))
                 for k in range(DHASH_N_BANDS):
                     out[f"b{k}"].append(int(bands[k]))
@@ -903,4 +914,117 @@ IMAGE_DHASH_DEDUP_SQL = (
     "  FROM hashes x JOIN hashes y ON x.doc_id < y.doc_id)"
     " SELECT a, b, hamming FROM pairs"
     " WHERE hamming <= 3"
+)
+
+
+# --- perceptual video near-dup (per-frame dHash, exact hash match) ---------
+
+VIDEO_DHASH_SCHEMA = (
+    "doc_id bigint, frame_idx int, b0 int, b1 int, b2 int, b3 int"
+)
+
+
+def video_frame_dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FRAME dHash over the video payload column: walk each
+    concatenated-PGM stream with the real frame parser
+    (:func:`sample_video_frames_indexed`, every frame kept) and hash
+    each decoded raster with the shared :func:`_dhash_bands` core.
+    Emits (doc_id, frame_idx, b0, b1, b2, b3) — 1 -> VID_FRAMES rows
+    per video, the frame-explode shape of :func:`multimodal_frames`
+    with a fingerprint instead of raw pixel stats."""
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "video")
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [],
+                "b0": [], "b1": [], "b2": [], "b3": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, _off, _len, w, h, pix in (
+                    sample_video_frames_indexed(bytes(payload), every_n=1)
+                ):
+                    bands = _dhash_bands(pix, w, h)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    for k in range(DHASH_N_BANDS):
+                        out[f"b{k}"].append(int(bands[k]))
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(hash_batch, VIDEO_DHASH_SCHEMA)
+
+
+def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video pairs by PERCEPTUALLY IDENTICAL shared
+    frames: two videos pair when at least one frame of each carries
+    the same 64-bit dHash — the standard keyframe-fingerprint dedup
+    for re-encoded/re-containered video copies, where byte-level
+    hashing fails but per-frame perceptual hashes survive.
+
+    Candidate generation is an EXACT equi-join on the full 64-bit
+    hash (all four band ints at once — a shuffle keyed on the hash
+    value, never a pair enumeration, with output proportional to
+    true shared-frame pairs).  A Hamming-tolerant variant would reuse
+    the image rung's banding; on this corpus' tiny synthetic frames
+    (8-15 x 4-7 px) a radius-3 match degenerates to ~70% of ALL video
+    pairs — measured, which is why the registered video rung is the
+    exact-match form (the honest operator at this frame size) and
+    tolerance stays an image-rung feature.
+
+    The per-(doc, hash) distinct is checkpointed — one decode pass
+    feeds both join sides; blocks release when the result frame dies.
+
+    Returns (a, b, n_shared) with a < b and n_shared = number of
+    distinct shared hash values >= 1.
+    """
+    from smile_spark.session import release_checkpoints_on_gc
+
+    keys = ["b0", "b1", "b2", "b3"]
+    sigs = (
+        video_frame_dhash_frame(spark, sf_dir)
+        .select("doc_id", *keys)
+        .distinct()
+        .localCheckpoint()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), *keys)
+    sb = sigs.select(F.col("doc_id").alias("b"), *keys)
+    out = (
+        sa.join(sb, keys)
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    release_checkpoints_on_gc(out, [sigs])
+    return out
+
+
+# closed-form frame pixels: (31*doc_id + 97*f + 7*(sy*w + sx)) % 256
+# over the VID_FRAMES frames of each video-modality doc
+VIDEO_FRAME_DEDUP_SQL = (
+    "WITH vids AS (SELECT doc_id, 8 + doc_id % 8 AS w,"
+    "  4 + doc_id % 4 AS h FROM documents WHERE doc_id % 3 = 2),"
+    f" cells AS (SELECT doc_id, f, gy, gx,"
+    f"  ((31 * doc_id + {VID_FRAME_SALT} * f"
+    "   + 7 * (((gy * h) // 8) * w + ((gx * w) // 9))) % 256) AS p"
+    f"  FROM vids, range({VID_FRAMES}) t0(f),"
+    "   range(8) t1(gy), range(9) t2(gx)),"
+    " bits AS (SELECT l.doc_id, l.f, l.gy, l.gx,"
+    "  CASE WHEN r.p > l.p THEN 1 ELSE 0 END AS bit"
+    "  FROM cells l JOIN cells r ON r.doc_id = l.doc_id AND r.f = l.f"
+    "   AND r.gy = l.gy AND r.gx = l.gx + 1"
+    "  WHERE l.gx < 8),"
+    " bands AS (SELECT doc_id, f, gy // 2 AS band,"
+    "  CAST(SUM(bit * (1 << ((gy % 2) * 8 + gx))) AS INTEGER) AS val"
+    "  FROM bits GROUP BY doc_id, f, gy // 2),"
+    " hashes AS (SELECT DISTINCT doc_id,"
+    "  MAX(CASE WHEN band = 0 THEN val END) AS b0,"
+    "  MAX(CASE WHEN band = 1 THEN val END) AS b1,"
+    "  MAX(CASE WHEN band = 2 THEN val END) AS b2,"
+    "  MAX(CASE WHEN band = 3 THEN val END) AS b3"
+    "  FROM bands GROUP BY doc_id, f)"
+    " SELECT x.doc_id AS a, y.doc_id AS b,"
+    "  CAST(COUNT(*) AS BIGINT) AS n_shared"
+    " FROM hashes x JOIN hashes y ON x.b0 = y.b0 AND x.b1 = y.b1"
+    "  AND x.b2 = y.b2 AND x.b3 = y.b3 AND x.doc_id < y.doc_id"
+    " GROUP BY x.doc_id, y.doc_id"
 )

@@ -70,6 +70,7 @@ MEASURED = {
     "group_split_no_leakage": 5,
     "setsim_hash_agreement": 5,
     "image_dhash_dedup": 1,  # r11 measured (band self-join + verify)
+    "video_frame_dedup": 1,  # r11 measured (hash equi-join + count)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

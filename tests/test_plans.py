@@ -138,9 +138,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # runs the prefix join TWICE with localCheckpoints at plan
         # time (the hashed/string double execution IS the certificate)
         "setsim_hash_agreement",
-        # localCheckpoints the dHash fingerprint table at plan time
-        # (one decode pass feeds both band-join sides)
-        "image_dhash_dedup",
+        # localCheckpoint their dHash fingerprint tables at plan time
+        # (one decode pass feeds both join sides)
+        "image_dhash_dedup", "video_frame_dedup",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set

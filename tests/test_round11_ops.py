@@ -133,3 +133,43 @@ def test_longest_repeat_profile_consistent_with_cutlist(spark, sf_dir):
         assert r.dup_tokens == sum(lens)
         assert r.max_run == max(lens, default=0)
         assert r.dup_tokens <= r.n_tokens
+
+
+def test_video_frame_dedup_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.multimodal import (
+        VIDEO_FRAME_DEDUP_SQL,
+        video_frame_dedup,
+    )
+
+    for d in (sf_dir, SF001):
+        assert_matches_oracle(
+            spark, video_frame_dedup, VIDEO_FRAME_DEDUP_SQL, d
+        )
+
+
+def test_video_frame_dedup_matches_bruteforce(spark, sf_dir):
+    """The hash equi-join must pair exactly the videos that share at
+    least one identical frame hash, with n_shared = the number of
+    distinct shared hash values — brute-forced from the collected
+    per-frame fingerprint table."""
+    from smile_spark.operators.multimodal import (
+        video_frame_dedup,
+        video_frame_dhash_frame,
+    )
+
+    sets = {}
+    for r in video_frame_dhash_frame(spark, SF001).collect():
+        sets.setdefault(r.doc_id, set()).add((r.b0, r.b1, r.b2, r.b3))
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(sets[a] & sets[b])
+            if shared:
+                want[(a, b)] = shared
+    got = {
+        (r.a, r.b): r.n_shared
+        for r in video_frame_dedup(spark, SF001).collect()
+    }
+    assert got == want
+    assert want, "fixture should contain videos sharing identical frames"
