@@ -1693,6 +1693,208 @@ SETSIM_HASH_AGREEMENT_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Incremental corpus dedup (probe an increment against the base index)
+# ---------------------------------------------------------------------------
+
+# increment block: doc_id % SETSIM_INC_MOD == 0 — the daily-crawl
+# stand-in (the dedup_eval block-modulus device; at 100 TB the split
+# is "today's ingest" vs "the corpus", not an id residue)
+SETSIM_INC_MOD = 5
+
+
+def setsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the shape a production pipeline
+    actually runs daily: exact word-set Jaccard >= SETSIM_TAU join of
+    an INCREMENT block (doc_id % SETSIM_INC_MOD == 0, the new-crawl
+    stand-in) against the BASE corpus (every other document), emitting
+    for each increment doc the base docs it near-duplicates.  Unlike
+    :func:`setsim_join_prefix` this never enumerates base x base
+    pairs: the quadratic core is probe x index, so re-deduping the
+    full corpus on every ingest — the naive alternative — is avoided
+    entirely.
+
+    Plan (the PPJoin asymmetry of setsim_join_frame, specialized to
+    two sides): one corpus-linear tokenize + distinct (64-bit xxhash64
+    keys under ``spark.smile.setsim.tokenHash``); document frequencies
+    from the BASE side only (the production index ships precomputed
+    stats; the prefix theorem holds under ANY shared total order, so
+    probe tokens unseen in the base — df 0, sorted first — cost probe
+    prefix slots but never correctness); the AllPairs prefix
+    n - ceil(tau*n) + 1 on BOTH sides — the sharper PPJoin index
+    bound of setsim_join_frame is valid only under that join's
+    (n, id) role canonicalization (it needs the index doc to be the
+    pair's smaller set), which a semantic probe-vs-base split cannot
+    impose, so using it here measurably DROPS qualifying pairs (22
+    of 3,314 at sf0.001 — caught by the oracle during development);
+    a tok-keyed equi-join
+    with the exact-integer length filter (tau*na <= nb <= na/tau);
+    and a candidate-bounded exact verify (arrays semi-joined to
+    candidate ids, broadcast because candidate-bounded — never
+    corpus-bounded).  Checkpointed stages release when the returned
+    frame dies.
+
+    Returns (a, b, na, nb, i, jaccard) with a from the increment and
+    b from the base (NOT id-ordered — the sides are semantically
+    distinct).
+    """
+    from smile_spark.session import release_checkpoints_on_gc
+
+    docs = table(spark, sf_dir, "documents")
+    hash_tokens = str(
+        spark.conf.get("spark.smile.setsim.tokenHash", "true")
+    ).lower() == "true"
+    group: list[DataFrame] = []
+    raw = docs.select(
+        "doc_id",
+        (F.col("doc_id") % SETSIM_INC_MOD == 0).alias("is_inc"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    if hash_tokens:
+        raw = raw.select(
+            "doc_id", "is_inc", F.xxhash64("tok").alias("tok")
+        )
+    toks = raw.distinct().localCheckpoint()
+    group.append(toks)
+    # index-side document frequencies (base docs only); probe tokens
+    # absent from the index read df 0 via the left join below
+    dfreq = (
+        toks.filter(~F.col("is_inc"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    sizes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.first("is_inc").alias("is_inc")
+    )
+    from pyspark.sql.window import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    ranked = (
+        toks.join(dfreq, "tok", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .join(sizes.select("doc_id", "n"), "doc_id")
+        .withColumn("pos", F.row_number().over(wdoc))
+    )
+    ceil_tau_n = F.expr(
+        f"({SETSIM_TAU_NUM} * n + {SETSIM_TAU_DEN - 1})"
+        f" div {SETSIM_TAU_DEN}"
+    )
+    plen_probe = F.col("n") - ceil_tau_n + 1
+    # AllPairs prefix for the index side too — see the docstring for
+    # why the sharper PPJoin bound is NOT valid in this asymmetry
+    plen_idx = plen_probe
+    probe = (
+        ranked.join(
+            sizes.filter("is_inc").select("doc_id"), "doc_id", "semi"
+        )
+        .filter(F.col("pos") <= plen_probe)
+        .select(
+            F.col("doc_id").alias("a"), "tok", F.col("n").alias("na")
+        )
+    )
+    index = (
+        ranked.join(
+            sizes.filter(~F.col("is_inc")).select("doc_id"),
+            "doc_id",
+            "semi",
+        )
+        .filter(F.col("pos") <= plen_idx)
+        .select(
+            F.col("doc_id").alias("b"), "tok", F.col("n").alias("nb")
+        )
+    )
+    cand = (
+        probe.join(index, "tok")
+        # exact-integer length filter: tau*na <= nb AND tau*nb <= na
+        .filter(
+            (F.col("nb") * SETSIM_TAU_DEN >= F.col("na") * SETSIM_TAU_NUM)
+            & (F.col("na") * SETSIM_TAU_DEN >= F.col("nb") * SETSIM_TAU_NUM)
+        )
+        .select("a", "b", "na", "nb")
+        .distinct()
+        .localCheckpoint()
+    )
+    group.append(cand)
+    cand_ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    dsets = (
+        toks.join(F.broadcast(cand_ids), "doc_id", "semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("tok")).alias("ts"))
+        .localCheckpoint()
+    )
+    group.append(dsets)
+    # fan out BEFORE the per-row array_intersect verify (the AQE
+    # bytes-vs-rows coalesce trap; see setsim_join_frame)
+    cand = fan_out(cand)
+    out = (
+        cand.join(
+            F.broadcast(
+                dsets.select(
+                    F.col("doc_id").alias("a"), F.col("ts").alias("ta")
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                dsets.select(
+                    F.col("doc_id").alias("b"), F.col("ts").alias("tb")
+                )
+            ),
+            "b",
+        )
+        .withColumn(
+            "i", F.size(F.array_intersect("ta", "tb")).cast("bigint")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= SETSIM_TAU)
+        .select(
+            "a",
+            "b",
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            "i",
+            "jaccard",
+        )
+    )
+    release_checkpoints_on_gc(out, group)
+    return out
+
+
+SETSIM_INCREMENTAL_SQL = (
+    "WITH toks AS (SELECT DISTINCT doc_id, tok FROM documents,"
+    "  unnest(string_split(text, ' ')) t(tok)),"
+    " sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),"
+    f" inc AS (SELECT doc_id FROM documents"
+    f"  WHERE doc_id % {SETSIM_INC_MOD} = 0),"
+    f" base AS (SELECT doc_id FROM documents"
+    f"  WHERE doc_id % {SETSIM_INC_MOD} <> 0),"
+    " inter AS (SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS i"
+    "  FROM toks ta JOIN inc ON inc.doc_id = ta.doc_id"
+    "  JOIN toks tb ON tb.tok = ta.tok"
+    "  JOIN base ON base.doc_id = tb.doc_id"
+    "  GROUP BY 1, 2),"
+    " jacc AS (SELECT a, b, CAST(sa.n AS BIGINT) AS na,"
+    "  CAST(sb.n AS BIGINT) AS nb, CAST(i AS BIGINT) AS i,"
+    "  ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard"
+    "  FROM inter JOIN sizes sa ON sa.doc_id = inter.a"
+    "  JOIN sizes sb ON sb.doc_id = inter.b)"
+    " SELECT a, b, na, nb, i, jaccard FROM jacc"
+    f" WHERE jaccard >= {SETSIM_TAU}"
+)
+
+
+# ---------------------------------------------------------------------------
 # Dedup quality evaluation (LSH recall/precision vs exact truth)
 # ---------------------------------------------------------------------------
 

@@ -71,6 +71,7 @@ MEASURED = {
     "setsim_hash_agreement": 5,
     "image_dhash_dedup": 1,  # r11 measured (band self-join + verify)
     "video_frame_dedup": 1,  # r11 measured (hash equi-join + count)
+    "setsim_incremental": 4,  # r11 measured (probe-vs-index prefix join)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

@@ -141,6 +141,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # localCheckpoint their dHash fingerprint tables at plan time
         # (one decode pass feeds both join sides)
         "image_dhash_dedup", "video_frame_dedup",
+        # localCheckpoints toks/cand/arrays at plan time (the
+        # setsim_join_frame checkpoint contract, probe-vs-base form)
+        "setsim_incremental",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set

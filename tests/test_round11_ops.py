@@ -173,3 +173,71 @@ def test_video_frame_dedup_matches_bruteforce(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture should contain videos sharing identical frames"
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup (probe-vs-base)
+# ---------------------------------------------------------------------------
+
+
+def test_setsim_incremental_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.dedup import (
+        SETSIM_INCREMENTAL_SQL,
+        setsim_incremental,
+    )
+
+    for d in (sf_dir, SF001):
+        assert_matches_oracle(
+            spark, setsim_incremental, SETSIM_INCREMENTAL_SQL, d
+        )
+
+
+def test_setsim_incremental_equals_full_join_slice(spark, sf_dir):
+    """The incremental probe-vs-base join must produce EXACTLY the
+    increment<->base slice of the full symmetric setsim join — same
+    pairs, same (na, nb, i, jaccard) — while never enumerating
+    base x base.  This pins the asymmetric prefix bounds (the sharp
+    PPJoin index prefix is invalid here; development caught it
+    dropping 22 pairs)."""
+    from smile_spark.operators.dedup import (
+        SETSIM_INC_MOD,
+        setsim_incremental,
+        setsim_join_prefix,
+    )
+
+    full = setsim_join_prefix(spark, sf_dir)
+    want = {}
+    for r in full.collect():
+        a_inc = r.a % SETSIM_INC_MOD == 0
+        b_inc = r.b % SETSIM_INC_MOD == 0
+        if a_inc == b_inc:
+            continue  # base-base or inc-inc: out of scope
+        if a_inc:
+            want[(r.a, r.b)] = (r.na, r.nb, r.i, r.jaccard)
+        else:
+            want[(r.b, r.a)] = (r.nb, r.na, r.i, r.jaccard)
+    got = {
+        (r.a, r.b): (r.na, r.nb, r.i, r.jaccard)
+        for r in setsim_incremental(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture should contain increment-base near-dups"
+
+
+def test_setsim_incremental_hash_and_string_paths_agree(spark, sf_dir):
+    """Like setsim, the 64-bit token path must be pair-for-pair
+    identical to the raw-string path (the prefix filter holds under
+    any shared total order, including df-from-base with hash
+    tie-breaks)."""
+    from smile_spark.operators.dedup import setsim_incremental
+
+    def run(flag):
+        spark.conf.set("spark.smile.setsim.tokenHash", flag)
+        try:
+            return sorted(
+                map(tuple, setsim_incremental(spark, sf_dir).collect())
+            )
+        finally:
+            spark.conf.set("spark.smile.setsim.tokenHash", "true")
+
+    assert run("true") == run("false")
