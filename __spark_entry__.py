@@ -49,20 +49,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-11 window (exactly 50): (1) the FOUR r11
+    insertion order.  Round-11 window (exactly 50): (1) the FIVE r11
     additions that have never held a driver verdict
     (image_dhash_dedup, longest_repeat_profile, video_frame_dedup,
-    setsim_incremental); (2) the first 46 of the 48 remaining
-    r07-green entries (dedup_cluster_sizes .. winsorize_prices).
-    The r10 VERDICT allotted 2 free slots; four r11 additions mean
-    exactly TWO r07 entries slip to r12: bucketed_join_revenue and
+    setsim_incremental, csv_malformed_audit); (2) the first 45 of
+    the 48 remaining r07-green entries (dedup_cluster_sizes ..
+    tfidf_top_terms).  The r10 VERDICT
+    allotted 2 free slots; five r11 additions mean exactly THREE r07
+    entries slip to r12: winsorize_prices, bucketed_join_revenue,
     copurchase_pairs.  After this window completes, no registered
-    entry's newest verdict predates r08 except those two (r07).
+    entry's newest verdict predates r08 except those three (r07).
     r12 NOTE: rotate (a) any never-verified r12 additions first,
-    then (b) the two slipped r07 entries (bucketed_join_revenue,
-    copurchase_pairs), then (c) the r08-verified block
-    (streaming_dedup_agreement .. text_stats), then (d) start on the
-    r09-verified block; the r10-verified block rotates last.
+    then (b) the three slipped r07 entries (winsorize_prices,
+    bucketed_join_revenue, copurchase_pairs), then (c) the
+    r08-verified block (streaming_dedup_agreement .. text_stats),
+    then (d) start on the r09-verified block; the r10-verified block
+    rotates last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- (1) NEW in r11, never driver-verified ---
@@ -70,7 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "longest_repeat_profile": D.longest_repeat_profile,
         "video_frame_dedup": M.video_frame_dedup,
         "setsim_incremental": D.setsim_incremental,
-        # --- (2) the first 46 remaining r07-green entries ---
+        "csv_malformed_audit": TF.csv_malformed_audit,
+        # --- (2) the first 45 remaining r07-green entries ---
         "dedup_cluster_sizes": P.dedup_cluster_sizes,
         "watermark_late_audit": W.watermark_late_audit,
         "fuzzy_name_match": T.fuzzy_name_match,
@@ -116,14 +119,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols_fit": FT.grouped_ols_fit,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "tfidf_top_terms": T.tfidf_top_terms,
-        "winsorize_prices": AN.winsorize_prices,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round (see the r12 NOTE in the docstring above for the next
         # rotation).
         # ------------------------------------------------------------------
-        # --- the TWO r07-green entries that slipped out of the r11
+        # --- the THREE r07-green entries that slipped out of the r11
         # window (first into r12 after any r12 additions) ---
+        "winsorize_prices": AN.winsorize_prices,
         "bucketed_join_revenue": BK.bucketed_join_revenue,
         "copurchase_pairs": R.copurchase_pairs,
         # --- r08-verified entries (next in the r12 window) ---
@@ -667,4 +670,5 @@ def oracle_sql() -> dict[str, str]:
         "longest_repeat_profile": D.LONGEST_REPEAT_PROFILE_SQL,
         "video_frame_dedup": M.VIDEO_FRAME_DEDUP_SQL,
         "setsim_incremental": D.SETSIM_INCREMENTAL_SQL,
+        "csv_malformed_audit": TF.CSV_MALFORMED_AUDIT_SQL,
     }

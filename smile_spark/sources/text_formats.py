@@ -214,3 +214,115 @@ SCHEMA_EVOLUTION_SQL = (
     " CAST(0 AS BIGINT) AS only_src, CAST(0 AS BIGINT) AS only_rt"
     " FROM documents"
 )
+
+
+# --- malformed-row ingest accounting (PERMISSIVE CSV) -----------------------
+
+# every CSV_CORRUPT_MOD-th order lands with a non-numeric price field
+CSV_CORRUPT_MOD = 10
+
+
+def csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW certificate for error-tolerant CSV ingest — the source-
+    level sibling of the expression-level ``try_cast_handling``: land
+    an orders extract as raw CSV text with a DETERMINISTIC corruption
+    (every CSV_CORRUPT_MOD-th order's price field replaced by a
+    non-numeric token — the classic dirty-feed row), read it back with
+    an explicit schema in PERMISSIVE mode with a declared
+    ``_corrupt_record`` column, and account for every row: corrupt
+    rows must be quarantined (corrupt-record populated, price NULL),
+    valid rows must parse exactly.
+
+    Emits (n_rows, n_corrupt, n_valid, bad_price_nulls,
+    sum_valid_price): total read back, quarantined count, clean count,
+    NULL-price count among quarantined (must equal n_corrupt — the
+    malformed field never half-parses), and the DECIMAL-exact price
+    sum over clean rows.  The oracle recomputes all five from the
+    parquet original in closed form, so a silent row drop, a
+    mis-quarantine, or a half-parsed corrupt row flips the hash gate.
+
+    Scale: the write is one distributed text pass; the read is an
+    ordinary splittable CSV scan — PERMISSIVE mode is exactly how a
+    100 TB dirty feed is landed (quarantine-and-continue, never
+    fail-the-job, never silently drop).
+    """
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    from smile_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+    # deterministic corruption at the TEXT level: the price field of
+    # every CSV_CORRUPT_MOD-th order becomes a non-numeric token
+    lines = orders.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.when(
+                F.col("o_orderkey") % CSV_CORRUPT_MOD == 0, F.lit("oops")
+            ).otherwise(F.col("o_totalprice").cast("string")),
+            F.col("o_orderpriority"),
+        ).alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="smile_csv_dirty_")
+    lines.write.mode("overwrite").text(out)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    from smile_spark.functions.numeric import dsum
+
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("bigint")).alias(
+            "n_corrupt"
+        ),
+        F.sum(F.col("_corrupt_record").isNull().cast("bigint")).alias(
+            "n_valid"
+        ),
+        F.sum(
+            (
+                F.col("_corrupt_record").isNotNull()
+                & F.col("o_totalprice").isNull()
+            ).cast("bigint")
+        ).alias("bad_price_nulls"),
+        dsum(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("o_totalprice")
+            ),
+            "sum_valid_price",
+        ),
+    )
+
+
+CSV_MALFORMED_AUDIT_SQL = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    f" CAST(SUM(CASE WHEN o_orderkey % {CSV_CORRUPT_MOD} = 0"
+    "   THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,"
+    f" CAST(SUM(CASE WHEN o_orderkey % {CSV_CORRUPT_MOD} <> 0"
+    "   THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,"
+    f" CAST(SUM(CASE WHEN o_orderkey % {CSV_CORRUPT_MOD} = 0"
+    "   THEN 1 ELSE 0 END) AS BIGINT) AS bad_price_nulls,"
+    " CAST(SUM(CASE WHEN o_orderkey % "
+    f"{CSV_CORRUPT_MOD} <> 0 THEN CAST(o_totalprice AS DECIMAL(18,2))"
+    "   END) AS DOUBLE) AS sum_valid_price"
+    " FROM orders"
+)

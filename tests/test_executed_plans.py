@@ -72,6 +72,7 @@ MEASURED = {
     "image_dhash_dedup": 1,  # r11 measured (band self-join + verify)
     "video_frame_dedup": 1,  # r11 measured (hash equi-join + count)
     "setsim_incremental": 4,  # r11 measured (probe-vs-index prefix join)
+    "csv_malformed_audit": 1,  # r11 measured (text write + one agg)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

@@ -120,6 +120,7 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # write their staging/export directories at call time
         "jsonl_roundtrip", "compaction_roundtrip",
         "incremental_ingest_certificate", "schema_evolution_certificate",
+        "csv_malformed_audit",
         # localCheckpoint the co-purchase edge set at plan time
         # (kcore additionally iterates its peel rounds)
         "kcore_peel", "clustering_coefficient", "degree_assortativity",

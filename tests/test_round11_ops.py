@@ -241,3 +241,79 @@ def test_setsim_incremental_hash_and_string_paths_agree(spark, sf_dir):
             spark.conf.set("spark.smile.setsim.tokenHash", "true")
 
     assert run("true") == run("false")
+
+
+def test_csv_malformed_audit_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.sources.text_formats import (
+        CSV_MALFORMED_AUDIT_SQL,
+        csv_malformed_audit,
+    )
+
+    for d in (sf_dir, SF001):
+        assert_matches_oracle(
+            spark, csv_malformed_audit, CSV_MALFORMED_AUDIT_SQL, d
+        )
+
+
+def test_csv_malformed_audit_quarantines_whole_lines(spark, sf_dir):
+    """Every quarantined row must carry the ORIGINAL raw line in
+    _corrupt_record (the re-ingest contract: quarantine is lossless),
+    and parse failure must never leak a half-parsed price."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from smile_spark.sources.text_formats import CSV_CORRUPT_MOD
+    from smile_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws(
+            ",",
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % CSV_CORRUPT_MOD == 0, F.lit("oops")
+            ).otherwise(F.col("o_totalprice").cast("string")),
+            "o_orderpriority",
+        ).alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="smile_csv_dirty_test_")
+    lines.write.mode("overwrite").text(out)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    # cache before the corrupt-only projection: Spark disallows
+    # queries over raw CSV that reference ONLY _corrupt_record
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    back = back.cache()
+    try:
+        bad = back.filter(F.col("_corrupt_record").isNotNull())
+        assert bad.filter(F.col("o_totalprice").isNotNull()).count() == 0
+        assert (
+            bad.filter(
+                ~F.col("_corrupt_record").contains(",oops,")
+            ).count()
+            == 0
+        )
+    finally:
+        back.unpersist()
