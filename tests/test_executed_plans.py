@@ -71,7 +71,7 @@ MEASURED = {
     "setsim_hash_agreement": 5,
     "image_dhash_dedup": 1,  # r11 measured (band self-join + verify)
     "video_frame_dedup": 1,  # r11 measured (hash equi-join + count)
-    "setsim_incremental": 4,  # r11 measured (probe-vs-index prefix join)
+    "setsim_incremental": 2,  # r11 measured (rep-collapsed prefix join)
     "csv_malformed_audit": 1,  # r11 measured (text write + one agg)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
