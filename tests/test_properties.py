@@ -290,3 +290,57 @@ def test_longest_repeat_profile_matches_bruteforce(spark, token_lists):
         for r in longest_repeat_frame(df, n).collect()
     }
     assert got == want, (token_lists, got, want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(token_lists=docs_strategy)
+def test_setsim_incremental_matches_bruteforce(spark, token_lists):
+    """The probe-vs-base join equals brute-force exact Jaccard between
+    the two doc_id%MOD sides on arbitrary small corpora — duplicate
+    token sets (the per-side GroupJoin collapse path), empty docs, and
+    boundary-tau pairs included."""
+    from smile_spark.operators.dedup import (
+        SETSIM_INC_MOD,
+        SETSIM_TAU,
+        setsim_incremental,
+    )
+    import smile_spark.tables as tables
+
+    rows = [(d, " ".join(toks)) for d, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = {}
+    sets = {d: set((" ".join(t)).split(" ")) for d, t in enumerate(token_lists)}
+    for a, ta in sets.items():
+        if a % SETSIM_INC_MOD:
+            continue
+        for b, tb in sets.items():
+            if b % SETSIM_INC_MOD == 0:
+                continue
+            i = len(ta & tb)
+            j = round(i / len(ta | tb), 6)
+            if j >= SETSIM_TAU:
+                want[(a, b)] = (len(ta), len(tb), i, j)
+
+    # setsim_incremental reads the documents table by sf_dir; patch
+    # the loader to serve the synthetic frame instead
+    orig = tables.table
+    try:
+        tables.table = lambda _s, _d, _n: df
+        import smile_spark.operators.dedup as dmod
+
+        dmod.table = tables.table
+        got = {
+            (r.a, r.b): (r.na, r.nb, r.i, r.jaccard)
+            for r in setsim_incremental(spark, "synthetic").collect()
+        }
+    finally:
+        tables.table = orig
+        import smile_spark.operators.dedup as dmod
+
+        dmod.table = orig
+    assert got == want, (token_lists, got, want)

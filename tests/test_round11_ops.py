@@ -317,3 +317,32 @@ def test_csv_malformed_audit_quarantines_whole_lines(spark, sf_dir):
         )
     finally:
         back.unpersist()
+
+
+def test_dhash_bands_matches_bitwise_reference():
+    """The vectorized dHash core equals an index-by-index scalar
+    reference on random rasters (grid sampling rule, comparison
+    direction, bit packing)."""
+    import numpy as np
+
+    from smile_spark.operators.multimodal import (
+        DHASH_GH,
+        DHASH_GW,
+        _dhash_bands,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        h = rng.randint(1, 40)
+        w = rng.randint(1, 40)
+        pix = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        got = list(_dhash_bands(pix, w, h))
+        want = [0, 0, 0, 0]
+        for gy in range(DHASH_GH):
+            sy = (gy * h) // DHASH_GH
+            for gx in range(DHASH_GW - 1):
+                sx0 = (gx * w) // DHASH_GW
+                sx1 = ((gx + 1) * w) // DHASH_GW
+                bit = 1 if int(pix[sy, sx1]) > int(pix[sy, sx0]) else 0
+                want[gy // 2] |= bit << ((gy % 2) * 8 + gx)
+        assert got == want, (w, h)
