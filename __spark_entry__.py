@@ -59,12 +59,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries slip to r12: winsorize_prices, bucketed_join_revenue,
     copurchase_pairs.  After this window completes, no registered
     entry's newest verdict predates r08 except those three (r07).
-    r12 NOTE: rotate (a) any never-verified r12 additions first,
-    then (b) the three slipped r07 entries (winsorize_prices,
-    bucketed_join_revenue, copurchase_pairs), then (c) the
-    r08-verified block (streaming_dedup_agreement .. text_stats),
-    then (d) start on the r09-verified block; the r10-verified block
-    rotates last.
+    r12 NOTE: rotate (a) the r11 LATE addition image_dhash_clusters
+    (two-SF-verified locally, never driver-verified) plus any r12
+    additions first, then (b) the three slipped r07 entries
+    (winsorize_prices, bucketed_join_revenue, copurchase_pairs),
+    then (c) the r08-verified block (streaming_dedup_agreement ..
+    text_stats), then (d) start on the r09-verified block; the
+    r10-verified block rotates last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- (1) NEW in r11, never driver-verified ---
@@ -292,7 +293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3) the two r07-green entries verified r10
         "revenue_concentration": AN.revenue_concentration,
         "degree_assortativity": G.degree_assortativity,
-        # --- NEW in r11 (late additions, if any): first into r12 ---
+        # --- NEW in r11 (late additions): first into r12 ---
+        "image_dhash_clusters": M.image_dhash_clusters,
     }
     return q
 
@@ -671,4 +673,5 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_dedup": M.VIDEO_FRAME_DEDUP_SQL,
         "setsim_incremental": D.SETSIM_INCREMENTAL_SQL,
         "csv_malformed_audit": TF.CSV_MALFORMED_AUDIT_SQL,
+        "image_dhash_clusters": M.IMAGE_DHASH_CLUSTERS_SQL,
     }

@@ -1028,3 +1028,86 @@ VIDEO_FRAME_DEDUP_SQL = (
     "  AND x.b2 = y.b2 AND x.b3 = y.b3 AND x.doc_id < y.doc_id"
     " GROUP BY x.doc_id, y.doc_id"
 )
+
+
+# --- near-dup image clusters + canonical keep list -------------------------
+
+
+def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image dedup DECISION over the perceptual near-dup graph:
+    connected components of the :func:`image_dhash_dedup` pair set
+    (min-label pointer jumping, graph.cc_labels), cluster sizes, and
+    the survivorship rule — keep the min-doc_id member of each
+    cluster, keep every singleton.  This is the artifact a curation
+    run actually consumes ("which image files survive"), completing
+    pairs -> clusters -> keep for the multimodal rung exactly as
+    dedup_canonical does for MinHash-LSH text pairs.
+
+    Emits (doc_id, cluster_size, keep) for EVERY image-modality doc.
+
+    Scale: past the pair table every stage is dimension-sized
+    (components over near-dup nodes only, O(log D) pointer-jumping
+    rounds); the left joins back to the image dimension are id-keyed.
+    The oracle replays the clustering as a recursive min-reachability
+    CTE over the same closed-form pair set.
+    """
+    from smile_spark.operators.graph import cc_labels
+
+    base = image_dhash_dedup(spark, sf_dir)
+    pairs = base.select("a", "b")
+    und = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = und.select(F.col("src").alias("id")).distinct()
+    labels = cc_labels(nodes, und)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    imgs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id")
+    out = (
+        imgs.join(
+            labels.select(F.col("id").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .join(sizes, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_size", F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            ).alias("keep"),
+        )
+    )
+    # the pair frame's checkpointed fingerprint table must outlive
+    # every derived consumer — tie it to the returned frame
+    out._smile_keepalive = base
+    return out
+
+
+IMAGE_DHASH_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS ("
+    f" SELECT a, b FROM ({IMAGE_DHASH_DEDUP_SQL}) p),"
+    " und AS (SELECT a, b FROM pairs"
+    "  UNION ALL SELECT b AS a, a AS b FROM pairs),"
+    " nodes AS (SELECT DISTINCT a AS id FROM und),"
+    " reach(id, r) AS ("
+    "  SELECT id, id FROM nodes"
+    "  UNION"
+    "  SELECT rr.id, u.b FROM reach rr JOIN und u ON u.a = rr.r),"
+    " comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id),"
+    " sizes AS (SELECT c, COUNT(*) AS cluster_size FROM comp GROUP BY c),"
+    " imgs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)"
+    " SELECT i.doc_id,"
+    "  CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,"
+    "  (c.c IS NULL OR c.c = i.doc_id) AS keep"
+    " FROM imgs i LEFT JOIN comp c ON c.id = i.doc_id"
+    " LEFT JOIN sizes s ON s.c = c.c"
+)

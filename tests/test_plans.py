@@ -140,8 +140,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # time (the hashed/string double execution IS the certificate)
         "setsim_hash_agreement",
         # localCheckpoint their dHash fingerprint tables at plan time
-        # (one decode pass feeds both join sides)
-        "image_dhash_dedup", "video_frame_dedup",
+        # (one decode pass feeds both join sides); the clusters op
+        # additionally runs cc_labels pointer-jumping rounds
+        "image_dhash_dedup", "video_frame_dedup", "image_dhash_clusters",
         # localCheckpoints toks/cand/arrays at plan time (the
         # setsim_join_frame checkpoint contract, probe-vs-base form)
         "setsim_incremental",

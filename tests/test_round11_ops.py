@@ -346,3 +346,47 @@ def test_dhash_bands_matches_bitwise_reference():
                 bit = 1 if int(pix[sy, sx1]) > int(pix[sy, sx0]) else 0
                 want[gy // 2] |= bit << ((gy % 2) * 8 + gx)
         assert got == want, (w, h)
+
+
+def test_image_dhash_clusters_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.multimodal import (
+        IMAGE_DHASH_CLUSTERS_SQL,
+        image_dhash_clusters,
+    )
+
+    for d in (sf_dir, SF001):
+        assert_matches_oracle(
+            spark, image_dhash_clusters, IMAGE_DHASH_CLUSTERS_SQL, d
+        )
+
+
+def test_image_dhash_clusters_keep_invariants(spark, sf_dir):
+    """Exactly one keeper per cluster; singletons all kept; every
+    image-modality doc accounted for; cluster sizes sum to the image
+    count."""
+    from smile_spark.operators.multimodal import image_dhash_clusters
+    from smile_spark.tables import table
+
+    rows = image_dhash_clusters(spark, SF001).collect()
+    n_imgs = (
+        table(spark, SF001, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .count()
+    )
+    assert len(rows) == n_imgs
+    kept = sum(1 for r in rows if r.keep)
+    singles = sum(1 for r in rows if r.cluster_size == 1)
+    assert all(r.keep for r in rows if r.cluster_size == 1)
+    # one keeper per multi-doc cluster: each cluster of size s
+    # contributes s rows, so the distinct-cluster count is
+    # sum(1/s) over multi rows — an exact integer via Fraction
+    from fractions import Fraction
+
+    multi = [r for r in rows if r.cluster_size > 1]
+    n_multi_clusters = sum(
+        (Fraction(1, r.cluster_size) for r in multi), Fraction(0)
+    )
+    assert n_multi_clusters.denominator == 1
+    assert kept == singles + n_multi_clusters.numerator
+    assert sum(1 for r in multi if r.keep) == n_multi_clusters.numerator
+    assert multi, "fixture should contain multi-image clusters"
