@@ -390,3 +390,38 @@ def test_image_dhash_clusters_keep_invariants(spark, sf_dir):
     assert kept == singles + n_multi_clusters.numerator
     assert sum(1 for r in multi if r.keep) == n_multi_clusters.numerator
     assert multi, "fixture should contain multi-image clusters"
+
+
+def test_setsim_incremental_tau_boundary(spark):
+    """Pairs at Jaccard EXACTLY tau must be included, just-below
+    excluded — the integer thresholds' reason to exist — and only
+    increment->base orientations may appear."""
+    from smile_spark.operators.dedup import (
+        SETSIM_INC_MOD,
+        SETSIM_TAU,
+        setsim_incremental,
+    )
+    import smile_spark.operators.dedup as dmod
+
+    t = [f"w{j:03d}" for j in range(60)]
+    rows = [
+        # ids chosen so exactly one side of each pair is an increment
+        # doc (id % SETSIM_INC_MOD == 0)
+        (SETSIM_INC_MOD, " ".join(t[0:9])),        # inc: 9 tokens
+        (SETSIM_INC_MOD + 1, " ".join(t[0:10])),   # base: J = 9/10
+        (2 * SETSIM_INC_MOD, " ".join(t[20:28])),  # inc: 8 tokens
+        (2 * SETSIM_INC_MOD + 1, " ".join(t[20:29])),  # base: 8/9 < tau
+        (3 * SETSIM_INC_MOD + 1, " ".join(t[40:49])),  # base only
+        (3 * SETSIM_INC_MOD + 2, " ".join(t[40:50])),  # base-base: J=0.9
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dmod.table
+    try:
+        dmod.table = lambda _s, _d, _n: df
+        got = {
+            (r.a, r.b): r.jaccard
+            for r in setsim_incremental(spark, "synthetic").collect()
+        }
+    finally:
+        dmod.table = orig
+    assert got == {(SETSIM_INC_MOD, SETSIM_INC_MOD + 1): SETSIM_TAU}
