@@ -667,7 +667,16 @@ def cc_labels(
     shortcut is pure acceleration and is label-stable at that
     fixpoint.
     """
+    from smile_spark.session import unpersist_checkpoint
+
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
+    # Each round's localCheckpoint supersedes the previous one: eager
+    # checkpointing materializes the new round BEFORE the old blocks
+    # are touched again, so the superseded round releases immediately
+    # instead of leaking O(rounds) label tables per invocation into
+    # executor storage for the life of the application.  Only the
+    # FINAL labels frame stays persisted — callers consume it freely.
+    prev = labels
     for r in range(max_iter):
         nbr_min = (
             labels.join(e, labels.id == e.src)
@@ -688,6 +697,8 @@ def cc_labels(
                 ).alias("changed"),
             )
         ).localCheckpoint()
+        unpersist_checkpoint(prev)
+        prev = propagated
         converged = propagated.filter("changed").isEmpty()
         labels = propagated.select("id", "component")
         if converged:
@@ -711,6 +722,8 @@ def cc_labels(
                     ).alias("component"),
                 )
             ).localCheckpoint()
+            unpersist_checkpoint(prev)
+            prev = labels
     return labels
 
 
