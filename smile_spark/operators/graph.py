@@ -225,6 +225,8 @@ def bfs_frontier(
         [(int(s),) for s in sources], "source bigint"
     ).select("source", F.col("source").alias("id"), F.lit(0).alias("dist"))
 
+    from smile_spark.session import unpersist_checkpoint
+
     visited = src_df.localCheckpoint()
     frontier = visited
     for it in range(1, max_iter + 1):
@@ -235,9 +237,18 @@ def bfs_frontier(
             .join(visited.select("source", "id"), ["source", "id"], "left_anti")
             .withColumn("dist", F.lit(it))
         ).localCheckpoint()
+        # the previous frontier was fully consumed building nxt (and
+        # its rows were already folded into visited last round) —
+        # release its blocks instead of leaking one frame per hop
+        # (cc_labels precedent; skip round 1, where frontier IS the
+        # live visited set)
+        if frontier is not visited:
+            unpersist_checkpoint(frontier)
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint()
+        new_visited = visited.union(nxt).localCheckpoint()
+        unpersist_checkpoint(visited)
+        visited = new_visited
         frontier = nxt
     return visited
 
@@ -429,17 +440,23 @@ def sssp(
         .select("source", F.col("source").alias("id"), F.lit(0).cast("bigint").alias("dist"))
         .localCheckpoint()
     )
+    from smile_spark.session import unpersist_checkpoint
+
     for _ in range(rounds):
         relaxed = (
             dist.join(e, dist.id == e.src)
             .select("source", F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
         )
-        dist = (
+        new_dist = (
             dist.union(relaxed)
             .groupBy("source", "id")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
+        # the superseded round's table is folded into new_dist
+        # (eagerly materialized) — release it (cc_labels precedent)
+        unpersist_checkpoint(dist)
+        dist = new_dist
     return dist
 
 
@@ -474,6 +491,8 @@ def sssp_frontier(
         )
         .localCheckpoint()
     )
+    from smile_spark.session import unpersist_checkpoint
+
     frontier = dist
     for _ in range(rounds):
         candidates = (
@@ -505,12 +524,17 @@ def sssp_frontier(
             )
             .localCheckpoint()
         )
-        dist = (
+        # the previous frontier is consumed (skip round 1: it IS dist)
+        if frontier is not dist:
+            unpersist_checkpoint(frontier)
+        new_dist = (
             dist.union(improved)
             .groupBy("source", "id")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
+        unpersist_checkpoint(dist)
+        dist = new_dist
         frontier = improved
     return dist
 
@@ -582,7 +606,10 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
     ed = e.join(deg, "src").localCheckpoint()
 
+    from smile_spark.session import unpersist_checkpoint
+
     pr = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    prev = None  # round 0 is a lazy select over nodes, not a checkpoint
     for _ in range(iterations):
         sums = (
             pr.join(ed, pr.id == ed.src)
@@ -601,6 +628,10 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        # release the superseded round (cc_labels precedent)
+        if prev is not None:
+            unpersist_checkpoint(prev)
+        prev = pr
     return pr
 
 
@@ -1182,6 +1213,12 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("u").alias("id"))
             .localCheckpoint()
         )
+        # the superseded alive set is consumed (cc_labels precedent);
+        # keep round 1's input alive only if a caller shares it (it is
+        # derived fresh from edges here, so release unconditionally)
+        from smile_spark.session import unpersist_checkpoint
+
+        unpersist_checkpoint(alive)
         n_now = nxt.count()
         rows.append((r, n_prev - n_now, n_now))
         if n_now == n_prev:
@@ -1415,6 +1452,9 @@ def personalized_pagerank(
     ed = e.join(deg, "src").localCheckpoint()
 
     pr = nodes.select("id", tele.alias("ppr"))
+    from smile_spark.session import unpersist_checkpoint
+
+    prev = None  # round 0 is a lazy select over nodes, not a checkpoint
     for _ in range(iterations):
         sums = (
             pr.join(ed, pr.id == ed.src)
@@ -1437,6 +1477,10 @@ def personalized_pagerank(
             )
             .localCheckpoint()
         )
+        # release the superseded round (cc_labels precedent)
+        if prev is not None:
+            unpersist_checkpoint(prev)
+        prev = pr
     return pr
 
 
@@ -1744,10 +1788,11 @@ def _lpa_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stubs.select(F.col("u").alias("id")).distinct().select(
             "id", F.col("id").alias("lbl")
         ).localCheckpoint()
-        _LPA_CHECKPOINTS.append(labels)
         w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
+        from smile_spark.session import unpersist_checkpoint
+
         for _ in range(LPA_ROUNDS):
-            labels = (
+            new_labels = (
                 stubs.join(
                     labels.select(F.col("id").alias("v"), "lbl"), "v"
                 )
@@ -1758,7 +1803,14 @@ def _lpa_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("id", "lbl")
                 .localCheckpoint()
             )
-            _LPA_CHECKPOINTS.append(labels)
+            # the superseded round is fully consumed (eager checkpoint
+            # materialized) — release now instead of holding every
+            # round's table until the next clear_lpa_cache
+            unpersist_checkpoint(labels)
+            labels = new_labels
+        # only the FINAL label table outlives the build (plus stubs,
+        # registered above) — the memo clear releases them
+        _LPA_CHECKPOINTS.append(labels)
         _LPA_LABELS_CACHE[key] = labels
     return _LPA_LABELS_CACHE[key]
 
