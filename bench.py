@@ -70,8 +70,14 @@ def main() -> None:
     # set in a fresh session to separate suite-breadth session load
     # from per-query code changes).
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    # parsed ONCE and shared with _build_wanted below: build pseudo-
+    # names (lsh_pairs_build etc.) are selected by exact membership in
+    # the same set as registered queries, never by substring matching
+    # on the raw env string (ADVICE r11 #2)
+    keep = (
+        {n.strip() for n in only.split(",") if n.strip()} if only else set()
+    )
     if only:
-        keep = {n.strip() for n in only.split(",") if n.strip()}
         queries = {n: f for n, f in queries.items() if n in keep}
     # Untimed warmup lap over the FULL query list: session-age effects
     # (JIT/codegen warm-up, broadcast/shuffle machinery, pagecache) made
@@ -132,8 +138,8 @@ def main() -> None:
     def _build_wanted(bname: str) -> bool:
         # cold *_build entries price session memos — always in a full
         # run, but a solo arbitration subset should pay only for what
-        # it asked for
-        return (not only) or bname in queries or bname in (only or "")
+        # it asked for (exact membership in the parsed keep set)
+        return (not only) or bname in keep
 
     for _ in range(2 if _build_wanted("lsh_pairs_build") else 0):
         # clear_lsh_cache also unpersists the discarded build's

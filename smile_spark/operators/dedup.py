@@ -1678,8 +1678,9 @@ def setsim_hash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # keep the parent frames (and so their checkpoint blocks) alive
     # for as long as the caller holds the certificate frame
-    out._smile_keepalive = (hframe, sframe)
-    return out
+    from smile_spark.session import keep_alive
+
+    return keep_alive(out, hframe, sframe)
 
 
 SETSIM_HASH_AGREEMENT_SQL = (

@@ -244,12 +244,19 @@ def bfs_frontier(
         # live visited set)
         if frontier is not visited:
             unpersist_checkpoint(frontier)
+        frontier = nxt
         if nxt.isEmpty():
             break
         new_visited = visited.union(nxt).localCheckpoint()
         unpersist_checkpoint(visited)
         visited = new_visited
-        frontier = nxt
+    # the returned distances live in visited's own checkpoint blocks;
+    # the last frontier and the per-call edge materialization are
+    # unreachable from them — release both instead of leaking one
+    # frame pair per traversal (ADVICE r11 #3)
+    if frontier is not visited:
+        unpersist_checkpoint(frontier)
+    unpersist_checkpoint(e)
     return visited
 
 
@@ -1220,8 +1227,10 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         unpersist_checkpoint(alive)
         n_now = nxt.count()
-        rows.append((r, n_prev - n_now, n_now))
-        if n_now == n_prev:
+        dropped = n_prev - n_now
+        rows.append((r, dropped, n_now))
+        alive, n_prev = nxt, n_now
+        if dropped == 0:
             # converged: every later round deterministically drops 0 —
             # emit the remaining profile rows as literals instead of
             # running no-op semi-join rounds (driver sees counts only,
@@ -1230,7 +1239,14 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (rr, 0, n_now) for rr in range(r + 1, KCORE_ROUNDS + 1)
             )
             break
-        alive, n_prev = nxt, n_now
+    # the returned profile is driver-built from the counted rows, so
+    # the last alive set and the per-call edge materialization are
+    # unreachable yet persisted — release both instead of leaking one
+    # frame pair per invocation (ADVICE r11 #3)
+    from smile_spark.session import unpersist_checkpoint
+
+    unpersist_checkpoint(alive)
+    unpersist_checkpoint(edges)
     return spark.createDataFrame(
         rows, "round bigint, n_dropped bigint, n_alive bigint"
     )

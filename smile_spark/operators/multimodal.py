@@ -1088,8 +1088,9 @@ def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the pair frame's checkpointed fingerprint table must outlive
     # every derived consumer — tie it to the returned frame
-    out._smile_keepalive = base
-    return out
+    from smile_spark.session import keep_alive
+
+    return keep_alive(out, base)
 
 
 IMAGE_DHASH_CLUSTERS_SQL = (

@@ -143,9 +143,33 @@ def release_checkpoints_on_gc(result, checkpoints) -> None:
     """Tie the lifetime of ``localCheckpoint``-ed intermediates to a
     result DataFrame: their block-manager storage is released when
     ``result`` is garbage-collected (deterministic under CPython
-    refcounting once the caller drops the frame).  The caller must
-    keep ``result`` alive until every derived frame has evaluated —
-    derived DataFrames do not keep their Python parent alive."""
+    refcounting once the caller drops the frame).
+
+    CONTRACT FOR CONSUMERS: derived DataFrames do NOT keep their
+    Python parent alive — a query that derives from a
+    checkpoint-owning frame and drops the parent before evaluating
+    would hit unrecoverable missing-block errors.  Any such composer
+    must call :func:`keep_alive` on its own returned frame, naming
+    every checkpoint-owning parent it derives from (ADVICE r11 #4).
+    """
     import weakref
 
     weakref.finalize(result, _release_checkpoint_group, list(checkpoints))
+
+
+def keep_alive(result, *parents):
+    """Attach checkpoint-owning ``parents`` to ``result`` so their
+    blocks survive for as long as the returned frame does.
+
+    This is the ONE sanctioned device for composing over frames whose
+    checkpoints are released by :func:`release_checkpoints_on_gc`
+    (derived DataFrames do not keep their Python parent alive on
+    their own).  Appends to any keep-alives already attached, so
+    chained compositions stack rather than overwrite.  Returns
+    ``result`` for call-site chaining.
+    """
+    existing = getattr(result, "_smile_keepalive", ())
+    if not isinstance(existing, tuple):
+        existing = (existing,)
+    result._smile_keepalive = existing + tuple(parents)
+    return result

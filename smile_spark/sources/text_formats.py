@@ -38,6 +38,36 @@ _CSV_OPTIONS = {
     "escape": '"',
 }
 
+# Scratch directories created by the round-trip certificates, purged
+# at interpreter exit (ADVICE/VERDICT r11: every csv_malformed_audit
+# invocation leaked a smile_csv_dirty_* dir for the life of the box —
+# harmless at sf0.1, disk-leak-shaped in a long-lived session).  Purge
+# runs at exit rather than per-result GC because the returned frames
+# are LAZY: the landed files must stay readable for as long as any
+# derived plan might still evaluate, which only the interpreter
+# lifetime bounds safely.
+_SCRATCH_DIRS: list[str] = []
+
+
+def _purge_scratch_dirs() -> None:
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+def _scratch_dir(prefix: str) -> str:
+    """``mkdtemp`` that is guaranteed removed at interpreter exit."""
+    import atexit
+    import tempfile
+
+    if not _SCRATCH_DIRS:
+        atexit.register(_purge_scratch_dirs)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
 _JSON_OPTIONS = {"timestampFormat": TS_FORMAT}
 
 
@@ -123,12 +153,10 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     would compare md5 fingerprints per row instead of full rows —
     same plan shape, narrower shuffle).
     """
-    import tempfile
-
     from smile_spark.tables import table
 
     docs = table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="smile_jsonl_rt_")
+    out = _scratch_dir("smile_jsonl_rt_")
     write_jsonl(docs, out)
     back = read_jsonl(spark, out, docs)
     n = back.agg(F.count(F.lit(1)).alias("n_rows"))
@@ -163,12 +191,11 @@ def schema_evolution_certificate(spark: SparkSession, sf_dir: str):
     generations byte-for-byte.
     """
     import os
-    import tempfile
 
     from smile_spark.tables import table
 
     docs = table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="smile_schev_")
+    base = _scratch_dir("smile_schev_")
     old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
     new = (
         docs.filter(F.col("doc_id") % 2 == 1)
@@ -246,8 +273,6 @@ def csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB dirty feed is landed (quarantine-and-continue, never
     fail-the-job, never silently drop).
     """
-    import tempfile
-
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -271,7 +296,7 @@ def csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority"),
         ).alias("value")
     )
-    out = tempfile.mkdtemp(prefix="smile_csv_dirty_")
+    out = _scratch_dir("smile_csv_dirty_")
     lines.write.mode("overwrite").text(out)
     schema = StructType(
         [
