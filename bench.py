@@ -199,6 +199,25 @@ def main() -> None:
             round(time.perf_counter() - t0, 4)
         )
 
+    # Cold build of the perceptual dHash pair table (VERDICT r11 #2):
+    # image_dhash_dedup memoizes its verified pair table per
+    # (application, sf_dir) — the lsh_pairs_build treatment — so the
+    # registered entry and image_dhash_clusters read the memo; price
+    # the decode+banding+verify chain here and leave the memo warm.
+    from smile_spark.operators import multimodal as _mm
+
+    for _ in range(2 if _build_wanted("dhash_pairs_build") else 0):
+        _mm.clear_dhash_cache()
+        t0 = time.perf_counter()
+        try:
+            _force(_mm.image_dhash_dedup(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["dhash_pairs_build"] = f"{type(exc).__name__}: {exc}"[:500]
+            break
+        samples.setdefault("dhash_pairs_build", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
     # Two passes, min per query: the first pass doubles as per-query
     # warmup (code cache, shuffle-file reuse is disabled by noop's
     # overwrite, OS pagecache), the min filters GC/scheduler noise so
