@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r10-verified block rotates last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- (0) NEW in r12, never driver-verified (full window
+        # rotation happens at round close — see the r12 NOTE above) ---
+        "audio_fingerprint_dedup": M.audio_fingerprint_dedup,
         # --- (1) NEW in r11, never driver-verified ---
         "image_dhash_dedup": M.image_dhash_dedup,
         "longest_repeat_profile": D.longest_repeat_profile,
@@ -674,4 +677,8 @@ def oracle_sql() -> dict[str, str]:
         "setsim_incremental": D.SETSIM_INCREMENTAL_SQL,
         "csv_malformed_audit": TF.CSV_MALFORMED_AUDIT_SQL,
         "image_dhash_clusters": M.IMAGE_DHASH_CLUSTERS_SQL,
+        # r12: the audio rung of the perceptual dedup family, unblocked
+        # by the enriched square-tone WAV synthesis; oracle verifies
+        # ALL audio pairs un-banded (image-rung contract)
+        "audio_fingerprint_dedup": M.AUDIO_FINGERPRINT_DEDUP_SQL,
     }

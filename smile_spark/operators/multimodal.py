@@ -190,6 +190,70 @@ AUD_A, AUD_B = 17, 13
 VID_FRAMES, VID_FRAME_SALT, VID_EVERY = 3, 97, 2
 AUD_SRC_RATE, AUD_TARGET_RATE = 16_000, 8_000
 
+# Audio synthesis: a MIX OF DOC-KEYED SQUARE TONES plus a small
+# doc-keyed residual (VERDICT r11 What's-missing #1).  The previous
+# per-doc constant-offset sawtooth ((17d + 13j) % 65536 - 32768) made
+# every sign/gradient fingerprint collide all-pairs — a registered
+# audio near-dup rung would have certified an artifact.  Square tones
+# keep the closed form integer-exact on both engines while giving the
+# signal doc-dependent STRUCTURE: tone periods/amplitude are keyed to
+# the doc's tone class c = doc_id // AUD_TONE_BLOCK (blocks of
+# consecutive ids share tones — the "same recording, different
+# encode" stand-in), and the residual (the old sawtooth folded into
+# [-32, 31]) is keyed to the full doc_id, so same-class docs differ by
+# noise-level perturbations — exactly the near-duplicate geometry a
+# perceptual fingerprint must tolerate.  Measured at sf0.1: 473
+# distinct fingerprints over 1,667 audio docs, 5,967 of 1.39M pairs
+# within Hamming 3 (0.43% — non-degenerate in both directions).
+AUD_TONE_BLOCK = 16
+AUD_P1_BASE, AUD_P1_MOD = 2, 8
+AUD_P2_BASE, AUD_P2_MOD = 11, 16
+AUD_P3_BASE, AUD_P3_MOD = 29, 32
+AUD_A1_BASE, AUD_A1_STEP = 9000, 125  # A1 = 9000 + 125*(c % 4)
+AUD_A2, AUD_A3 = 6000, 4000
+AUD_RES_MOD = 64  # residual = (17d + 13j) % 64 - 32
+# worst case |s| = (9000+375) + 6000 + 4000 + 31 = 19406 < 32767: the
+# int16 encode never clips, so the closed form is exact
+
+
+def _aud_sample(doc_id: int, j):
+    """Closed-form synthesized audio sample(s) ``j`` (int or numpy
+    int64 array) of document ``doc_id`` — the single definition the
+    encoder, the tests, and (via :func:`_aud_sample_sql`) every DuckDB
+    audio oracle share."""
+    import numpy as np
+
+    c = doc_id // AUD_TONE_BLOCK
+    p1 = AUD_P1_BASE + c % AUD_P1_MOD
+    p2 = AUD_P2_BASE + c % AUD_P2_MOD
+    p3 = AUD_P3_BASE + c % AUD_P3_MOD
+    a1 = AUD_A1_BASE + AUD_A1_STEP * (c % 4)
+    sq = lambda p: 1 - 2 * ((j // p) % 2)  # noqa: E731 — +1/-1 square wave
+    res = (doc_id * AUD_A + AUD_B * j) % AUD_RES_MOD - AUD_RES_MOD // 2
+    return a1 * sq(p1) + AUD_A2 * sq(p2) + AUD_A3 * sq(p3) + res
+
+
+def _aud_sample_sql(d: str, j: str) -> str:
+    """DuckDB expression for :func:`_aud_sample` of doc ``d`` at
+    source sample index ``j`` (both SQL sub-expressions)."""
+    c = f"(({d}) // {AUD_TONE_BLOCK})"
+
+    def tone(base: int, mod: int, amp: str) -> str:
+        p = f"({base} + {c} % {mod})"
+        return (
+            f"(CASE WHEN (({j}) // {p}) % 2 = 0"
+            f" THEN {amp} ELSE -({amp}) END)"
+        )
+
+    a1 = f"({AUD_A1_BASE} + {AUD_A1_STEP} * ({c} % 4))"
+    return (
+        "(" + tone(AUD_P1_BASE, AUD_P1_MOD, a1)
+        + " + " + tone(AUD_P2_BASE, AUD_P2_MOD, str(AUD_A2))
+        + " + " + tone(AUD_P3_BASE, AUD_P3_MOD, str(AUD_A3))
+        + f" + (({d}) * {AUD_A} + {AUD_B} * ({j})) % {AUD_RES_MOD}"
+        + f" - {AUD_RES_MOD // 2})"
+    )
+
 
 def _img_dims(doc_id: int) -> tuple[int, int]:
     return 16 + doc_id % 16, 8 + doc_id % 8
@@ -214,7 +278,7 @@ def _encode_wav(doc_id: int) -> bytes:
 
     n = 256 + doc_id % 256
     j = np.arange(n, dtype=np.int64)
-    s = (((doc_id * AUD_A + AUD_B * j) % 65536) - 32768).astype("<i2")
+    s = _aud_sample(doc_id, j).astype("<i2")
     data = s.tobytes()
     fmt = (
         (1).to_bytes(2, "little")
@@ -555,8 +619,8 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(chunk, CHUNKS_SCHEMA)
 
 
-# decimated sample k is source sample 2k: value (17d + 26k) % 65536
-# - 32768 over n2 = ceil(n/2) samples, n = 256 + d % 256
+# decimated sample k is source sample 2k (closed form via
+# _aud_sample_sql) over n2 = ceil(n/2) samples, n = 256 + d % 256
 MULTIMODAL_AUDIO_CHUNKS_SQL = (
     "WITH a AS (SELECT doc_id, (256 + doc_id % 256 + 1) // 2 AS n2"
     "  FROM documents WHERE doc_id % 3 = 1),"
@@ -566,7 +630,7 @@ MULTIMODAL_AUDIO_CHUNKS_SQL = (
     f" s AS (SELECT doc_id, ci, n2, least({AUD_CHUNK_LEN},"
     f"  n2 - ci * {AUD_CHUNK_HOP}) AS clen FROM c),"
     " px AS (SELECT s.doc_id, s.ci, s.clen,"
-    f"  SUM((s.doc_id * {AUD_A} + {2 * AUD_B} * t.k) % 65536 - 32768) AS ss"
+    f"  SUM({_aud_sample_sql('s.doc_id', '2 * t.k')}) AS ss"
     "  FROM s CROSS JOIN generate_series(0, 255) t(k)"
     f"  WHERE t.k >= s.ci * {AUD_CHUNK_HOP}"
     f"   AND t.k < s.ci * {AUD_CHUNK_HOP} + s.clen"
@@ -691,7 +755,7 @@ MULTIMODAL_DECODE_AUDIO_SQL = (
     "SELECT d.doc_id,"
     f" CAST({AUD_TARGET_RATE} AS INT) AS sample_rate,"
     " CAST(d.n2 AS BIGINT) AS n_samples,"
-    " CAST(SUM((d.doc_id * 17 + 13 * (2 * t.k)) % 65536 - 32768)"
+    f" CAST(SUM({_aud_sample_sql('d.doc_id', '2 * t.k')})"
     "  AS BIGINT) AS sum_samples"
     " FROM (SELECT doc_id, (256 + doc_id % 256 + 1) // 2 AS n2"
     "  FROM documents WHERE doc_id % 3 = 1) d"
@@ -1017,6 +1081,115 @@ IMAGE_DHASH_DEDUP_SQL = (
     "  FROM hashes x JOIN hashes y ON x.doc_id < y.doc_id)"
     " SELECT a, b, hamming FROM pairs"
     " WHERE hamming <= 3"
+)
+
+
+# --- perceptual audio near-dup (1-D gradient fingerprint + banding) --------
+
+# 65 grid samples over the DECIMATED (8 kHz) signal -> 64 adjacent
+# comparisons -> 4 x 16-bit bands: the image rung's dHash device in
+# one dimension.  The banding recall/saturation arguments carry over
+# unchanged (4 bands >= radius+1 at DHASH_MAX_DISTANCE).
+AUD_FP_GRID = 65
+
+
+def audio_fingerprint_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-audio-doc perceptual fingerprint over the REAL decode path:
+    parse the RIFF/WAVE payload with :func:`resample_audio`, decimate
+    16 kHz -> 8 kHz (the same path every audio consumer runs), sample
+    the decimated signal at AUD_FP_GRID evenly spaced positions
+    (k_g = g*m // 65 — the PIL-NEAREST rule in one dimension, exactly
+    reproducible in closed form by the oracle), compare adjacent grid
+    samples, and pack the 64 gradient bits into 4 x 16-bit band ints.
+
+    Emits (doc_id, b0, b1, b2, b3) — the image rung's DHASH_SCHEMA, so
+    the banded candidate join and exact verify are shared code."""
+    import numpy as np
+
+    mm = attach_payload(spark, sf_dir).filter(F.col("modality") == "audio")
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            g = np.arange(AUD_FP_GRID, dtype=np.int64)
+            w = 1 << np.arange(16, dtype=np.int64)
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s = resample_audio(
+                    bytes(payload), rate=AUD_TARGET_RATE
+                )
+                m = len(s)
+                x = s[(g * m) // AUD_FP_GRID].astype(np.int64)
+                bits = (x[1:] > x[:-1]).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                for k in range(DHASH_N_BANDS):
+                    out[f"b{k}"].append(
+                        int(bits[16 * k : 16 * k + 16] @ w)
+                    )
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(hash_batch, DHASH_SCHEMA)
+
+
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate audio pairs — the audio rung of the
+    dedup ladder (VERDICT r11 What's-missing #1): gradient fingerprint
+    over the real decode+decimate path, banded-Hamming candidates,
+    exact bit_count verify, all via the image rung's shared core
+    :func:`_dhash_pairs_from_hashes` (including its observed-skew band
+    salting — silence-heavy real corpora collapse onto few band
+    values exactly like flat images).
+
+    Registration was blocked until this round because the previous
+    sawtooth synthesis made every gradient fingerprint collide
+    all-pairs; the doc-keyed square-tone mix (see the synthesis
+    constants above) gives same-tone-class docs near-identical
+    fingerprints perturbed by the residual — measured 0.43% of pairs
+    within Hamming 3 at sf0.1, so the banded join's output is
+    true-pair-proportional, never quadratic.
+
+    Returns (a, b, hamming) with a < b and hamming <= DHASH_MAX_DISTANCE.
+    """
+    from smile_spark.session import release_checkpoints_on_gc
+
+    hashes = audio_fingerprint_frame(spark, sf_dir).localCheckpoint()
+    out = _dhash_pairs_from_hashes(hashes)
+    release_checkpoints_on_gc(out, [hashes])
+    return out
+
+
+# The oracle recomputes the fingerprint in closed form from doc_id
+# (grid sample g reads decimated sample g*m // 65 = source sample
+# 2*(g*m // 65), value via _aud_sample_sql) and verifies ALL audio
+# pairs un-banded, so a banding recall bug on the Spark side fails
+# the row-count/hash gate — the image-rung oracle contract.
+AUDIO_FINGERPRINT_DEDUP_SQL = (
+    "WITH auds AS (SELECT doc_id, (256 + doc_id % 256 + 1) // 2 AS m"
+    "  FROM documents WHERE doc_id % 3 = 1),"
+    " cells AS (SELECT doc_id, g,"
+    f"  {_aud_sample_sql('doc_id', f'2 * ((g * m) // {AUD_FP_GRID})')}"
+    "   AS x"
+    f"  FROM auds, range({AUD_FP_GRID}) t(g)),"
+    " bits AS (SELECT l.doc_id, l.g,"
+    "  CASE WHEN r.x > l.x THEN 1 ELSE 0 END AS bit"
+    "  FROM cells l JOIN cells r ON r.doc_id = l.doc_id"
+    "   AND r.g = l.g + 1"
+    f"  WHERE l.g < {AUD_FP_GRID - 1}),"
+    " bands AS (SELECT doc_id, g // 16 AS band,"
+    "  CAST(SUM(bit * (1 << (g % 16))) AS INTEGER) AS val"
+    "  FROM bits GROUP BY doc_id, g // 16),"
+    " hashes AS (SELECT doc_id,"
+    "  MAX(CASE WHEN band = 0 THEN val END) AS b0,"
+    "  MAX(CASE WHEN band = 1 THEN val END) AS b1,"
+    "  MAX(CASE WHEN band = 2 THEN val END) AS b2,"
+    "  MAX(CASE WHEN band = 3 THEN val END) AS b3"
+    "  FROM bands GROUP BY doc_id),"
+    " pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,"
+    "  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))"
+    "   + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))"
+    "   AS BIGINT) AS hamming"
+    "  FROM hashes x JOIN hashes y ON x.doc_id < y.doc_id)"
+    " SELECT a, b, hamming FROM pairs"
+    f" WHERE hamming <= {DHASH_MAX_DISTANCE}"
 )
 
 

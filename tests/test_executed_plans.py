@@ -74,6 +74,7 @@ MEASURED = {
     "setsim_incremental": 2,  # r11 measured (rep-collapsed prefix join)
     "csv_malformed_audit": 1,  # r11 measured (text write + one agg)
     "image_dhash_clusters": 4,  # r11 measured (cc rounds + size joins)
+    "audio_fingerprint_dedup": 2,  # r12 measured (banded core, shared)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

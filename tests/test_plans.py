@@ -141,8 +141,10 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         "setsim_hash_agreement",
         # localCheckpoint their dHash fingerprint tables at plan time
         # (one decode pass feeds both join sides); the clusters op
-        # additionally runs cc_labels pointer-jumping rounds
+        # additionally runs cc_labels pointer-jumping rounds; the
+        # audio rung shares the image rung's banded core
         "image_dhash_dedup", "video_frame_dedup", "image_dhash_clusters",
+        "audio_fingerprint_dedup",
         # localCheckpoints toks/cand/arrays at plan time (the
         # setsim_join_frame checkpoint contract, probe-vs-base form)
         "setsim_incremental",

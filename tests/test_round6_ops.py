@@ -153,6 +153,7 @@ def test_real_codecs_parse_and_validate():
     import pytest
 
     from smile_spark.operators.multimodal import (
+        _aud_sample,
         _encode_pgm,
         _encode_wav,
         decode_image,
@@ -168,9 +169,9 @@ def test_real_codecs_parse_and_validate():
     rate, s = resample_audio(_encode_wav(5), rate=8_000)
     n = 256 + 5 % 256
     assert rate == 8_000 and len(s) == (n + 1) // 2
-    assert int(s[0]) == ((5 * 17) % 65536) - 32768
+    assert int(s[0]) == _aud_sample(5, 0)
     # stride-2 decimation: resampled[1] is source sample 2
-    assert int(s[1]) == ((5 * 17 + 13 * 2) % 65536) - 32768
+    assert int(s[1]) == _aud_sample(5, 2)
     full_rate, full = resample_audio(_encode_wav(5), rate=16_000)
     assert full_rate == 16_000 and len(full) == n
 
