@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (0) NEW in r12, never driver-verified (full window
         # rotation happens at round close — see the r12 NOTE above) ---
         "audio_fingerprint_dedup": M.audio_fingerprint_dedup,
+        "setsim_incremental_indexed": D.setsim_incremental_indexed,
         # --- (1) NEW in r11, never driver-verified ---
         "image_dhash_dedup": M.image_dhash_dedup,
         "longest_repeat_profile": D.longest_repeat_profile,
@@ -681,4 +682,8 @@ def oracle_sql() -> dict[str, str]:
         # by the enriched square-tone WAV synthesis; oracle verifies
         # ALL audio pairs un-banded (image-rung contract)
         "audio_fingerprint_dedup": M.AUDIO_FINGERPRINT_DEDUP_SQL,
+        # result-identical to setsim_incremental (the ann_ivf_indexed
+        # shared-oracle contract): only the physical access path — a
+        # persisted bucketed base index — differs
+        "setsim_incremental_indexed": D.SETSIM_INCREMENTAL_SQL,
     }

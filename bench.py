@@ -218,6 +218,24 @@ def main() -> None:
             round(time.perf_counter() - t0, 4)
         )
 
+    # Cold build of the persisted incremental-dedup base index
+    # (VERDICT r11 #5): setsim_incremental_indexed probes bucketed
+    # tables built once per application — price the corpus-linear
+    # build + bucketed writes here, leave the index warm so the
+    # registered entry times the PROBE path (the production daily-
+    # ingest cost).
+    for _ in range(2 if _build_wanted("setsim_index_build") else 0):
+        _dedup.clear_setsim_index_cache()
+        t0 = time.perf_counter()
+        try:
+            _dedup.setsim_index_build(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["setsim_index_build"] = f"{type(exc).__name__}: {exc}"[:500]
+            break
+        samples.setdefault("setsim_index_build", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
     # Two passes, min per query: the first pass doubles as per-query
     # warmup (code cache, shuffle-file reuse is disabled by noop's
     # overwrite, OS pagecache), the min filters GC/scheduler noise so

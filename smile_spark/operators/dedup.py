@@ -1932,6 +1932,305 @@ SETSIM_INCREMENTAL_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Persisted incremental-dedup base index (VERDICT r11 What's-missing #2)
+# ---------------------------------------------------------------------------
+
+# :func:`setsim_incremental` recomputes the base side's tokenize + df
+# stats + prefixes on EVERY run — corpus-linear work a daily-ingest
+# pipeline should pay once.  The index below persists the base side's
+# four artifacts as bucketed catalog tables (the graph_adjacency /
+# bucketed_join_revenue physical layout), each bucketed on its probe
+# join key so the index side of every probe join reads pre-partitioned
+# data with ZERO exchange:
+#   prefix(tok, rb, nb)   bucketed by tok — the candidate join side
+#   df(tok, df)           bucketed by tok — the probe ranking join
+#   reps(rb, ts)          bucketed by rb  — verify-side token arrays
+#   members(rb, b)        bucketed by rb  — rep -> doc expansion
+SETSIM_INDEX_BUCKETS = 16
+_SETSIM_INDEX_READY: set[tuple[str, str, bool]] = set()
+
+
+def _setsim_hash_conf(spark: SparkSession) -> bool:
+    return str(
+        spark.conf.get("spark.smile.setsim.tokenHash", "true")
+    ).lower() == "true"
+
+
+def _setsim_index_tables(sf_dir: str, hash_tokens: bool) -> dict[str, str]:
+    from smile_spark.sources.bucketed import bucket_table_name
+
+    suffix = "h1" if hash_tokens else "h0"
+    return {
+        part: bucket_table_name(f"setsim_idx_{part}_{suffix}", sf_dir)
+        for part in ("prefix", "df", "reps", "members")
+    }
+
+
+def clear_setsim_index_cache() -> None:
+    """Forget the per-application index memo so the next probe (or the
+    bench's cold ``setsim_index_build`` loop) rebuilds the bucketed
+    tables; the build overwrites them in place (drop + saveAsTable),
+    so no block storage leaks — nothing to unpersist."""
+    _SETSIM_INDEX_READY.clear()
+
+
+def setsim_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Materialize the incremental-dedup BASE index once per
+    (application, fixture dir, token-hash mode): one corpus-linear
+    pass over the base block (tokenize, per-side GroupJoin collapse,
+    document frequencies, AllPairs prefixes — exactly the base-side
+    stages of :func:`setsim_incremental`), persisted as four bucketed
+    tables.  Returns the table-name map.
+
+    At 100 TB this is the nightly index job: the corpus pays its
+    linear pass ONCE, and every ingest probes the bucketed tables —
+    the ``ann_ivf_indexed`` persist-and-probe contract applied to set
+    similarity.  The token-hash mode is baked into the table names, so
+    flipping ``spark.smile.setsim.tokenHash`` mid-session can never
+    serve an index built under the other tokenization.
+    """
+    from pyspark.sql.window import Window
+
+    from smile_spark.sources.bucketed import (
+        drop_bucketed_table,
+        write_bucketed,
+    )
+
+    hash_tokens = _setsim_hash_conf(spark)
+    tables = _setsim_index_tables(sf_dir, hash_tokens)
+    key = (spark.sparkContext.applicationId, sf_dir, hash_tokens)
+    if key in _SETSIM_INDEX_READY:
+        return tables
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_INC_MOD != 0
+    )
+    raw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    if hash_tokens:
+        raw = raw.select("doc_id", F.xxhash64("tok").alias("tok"))
+    toks = raw.distinct().localCheckpoint()
+    dsets = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tok")).alias("ts")
+    )
+    membership = (
+        dsets.groupBy("ts")
+        .agg(
+            F.min("doc_id").alias("rb"),
+            F.collect_list("doc_id").alias("ms"),
+        )
+        .select(
+            "rb",
+            "ts",
+            F.explode("ms").alias("b"),
+            F.size("ts").cast("bigint").alias("nb"),
+        )
+        .localCheckpoint()
+    )
+    reps = membership.filter(F.col("b") == F.col("rb"))
+    rtoks = toks.join(
+        reps.select(F.col("rb").alias("doc_id")), "doc_id", "semi"
+    )
+    dfreq = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    ceil_tau_n = F.expr(
+        f"({SETSIM_TAU_NUM} * nb + {SETSIM_TAU_DEN - 1})"
+        f" div {SETSIM_TAU_DEN}"
+    )
+    ranked = (
+        rtoks.join(dfreq, "tok")
+        .join(
+            reps.select(F.col("rb").alias("doc_id"), "nb"), "doc_id"
+        )
+        .withColumn("pos", F.row_number().over(wdoc))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("nb") - ceil_tau_n + 1
+    ).select(F.col("doc_id").alias("rb"), "tok", "nb")
+    for tbl in tables.values():
+        drop_bucketed_table(spark, tbl)
+    write_bucketed(
+        prefix, tables["prefix"], "tok", n_buckets=SETSIM_INDEX_BUCKETS
+    )
+    write_bucketed(
+        dfreq, tables["df"], "tok", n_buckets=SETSIM_INDEX_BUCKETS
+    )
+    write_bucketed(
+        reps.select("rb", "ts", "nb"),
+        tables["reps"],
+        "rb",
+        n_buckets=SETSIM_INDEX_BUCKETS,
+    )
+    write_bucketed(
+        membership.select("rb", "b"),
+        tables["members"],
+        "rb",
+        n_buckets=SETSIM_INDEX_BUCKETS,
+    )
+    # the bucketed tables are the persisted artifact; the build-time
+    # checkpoints are consumed and released immediately
+    from smile_spark.session import unpersist_checkpoint
+
+    unpersist_checkpoint(toks)
+    unpersist_checkpoint(membership)
+    _SETSIM_INDEX_READY.add(key)
+    return tables
+
+
+def setsim_incremental_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`setsim_incremental` probing the PERSISTED base index —
+    the production daily-ingest path: the increment pays tokenize +
+    collapse + prefix for ITS OWN documents only, while the base
+    side's df stats, prefixes, rep arrays and membership come from the
+    bucketed tables :func:`setsim_index_build` materialized once.  No
+    corpus-linear base pass happens per run, and the candidate join's
+    index side (bucketed by tok) reads pre-partitioned data with zero
+    exchange.
+
+    Result-identical to :func:`setsim_incremental` (asserted by an
+    agreement test and the shared DuckDB oracle): the probe ranks its
+    prefix tokens by the PERSISTED base document frequencies (absent
+    tokens read df 0 and sort first — the same shared total order),
+    both sides keep the AllPairs prefix bound, the exact-integer
+    length filter and candidate-bounded exact verify are unchanged.
+
+    Returns (a, b, na, nb, i, jaccard), a from the increment, b from
+    the base.
+    """
+    from pyspark.sql.window import Window
+
+    from smile_spark.session import release_checkpoints_on_gc
+    from smile_spark.sources.bucketed import read_bucketed
+
+    tables = setsim_index_build(spark, sf_dir)
+    hash_tokens = _setsim_hash_conf(spark)
+    group: list[DataFrame] = []
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_INC_MOD == 0
+    )
+    raw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    if hash_tokens:
+        raw = raw.select("doc_id", F.xxhash64("tok").alias("tok"))
+    toks = raw.distinct().localCheckpoint()
+    group.append(toks)
+    dsets = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tok")).alias("ts")
+    )
+    membership = (
+        dsets.groupBy("ts")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("ms"),
+        )
+        .select(
+            "ts",
+            F.explode("ms").alias("doc_id"),
+            "rep",
+            F.size("ts").cast("bigint").alias("n"),
+        )
+        .localCheckpoint()
+    )
+    group.append(membership)
+    reps = membership.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "ts", "n"
+    )
+    rtoks = toks.join(reps.select("doc_id"), "doc_id", "semi")
+    # probe tokens ranked by the PERSISTED base df; unseen tokens read
+    # df 0 and sort first (prefix-valid under any shared total order)
+    dfreq = read_bucketed(spark, tables["df"])
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    ranked = (
+        rtoks.join(dfreq, "tok", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .join(reps.select("doc_id", "n"), "doc_id")
+        .withColumn("pos", F.row_number().over(wdoc))
+    )
+    ceil_tau_n = F.expr(
+        f"({SETSIM_TAU_NUM} * n + {SETSIM_TAU_DEN - 1})"
+        f" div {SETSIM_TAU_DEN}"
+    )
+    probe = ranked.filter(
+        F.col("pos") <= F.col("n") - ceil_tau_n + 1
+    ).select(F.col("doc_id").alias("ra"), "tok", F.col("n").alias("na"))
+    index = read_bucketed(spark, tables["prefix"]).select(
+        F.col("rb"), "tok", F.col("nb")
+    )
+    cand = (
+        probe.join(index, "tok")
+        .filter(
+            (F.col("nb") * SETSIM_TAU_DEN >= F.col("na") * SETSIM_TAU_NUM)
+            & (F.col("na") * SETSIM_TAU_DEN >= F.col("nb") * SETSIM_TAU_NUM)
+        )
+        .select("ra", "rb", "na", "nb")
+        .distinct()
+        .localCheckpoint()
+    )
+    group.append(cand)
+    # candidate-bounded verify: probe arrays from the increment
+    # tokenize, base arrays from the persisted rep table — both
+    # semi-joined down to candidate ids before broadcasting
+    pa = (
+        dsets.select(F.col("doc_id").alias("ra"), F.col("ts").alias("ta"))
+        .join(
+            F.broadcast(cand.select("ra").distinct()), "ra", "semi"
+        )
+        .localCheckpoint()
+    )
+    group.append(pa)
+    pb = (
+        read_bucketed(spark, tables["reps"])
+        .select(F.col("rb"), F.col("ts").alias("tb"))
+        .join(
+            F.broadcast(cand.select("rb").distinct()), "rb", "semi"
+        )
+        .localCheckpoint()
+    )
+    group.append(pb)
+    verified = (
+        fan_out(cand)
+        .join(F.broadcast(pa), "ra")
+        .join(F.broadcast(pb), "rb")
+        .withColumn(
+            "i", F.size(F.array_intersect("ta", "tb")).cast("bigint")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= SETSIM_TAU)
+        .select("ra", "rb", "na", "nb", "i", "jaccard")
+    )
+    ma = membership.select(
+        F.col("rep").alias("ra"), F.col("doc_id").alias("a")
+    )
+    mb = read_bucketed(spark, tables["members"]).select(
+        "rb", F.col("b")
+    )
+    out = (
+        verified.join(ma, "ra")
+        .join(mb, "rb")
+        .select(
+            "a",
+            "b",
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            "i",
+            "jaccard",
+        )
+    )
+    release_checkpoints_on_gc(out, group)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Dedup quality evaluation (LSH recall/precision vs exact truth)
 # ---------------------------------------------------------------------------
 

@@ -75,6 +75,7 @@ MEASURED = {
     "csv_malformed_audit": 1,  # r11 measured (text write + one agg)
     "image_dhash_clusters": 4,  # r11 measured (cc rounds + size joins)
     "audio_fingerprint_dedup": 2,  # r12 measured (banded core, shared)
+    "setsim_incremental_indexed": 2,  # r12 measured cold AND warm
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to
