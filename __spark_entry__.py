@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation happens at round close — see the r12 NOTE above) ---
         "audio_fingerprint_dedup": M.audio_fingerprint_dedup,
         "setsim_incremental_indexed": D.setsim_incremental_indexed,
+        "video_dhash_tolerant": M.video_dhash_tolerant,
         # --- (1) NEW in r11, never driver-verified ---
         "image_dhash_dedup": M.image_dhash_dedup,
         "longest_repeat_profile": D.longest_repeat_profile,
@@ -686,4 +687,7 @@ def oracle_sql() -> dict[str, str]:
         # shared-oracle contract): only the physical access path — a
         # persisted bucketed base index — differs
         "setsim_incremental_indexed": D.SETSIM_INCREMENTAL_SQL,
+        # Hamming-tolerant video rung on the hi-res fixture subset;
+        # oracle verifies ALL cross-video frame pairs un-banded
+        "video_dhash_tolerant": M.VIDEO_DHASH_TOLERANT_SQL,
     }

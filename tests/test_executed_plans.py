@@ -76,6 +76,7 @@ MEASURED = {
     "image_dhash_clusters": 4,  # r11 measured (cc rounds + size joins)
     "audio_fingerprint_dedup": 2,  # r12 measured (banded core, shared)
     "setsim_incremental_indexed": 2,  # r12 measured cold AND warm
+    "video_dhash_tolerant": 2,  # r12 measured (banded core + doc agg)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

@@ -206,6 +206,52 @@ def test_aud_sample_sql_matches_python(spark):
 
 
 # ---------------------------------------------------------------------------
+# Hamming-tolerant video rung on hi-res frames (VERDICT r11 #7)
+# ---------------------------------------------------------------------------
+
+
+def test_video_dhash_tolerant_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.multimodal import (
+        VIDEO_DHASH_TOLERANT_SQL,
+        video_dhash_tolerant,
+    )
+    from smile_spark.testing import assert_matches_oracle
+
+    for d in [sf_dir, "/root/testdata/sf0.01"]:
+        assert_matches_oracle(
+            spark, video_dhash_tolerant, VIDEO_DHASH_TOLERANT_SQL, d
+        )
+
+
+def test_video_dhash_tolerant_is_not_degenerate(spark, sf_dir):
+    """The guard that kept radius tolerance OFF the tiny base frames
+    (radius 3 matched ~70% of ALL video pairs there): on the hi-res
+    subset the tolerant pair set must be a small fraction of all
+    pairs, every pair must carry 1 <= n_close <= VID_FRAMES^2, and
+    min_hamming must respect the radius."""
+    from smile_spark.operators.multimodal import (
+        DHASH_MAX_DISTANCE,
+        HIRES_MOD,
+        VID_FRAMES,
+        video_dhash_tolerant,
+    )
+    from smile_spark.tables import table
+
+    rows = video_dhash_tolerant(spark, sf_dir).collect()
+    n_vids = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % HIRES_MOD == 2)
+        .count()
+    )
+    all_pairs = n_vids * (n_vids - 1) // 2
+    assert 0 < len(rows) < all_pairs // 5, (len(rows), all_pairs)
+    for r in rows:
+        assert r.a < r.b
+        assert 1 <= r.n_close <= VID_FRAMES * VID_FRAMES
+        assert 0 <= r.min_hamming <= DHASH_MAX_DISTANCE
+
+
+# ---------------------------------------------------------------------------
 # persisted incremental-dedup base index (VERDICT r11 #5)
 # ---------------------------------------------------------------------------
 
