@@ -49,93 +49,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-11 window (exactly 50): (1) the FIVE r11
-    additions that have never held a driver verdict
-    (image_dhash_dedup, longest_repeat_profile, video_frame_dedup,
-    setsim_incremental, csv_malformed_audit); (2) the first 45 of
-    the 48 remaining r07-green entries (dedup_cluster_sizes ..
-    tfidf_top_terms).  The r10 VERDICT
-    allotted 2 free slots; five r11 additions mean exactly THREE r07
-    entries slip to r12: winsorize_prices, bucketed_join_revenue,
-    copurchase_pairs.  After this window completes, no registered
-    entry's newest verdict predates r08 except those three (r07).
-    r12 NOTE: rotate (a) the r11 LATE addition image_dhash_clusters
-    (two-SF-verified locally, never driver-verified) plus any r12
-    additions first, then (b) the three slipped r07 entries
-    (winsorize_prices, bucketed_join_revenue, copurchase_pairs),
-    then (c) the r08-verified block (streaming_dedup_agreement ..
-    text_stats), then (d) start on the r09-verified block; the
-    r10-verified block rotates last.
+    insertion order.  Round-12 window (exactly 50), per the r11
+    VERDICT's next-round #1: (1) the THREE r12 additions
+    (audio_fingerprint_dedup, setsim_incremental_indexed,
+    video_dhash_tolerant); (2) the r11 LATE addition
+    image_dhash_clusters — the round's only verification debt;
+    (3) the three r07-green entries that slipped the r11 window
+    (winsorize_prices, bucketed_join_revenue, copurchase_pairs);
+    (4) the first 43 of the 50 r08-verified entries
+    (streaming_dedup_agreement .. containment_topk) — this block
+    includes multimodal_audio_chunks, whose oracle changed with the
+    r12 square-tone WAV synthesis and so gets re-verified in-window.
+    Three r12 additions + image_dhash_clusters exceed the window by
+    exactly SEVEN r08 entries, which slip to r13:
+    golden_part_records, shortest_path_route, hashjoin_agg, bfs,
+    simhash_pairs, ngram_jaccard_topk, text_stats.  After this window
+    completes, no registered entry's newest verdict predates r08
+    except those seven (r08-verified, so nothing predates r08 at
+    all) — and multimodal_decode_audio (r10 block) carries the only
+    changed-oracle-without-driver-reverify debt (locally verified at
+    two SFs).
+    r13 NOTE: rotate (a) any r13 additions first, then (b) the seven
+    slipped r08 entries above, then (c) multimodal_decode_audio (its
+    oracle changed in r12), then (d) the r09-verified block
+    (nearest_centroid_eval ..); the r10 and r11 blocks rotate last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- (0) NEW in r12, never driver-verified (full window
-        # rotation happens at round close — see the r12 NOTE above) ---
+        # --- (1) NEW in r12, never driver-verified ---
         "audio_fingerprint_dedup": M.audio_fingerprint_dedup,
         "setsim_incremental_indexed": D.setsim_incremental_indexed,
         "video_dhash_tolerant": M.video_dhash_tolerant,
-        # --- (1) NEW in r11, never driver-verified ---
-        "image_dhash_dedup": M.image_dhash_dedup,
-        "longest_repeat_profile": D.longest_repeat_profile,
-        "video_frame_dedup": M.video_frame_dedup,
-        "setsim_incremental": D.setsim_incremental,
-        "csv_malformed_audit": TF.csv_malformed_audit,
-        # --- (2) the first 45 remaining r07-green entries ---
-        "dedup_cluster_sizes": P.dedup_cluster_sizes,
-        "watermark_late_audit": W.watermark_late_audit,
-        "fuzzy_name_match": T.fuzzy_name_match,
-        "event_transition_matrix": B.event_transition_matrix,
-        "seasonality_profile": B.seasonality_profile,
-        "cms_heavy_hitters": K.cms_heavy_hitters,
-        "scd2_customer_history": C.scd2_customer_history,
-        "date_dimension": R.date_dimension,
-        "revenue_growth_mom": AN.revenue_growth_mom,
-        "column_profile": Q.column_profile,
-        "referential_orphans": Q.referential_orphans,
-        "constraint_violations": Q.constraint_violations,
-        "dedup_cross_source": D.dedup_cross_source,
-        "balanced_sample_k": AN.balanced_sample_k,
-        "sample_packing": C.sample_packing,
-        "pricing_summary": R.pricing_summary,
-        "scan": R.scan,
-        "projection": R.projection,
-        "datagen": R.datagen,
-        "graph_metadata": G.graph_metadata,
-        "degree_distribution": G.degree_distribution,
-        "triangle_count": G.triangle_count,
-        "pagerank": G.pagerank,
-        "sssp": G.sssp,
-        "groupby_count_array": R.groupby_count_array,
-        "timestamp_filter": R.timestamp_filter,
-        "groupby_count": R.groupby_count,
-        "zscore_normalize": AN.zscore_normalize,
-        "bigram_pmi": C.bigram_pmi,
-        "decontaminate": C.decontaminate,
-        "hll_source_overlap": K.hll_source_overlap,
-        "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
-        "hll_distinct": K.hll_distinct,
-        "hll_per_source": K.hll_per_source,
-        "chunk_dedup": D.chunk_dedup,
-        "snapshot_diff": Q.snapshot_diff,
-        "embedding_kmeans": S.embedding_kmeans,
-        "weighted_sample_topk": AN.weighted_sample_topk,
-        "bloom_prejoin": Q.bloom_prejoin,
-        "distribution_drift": Q.distribution_drift,
-        "vocab_coverage": T.vocab_coverage,
-        "pii_redact": C.pii_redact,
-        "grouped_ols_fit": FT.grouped_ols_fit,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
-        "tfidf_top_terms": T.tfidf_top_terms,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round (see the r12 NOTE in the docstring above for the next
-        # rotation).
-        # ------------------------------------------------------------------
-        # --- the THREE r07-green entries that slipped out of the r11
-        # window (first into r12 after any r12 additions) ---
+        # --- (2) the r11 LATE addition (two-SF-verified locally,
+        # never driver-verified; VERDICT r11 next-round #1) ---
+        "image_dhash_clusters": M.image_dhash_clusters,
+        # --- (3) the three r07-green entries that slipped the r11
+        # window ---
         "winsorize_prices": AN.winsorize_prices,
         "bucketed_join_revenue": BK.bucketed_join_revenue,
         "copurchase_pairs": R.copurchase_pairs,
-        # --- r08-verified entries (next in the r12 window) ---
+        # --- (4) the first 43 of the 50 r08-verified entries ---
         "streaming_dedup_agreement": ST.streaming_dedup_agreement,
         "ann_pq_topk": S.ann_pq_topk,
         "link_prediction_aa": G.link_prediction_aa,
@@ -179,6 +131,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_prices_approx": AN.winsorize_prices_approx,
         "ann_ivf_indexed": S.ann_ivf_indexed,
         "containment_topk": D.containment_topk,
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round (see the r13 NOTE in the docstring above for the next
+        # rotation).
+        # ------------------------------------------------------------------
+        # --- the SEVEN r08-verified entries that slipped out of the
+        # r12 window (first into r13 after any r13 additions) ---
         "golden_part_records": P.golden_part_records,
         "shortest_path_route": G.shortest_path_route,
         "hashjoin_agg": R.hashjoin_agg,
@@ -298,8 +257,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3) the two r07-green entries verified r10
         "revenue_concentration": AN.revenue_concentration,
         "degree_assortativity": G.degree_assortativity,
-        # --- NEW in r11 (late additions): first into r12 ---
-        "image_dhash_clusters": M.image_dhash_clusters,
+        # --- r11-verified entries (the r11 window; rotate last): the
+        # five r11 additions, then the 45 long-green entries whose
+        # newest verdict is r11 ---
+        "image_dhash_dedup": M.image_dhash_dedup,
+        "longest_repeat_profile": D.longest_repeat_profile,
+        "video_frame_dedup": M.video_frame_dedup,
+        "setsim_incremental": D.setsim_incremental,
+        "csv_malformed_audit": TF.csv_malformed_audit,
+        "dedup_cluster_sizes": P.dedup_cluster_sizes,
+        "watermark_late_audit": W.watermark_late_audit,
+        "fuzzy_name_match": T.fuzzy_name_match,
+        "event_transition_matrix": B.event_transition_matrix,
+        "seasonality_profile": B.seasonality_profile,
+        "cms_heavy_hitters": K.cms_heavy_hitters,
+        "scd2_customer_history": C.scd2_customer_history,
+        "date_dimension": R.date_dimension,
+        "revenue_growth_mom": AN.revenue_growth_mom,
+        "column_profile": Q.column_profile,
+        "referential_orphans": Q.referential_orphans,
+        "constraint_violations": Q.constraint_violations,
+        "dedup_cross_source": D.dedup_cross_source,
+        "balanced_sample_k": AN.balanced_sample_k,
+        "sample_packing": C.sample_packing,
+        "pricing_summary": R.pricing_summary,
+        "scan": R.scan,
+        "projection": R.projection,
+        "datagen": R.datagen,
+        "graph_metadata": G.graph_metadata,
+        "degree_distribution": G.degree_distribution,
+        "triangle_count": G.triangle_count,
+        "pagerank": G.pagerank,
+        "sssp": G.sssp,
+        "groupby_count_array": R.groupby_count_array,
+        "timestamp_filter": R.timestamp_filter,
+        "groupby_count": R.groupby_count,
+        "zscore_normalize": AN.zscore_normalize,
+        "bigram_pmi": C.bigram_pmi,
+        "decontaminate": C.decontaminate,
+        "hll_source_overlap": K.hll_source_overlap,
+        "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
+        "hll_distinct": K.hll_distinct,
+        "hll_per_source": K.hll_per_source,
+        "chunk_dedup": D.chunk_dedup,
+        "snapshot_diff": Q.snapshot_diff,
+        "embedding_kmeans": S.embedding_kmeans,
+        "weighted_sample_topk": AN.weighted_sample_topk,
+        "bloom_prejoin": Q.bloom_prejoin,
+        "distribution_drift": Q.distribution_drift,
+        "vocab_coverage": T.vocab_coverage,
+        "pii_redact": C.pii_redact,
+        "grouped_ols_fit": FT.grouped_ols_fit,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "tfidf_top_terms": T.tfidf_top_terms,
     }
     return q
 

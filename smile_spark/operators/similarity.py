@@ -348,11 +348,11 @@ _IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+    from smile_spark.session import scratch_dir
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX_CACHE:
-        path = tempfile.mkdtemp(prefix="smile_ivf_index_")
+        path = scratch_dir("smile_ivf_index_")
         ivf_build(spark, sf_dir, path)
         _IVF_INDEX_CACHE[key] = path
     return _IVF_INDEX_CACHE[key]

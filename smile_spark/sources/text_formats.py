@@ -38,34 +38,12 @@ _CSV_OPTIONS = {
     "escape": '"',
 }
 
-# Scratch directories created by the round-trip certificates, purged
-# at interpreter exit (ADVICE/VERDICT r11: every csv_malformed_audit
-# invocation leaked a smile_csv_dirty_* dir for the life of the box —
-# harmless at sf0.1, disk-leak-shaped in a long-lived session).  Purge
-# runs at exit rather than per-result GC because the returned frames
-# are LAZY: the landed files must stay readable for as long as any
-# derived plan might still evaluate, which only the interpreter
-# lifetime bounds safely.
-_SCRATCH_DIRS: list[str] = []
-
-
-def _purge_scratch_dirs() -> None:
-    import shutil
-
-    while _SCRATCH_DIRS:
-        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
-
-
-def _scratch_dir(prefix: str) -> str:
-    """``mkdtemp`` that is guaranteed removed at interpreter exit."""
-    import atexit
-    import tempfile
-
-    if not _SCRATCH_DIRS:
-        atexit.register(_purge_scratch_dirs)
-    d = tempfile.mkdtemp(prefix=prefix)
-    _SCRATCH_DIRS.append(d)
-    return d
+# Scratch directories created by the round-trip certificates are
+# purged at interpreter exit (ADVICE/VERDICT r11: every
+# csv_malformed_audit invocation leaked a smile_csv_dirty_* dir for
+# the life of the box); the shared engine-wide helper lives in
+# smile_spark.session.
+from smile_spark.session import scratch_dir as _scratch_dir  # noqa: E402
 
 
 _JSON_OPTIONS = {"timestampFormat": TS_FORMAT}

@@ -17,21 +17,23 @@ from pyspark.sql import functions as F
 
 
 def test_csv_audit_registers_and_purges_scratch_dirs(spark, sf_dir):
+    from smile_spark import session as SS
     from smile_spark.sources import text_formats as TF
 
-    before = list(TF._SCRATCH_DIRS)
+    before = list(SS._SCRATCH_DIRS)
     out = TF.csv_malformed_audit(spark, sf_dir)
     row = out.collect()[0]
     assert row.n_rows == row.n_corrupt + row.n_valid
-    created = [d for d in TF._SCRATCH_DIRS if d not in before]
+    created = [d for d in SS._SCRATCH_DIRS if d not in before]
     assert len(created) == 1 and os.path.isdir(created[0])
     # repeated invocations register (not silently leak) their dirs ...
     TF.csv_malformed_audit(spark, sf_dir).collect()
-    created = [d for d in TF._SCRATCH_DIRS if d not in before]
+    created = [d for d in SS._SCRATCH_DIRS if d not in before]
     assert len(created) == 2
     # ... and the purge removes every registered dir from disk
-    TF._purge_scratch_dirs()
-    assert not TF._SCRATCH_DIRS
+    # (re-register anything other operators have parked there first)
+    SS._purge_scratch_dirs()
+    assert not SS._SCRATCH_DIRS
     assert not any(os.path.exists(d) for d in created)
 
 
