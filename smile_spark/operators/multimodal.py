@@ -1240,12 +1240,13 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is an EXACT equi-join on the full 64-bit
     hash (all four band ints at once — a shuffle keyed on the hash
     value, never a pair enumeration, with output proportional to
-    true shared-frame pairs).  A Hamming-tolerant variant would reuse
-    the image rung's banding; on this corpus' tiny synthetic frames
+    true shared-frame pairs).  On this corpus' tiny synthetic frames
     (8-15 x 4-7 px) a radius-3 match degenerates to ~70% of ALL video
-    pairs — measured, which is why the registered video rung is the
-    exact-match form (the honest operator at this frame size) and
-    tolerance stays an image-rung feature.
+    pairs — measured, which is why THIS rung is the exact-match form
+    (the honest operator at this frame size); Hamming tolerance is
+    registered separately as :func:`video_dhash_tolerant` over the
+    hi-res fixture subset whose frames the dHash grid can genuinely
+    subsample.
 
     The per-(doc, hash) distinct is checkpointed — one decode pass
     feeds both join sides; blocks release when the result frame dies.

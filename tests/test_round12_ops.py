@@ -30,11 +30,20 @@ def test_csv_audit_registers_and_purges_scratch_dirs(spark, sf_dir):
     TF.csv_malformed_audit(spark, sf_dir).collect()
     created = [d for d in SS._SCRATCH_DIRS if d not in before]
     assert len(created) == 2
-    # ... and the purge removes every registered dir from disk
-    # (re-register anything other operators have parked there first)
-    SS._purge_scratch_dirs()
-    assert not SS._SCRATCH_DIRS
-    assert not any(os.path.exists(d) for d in created)
+    # ... and the purge removes every registered dir from disk.
+    # Purge ONLY this test's dirs: other session consumers (the IVF
+    # index, earlier certificates) still hold live paths in the global
+    # list, and purging those mid-session would break them — the exact
+    # reason the production purge runs at interpreter exit only.
+    parked = [d for d in SS._SCRATCH_DIRS if d not in created]
+    SS._SCRATCH_DIRS.clear()
+    SS._SCRATCH_DIRS.extend(created)
+    try:
+        SS._purge_scratch_dirs()
+        assert not SS._SCRATCH_DIRS
+        assert not any(os.path.exists(d) for d in created)
+    finally:
+        SS._SCRATCH_DIRS.extend(parked)
 
 
 # ---------------------------------------------------------------------------
