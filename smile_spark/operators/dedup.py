@@ -2170,26 +2170,26 @@ def setsim_incremental_indexed(
         .localCheckpoint()
     )
     group.append(cand)
-    # candidate-bounded verify: probe arrays from the increment
-    # tokenize, base arrays from the persisted rep table — both
-    # semi-joined down to candidate ids before broadcasting
+    # candidate-bounded verify: probe rep arrays come from the already
+    # CHECKPOINTED membership table (never a second collect_set
+    # aggregate over the increment), base arrays from the persisted
+    # rep table — both semi-joined down to candidate ids before
+    # broadcasting.  Neither is checkpointed: each feeds exactly ONE
+    # broadcast build, so a checkpoint would just add a job.
     pa = (
-        dsets.select(F.col("doc_id").alias("ra"), F.col("ts").alias("ta"))
+        membership.filter(F.col("doc_id") == F.col("rep"))
+        .select(F.col("rep").alias("ra"), F.col("ts").alias("ta"))
         .join(
             F.broadcast(cand.select("ra").distinct()), "ra", "semi"
         )
-        .localCheckpoint()
     )
-    group.append(pa)
     pb = (
         read_bucketed(spark, tables["reps"])
         .select(F.col("rb"), F.col("ts").alias("tb"))
         .join(
             F.broadcast(cand.select("rb").distinct()), "rb", "semi"
         )
-        .localCheckpoint()
     )
-    group.append(pb)
     verified = (
         fan_out(cand)
         .join(F.broadcast(pa), "ra")

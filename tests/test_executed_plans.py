@@ -75,7 +75,7 @@ MEASURED = {
     "csv_malformed_audit": 1,  # r11 measured (text write + one agg)
     "image_dhash_clusters": 4,  # r11 measured (cc rounds + size joins)
     "audio_fingerprint_dedup": 2,  # r12 measured (banded core, shared)
-    "setsim_incremental_indexed": 2,  # r12 measured cold AND warm
+    "setsim_incremental_indexed": 3,  # r12 measured cold AND warm
     "video_dhash_tolerant": 2,  # r12 measured (banded core + doc agg)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
