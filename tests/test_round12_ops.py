@@ -162,6 +162,60 @@ def test_image_dhash_pair_table_is_memoized(spark, sf_dir):
     assert not M._DHASH_PAIR_CACHE and not M._DHASH_CHECKPOINTS
 
 
+def test_banded_core_equals_brute_force_on_random_fingerprints(spark):
+    """The shared banded core (image, audio, and tolerant-video rungs
+    all ride it) must emit EXACTLY the brute-force radius-filtered
+    pair set on arbitrary fingerprint distributions — random bits,
+    planted near-pairs at every distance 0..5, and duplicate values.
+    Seeded trials rather than live-corpus data, so the recall claim is
+    pinned independent of any fixture's geometry."""
+    import numpy as np
+
+    from smile_spark.operators.multimodal import (
+        DHASH_MAX_DISTANCE,
+        _dhash_pairs_from_hashes,
+    )
+
+    for seed in (1, 7, 42):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 2**63, size=24, dtype=np.int64).astype(
+            np.uint64
+        )
+        planted = []
+        for dist in range(6):
+            v = int(base[dist])
+            flip = rng.choice(64, size=dist, replace=False)
+            w = v
+            for f in flip:
+                w ^= 1 << int(f)
+            planted.append(w)
+        vals = [int(v) for v in base] + planted + [int(base[0])]  # dup
+        rows = [
+            (
+                i,
+                (v >> 0) & 0xFFFF,
+                (v >> 16) & 0xFFFF,
+                (v >> 32) & 0xFFFF,
+                (v >> 48) & 0xFFFF,
+            )
+            for i, v in enumerate(vals)
+        ]
+        truth = {
+            (i, j, bin(vals[i] ^ vals[j]).count("1"))
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+            if bin(vals[i] ^ vals[j]).count("1") <= DHASH_MAX_DISTANCE
+        }
+        hashes = spark.createDataFrame(
+            rows, "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+        ).localCheckpoint()
+        got = {
+            (r.a, r.b, r.hamming)
+            for r in _dhash_pairs_from_hashes(hashes).collect()
+        }
+        assert got == truth, (seed, got ^ truth)
+
+
 # ---------------------------------------------------------------------------
 # audio fingerprint rung (VERDICT r11 What's-missing #1 / next-round #4)
 # ---------------------------------------------------------------------------
