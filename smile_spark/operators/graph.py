@@ -1187,65 +1187,92 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     as KCORE_ROUNDS chained CTEs.
 
     Scale: pair generation is the copurchase in-basket combinations
-    shape (quadratic only in basket size); each peel round is one
-    semi-join of edges against the alive set on BOTH endpoints plus a
-    count aggregate — all key equi-joins, localCheckpoint cuts the
-    per-round lineage exactly like bfs/pagerank.  Rounds are bounded
-    by the budget, not the graph: at 100 TB the same loop runs with
-    the alive set shrinking monotonically, and each dropped node
-    leaves the join inputs forever (work DEcreases per round).
+    shape (quadratic only in basket size).  The peel itself is the
+    INCREMENTAL form (r12; the r11 form recomputed every survivor's
+    degree from the full edge set each round — O(E) shuffle per
+    round): the loop maintains a per-node surviving-degree table, and
+    each round drops the below-K nodes and DECREMENTS survivors by
+    their edges into the dropped set — exactly the recount by
+    induction (the oracle unrolls the recount and pins equality), but
+    the per-round shuffle is proportional to the edges INCIDENT TO
+    JUST-DROPPED nodes, so total peel work is O(E) across ALL rounds
+    instead of O(E x rounds).  The dropped set is small per round —
+    AQE broadcasts it into the semi/anti joins, so the edge table is
+    scanned but never reshuffled.  localCheckpoint cuts per-round
+    lineage exactly like bfs/pagerank; rounds are bounded by the
+    budget, not the graph.
     """
+    from smile_spark.session import unpersist_checkpoint
+
     und = _copurchase_edges_cached(spark, sf_dir)
     edges = (
         und.select(F.col("p1").alias("u"), F.col("p2").alias("v"))
         .union(und.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
         .localCheckpoint()
     )
-    alive = edges.select(F.col("u").alias("id")).distinct().localCheckpoint()
-    n_prev = alive.count()  # control-only driver action (checkpointed)
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("u").alias("id"), "deg")
+        .localCheckpoint()
+    )
+    n_prev = deg.count()  # control-only driver action (checkpointed)
     rows: list[tuple[int, int, int]] = []
     for r in range(1, KCORE_ROUNDS + 1):
-        deg = (
-            edges.join(alive, edges.u == alive.id, "left_semi")
-            .join(
-                alive.select(F.col("id").alias("vid")),
-                F.col("v") == F.col("vid"),
-                "left_semi",
+        # the dropped set is derived INLINE from the checkpointed
+        # degree table (a node-sized scan per consumer beats a
+        # dedicated checkpoint job per round)
+        dropped = deg.filter(F.col("deg") < KCORE_K).select("id")
+        if r == KCORE_ROUNDS:
+            # budget exhausted: only the count is needed
+            n_drop = dropped.count()
+            rows.append((r, n_drop, n_prev - n_drop))
+            break
+        # decrement survivors by their edges into the dropped set;
+        # a survivor whose degree reaches 0 keeps its row (0 < K, so
+        # it drops next round — same timing as the full recount,
+        # where it would simply vanish from the degree aggregate)
+        dec = (
+            edges.join(
+                dropped.withColumnRenamed("id", "v"), "v", "semi"
             )
+            .join(dropped.withColumnRenamed("id", "u"), "u", "left_anti")
             .groupBy("u")
-            .agg(F.count(F.lit(1)).alias("deg"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .select(F.col("u").alias("id"), "d")
         )
-        nxt = (
-            deg.filter(F.col("deg") >= KCORE_K)
-            .select(F.col("u").alias("id"))
+        new_deg = (
+            deg.join(dropped, "id", "left_anti")
+            .join(dec, "id", "left")
+            .select(
+                "id",
+                (F.col("deg") - F.coalesce("d", F.lit(0))).alias("deg"),
+            )
             .localCheckpoint()
         )
-        # the superseded alive set is consumed (cc_labels precedent);
-        # keep round 1's input alive only if a caller shares it (it is
-        # derived fresh from edges here, so release unconditionally)
-        from smile_spark.session import unpersist_checkpoint
-
-        unpersist_checkpoint(alive)
-        n_now = nxt.count()
-        dropped = n_prev - n_now
-        rows.append((r, dropped, n_now))
-        alive, n_prev = nxt, n_now
-        if dropped == 0:
+        # ONE driver action per round: the checkpoint materialization
+        # doubles as the survivor count (new_deg excludes the dropped
+        # set by construction)
+        n_now = new_deg.count()
+        n_drop = n_prev - n_now
+        rows.append((r, n_drop, n_now))
+        # superseded state is consumed (cc_labels precedent)
+        unpersist_checkpoint(deg)
+        deg, n_prev = new_deg, n_now
+        if n_drop == 0:
             # converged: every later round deterministically drops 0 —
             # emit the remaining profile rows as literals instead of
-            # running no-op semi-join rounds (driver sees counts only,
-            # never data; the fixed-budget output contract is unchanged)
+            # running no-op rounds (driver sees counts only, never
+            # data; the fixed-budget output contract is unchanged)
             rows.extend(
                 (rr, 0, n_now) for rr in range(r + 1, KCORE_ROUNDS + 1)
             )
             break
     # the returned profile is driver-built from the counted rows, so
-    # the last alive set and the per-call edge materialization are
+    # the degree state and the per-call edge materialization are
     # unreachable yet persisted — release both instead of leaking one
     # frame pair per invocation (ADVICE r11 #3)
-    from smile_spark.session import unpersist_checkpoint
-
-    unpersist_checkpoint(alive)
+    unpersist_checkpoint(deg)
     unpersist_checkpoint(edges)
     return spark.createDataFrame(
         rows, "round bigint, n_dropped bigint, n_alive bigint"
