@@ -1267,9 +1267,7 @@ def setsim_join_frame(
     the id semi-join and the verify join) — used by the plan audit.
     """
     if hash_tokens is None:
-        hash_tokens = str(
-            docs.sparkSession.conf.get("spark.smile.setsim.tokenHash", "true")
-        ).lower() == "true"
+        hash_tokens = _setsim_hash_conf(docs.sparkSession)
     # this invocation's checkpointed stages; released when the
     # RETURNED frame is garbage-collected (see _setsim_release_group)
     group: list[DataFrame] = []
@@ -1753,9 +1751,7 @@ def setsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smile_spark.session import release_checkpoints_on_gc
 
     docs = table(spark, sf_dir, "documents")
-    hash_tokens = str(
-        spark.conf.get("spark.smile.setsim.tokenHash", "true")
-    ).lower() == "true"
+    hash_tokens = _setsim_hash_conf(spark)
     group: list[DataFrame] = []
     raw = docs.select(
         "doc_id",
@@ -2170,6 +2166,14 @@ def setsim_incremental_indexed(
         .localCheckpoint()
     )
     group.append(cand)
+    # toks fed the result only through membership and cand — both now
+    # materialized — so its blocks are unreachable from the output
+    # plan; release them eagerly (the kcore/bfs discipline) instead of
+    # holding them until the caller drops the result frame
+    from smile_spark.session import unpersist_checkpoint
+
+    group.remove(toks)
+    unpersist_checkpoint(toks)
     # candidate-bounded verify: probe rep arrays come from the already
     # CHECKPOINTED membership table (never a second collect_set
     # aggregate over the increment), base arrays from the persisted
@@ -2870,9 +2874,7 @@ def duplicate_set_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row aggregate — strictly cheaper than any join it plans for.
     """
     docs = table(spark, sf_dir, "documents")
-    hash_tokens = str(
-        spark.conf.get("spark.smile.setsim.tokenHash", "true")
-    ).lower() == "true"
+    hash_tokens = _setsim_hash_conf(spark)
     raw = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )

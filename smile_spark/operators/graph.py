@@ -21,7 +21,6 @@ reference's one-page-pin-at-a-time loop
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -182,8 +181,10 @@ def graph_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     an order-insensitive, distributed comparison (no driver loop), the
     same shape at 60k rows and at 100 TB.
     """
+    from smile_spark.session import scratch_dir
+
     e = edges(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="smile_graph_check_")
+    out_dir = scratch_dir("smile_graph_check_")
     e.write.mode("overwrite").parquet(out_dir)
     persisted = spark.read.parquet(out_dir)
     mismatches = (

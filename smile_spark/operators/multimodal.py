@@ -212,8 +212,9 @@ AUD_P3_BASE, AUD_P3_MOD = 29, 32
 AUD_A1_BASE, AUD_A1_STEP = 9000, 125  # A1 = 9000 + 125*(c % 4)
 AUD_A2, AUD_A3 = 6000, 4000
 AUD_RES_MOD = 64  # residual = (17d + 13j) % 64 - 32
-# worst case |s| = (9000+375) + 6000 + 4000 + 31 = 19406 < 32767: the
-# int16 encode never clips, so the closed form is exact
+# worst case |s| = (9000+375) + 6000 + 4000 + 32 = 19407 < 32768 (the
+# residual spans [-32, 31], so the negative side dominates): the int16
+# encode never clips, so the closed form is exact
 
 
 def _aud_sample(doc_id: int, j):
@@ -874,29 +875,34 @@ def image_dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(hash_batch, DHASH_SCHEMA)
 
 
-# candidate pairs one reducer should shoulder for the hottest
-# (band, val) bucket — the setsim sizing rule (dedup.py) ported to the
-# perceptual band join.  A real crawl is full of near-constant images
-# (flat thumbnails, solid placeholders) whose dHashes collapse onto a
-# handful of band values; a symmetric bucket of H docs emits ~H^2/2
-# candidate pairs into ONE task unsalted (output amplification AQE's
-# skew split cannot see — the INPUT partitions are tiny).
-DHASH_PAIRS_PER_TASK = 500_000
-DHASH_MAX_SALTS = 64
+# The hottest (band, val) bucket sizes the salt factor through the
+# SAME rule as the setsim prefix join (a real crawl is full of
+# near-constant images — flat thumbnails, solid placeholders — whose
+# dHashes collapse onto a handful of band values; a symmetric bucket
+# of H docs emits ~H^2/2 candidate pairs into ONE task unsalted,
+# output amplification AQE's skew split cannot see).  The per-task
+# bound and the replication cap are dedup.py's — ONE tuning point
+# (the 64-salt cap encodes the measured over-salting blowup there).
 
 
 def _dhash_n_salts(
     hot_bucket: int,
-    pairs_per_task: int = DHASH_PAIRS_PER_TASK,
-    cap: int = DHASH_MAX_SALTS,
+    pairs_per_task: int | None = None,
+    cap: int | None = None,
 ) -> int:
     """Salt factor from the OBSERVED hottest (band, val) bucket's doc
     count: a symmetric bucket of H docs produces ~H^2/2 candidate
-    pairs, which the join must spread so no task exceeds
-    ``pairs_per_task``.  1 for uniform corpora (no replication
-    overhead), capped so the replicated side stays bounded."""
-    return max(
-        1, min(cap, -(-(hot_bucket * hot_bucket // 2) // pairs_per_task))
+    pairs — delegated to the shared setsim sizing rule."""
+    from smile_spark.operators.dedup import (
+        SETSIM_MAX_SALTS,
+        SETSIM_PAIRS_PER_TASK,
+        _setsim_n_salts_pairs,
+    )
+
+    return _setsim_n_salts_pairs(
+        hot_bucket * hot_bucket // 2,
+        SETSIM_PAIRS_PER_TASK if pairs_per_task is None else pairs_per_task,
+        SETSIM_MAX_SALTS if cap is None else cap,
     )
 
 

@@ -136,11 +136,11 @@ _ROLLUP_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _rollup_path(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+    from smile_spark.session import scratch_dir
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ROLLUP_CACHE:
-        path = tempfile.mkdtemp(prefix="smile_hypertable_")
+        path = scratch_dir("smile_hypertable_")
         rollup_build(spark, sf_dir, path)
         _ROLLUP_CACHE[key] = path
     return _ROLLUP_CACHE[key]

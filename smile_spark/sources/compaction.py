@@ -63,14 +63,15 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str):
     """
     import math
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from smile_spark.tables import table
 
+    from smile_spark.session import scratch_dir
+
     docs = table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="smile_compact_")
+    base = scratch_dir("smile_compact_")
     src = os.path.join(base, "small")
     out = os.path.join(base, "compacted")
     docs.repartition(32).write.mode("overwrite").parquet(src)

@@ -85,14 +85,15 @@ def incremental_ingest_certificate(spark: SparkSession, sf_dir: str):
     only_rt); the oracle pins 3 / 3 / the events row count / 0 / 0 /
     0.
     """
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from smile_spark.tables import table
 
+    from smile_spark.session import scratch_dir
+
     ev = table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="smile_incr_")
+    base = scratch_dir("smile_incr_")
     landing = os.path.join(base, "landing")
     manifest = os.path.join(base, "manifest.json")
     parts = []

@@ -42,7 +42,6 @@ def read_event_stream(
     RESTART must re-read the same directory, not a fresh tempdir.
     """
     import os
-    import tempfile
 
     # Defensive: the caller may hand us a session built without our
     # factory (the driver does); this conf is runtime-settable and
@@ -53,7 +52,9 @@ def read_event_stream(
         pass
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     if stage_dir is None:
-        stage = tempfile.mkdtemp(prefix="smile_stream_")
+        from smile_spark.session import scratch_dir
+
+        stage = scratch_dir("smile_stream_")
     else:
         stage = stage_dir
         os.makedirs(stage, exist_ok=True)
