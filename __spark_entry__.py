@@ -50,26 +50,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
     insertion order.  Round-12 window (exactly 50), per the r11
-    VERDICT's next-round #1: (1) the THREE r12 additions
+    VERDICT's next-round #1: (1) the FOUR r12 additions
     (audio_fingerprint_dedup, setsim_incremental_indexed,
-    video_dhash_tolerant); (2) the r11 LATE addition
-    image_dhash_clusters — the round's only verification debt;
-    (3) the three r07-green entries that slipped the r11 window
-    (winsorize_prices, bucketed_join_revenue, copurchase_pairs);
-    (4) the first 43 of the 50 r08-verified entries
-    (streaming_dedup_agreement .. containment_topk) — this block
-    includes multimodal_audio_chunks, whose oracle changed with the
-    r12 square-tone WAV synthesis and so gets re-verified in-window.
-    Three r12 additions + image_dhash_clusters exceed the window by
-    exactly SEVEN r08 entries, which slip to r13:
-    golden_part_records, shortest_path_route, hashjoin_agg, bfs,
-    simhash_pairs, ngram_jaccard_topk, text_stats.  After this window
-    completes, no registered entry's newest verdict predates r08
-    except those seven (r08-verified, so nothing predates r08 at
-    all) — and multimodal_decode_audio (r10 block) carries the only
-    changed-oracle-without-driver-reverify debt (locally verified at
-    two SFs).
-    r13 NOTE: rotate (a) any r13 additions first, then (b) the seven
+    video_dhash_tolerant, audio_fingerprint_clusters); (2) the r11
+    LATE addition image_dhash_clusters — the round's only
+    verification debt; (3) the three r07-green entries that slipped
+    the r11 window (winsorize_prices, bucketed_join_revenue,
+    copurchase_pairs); (4) the first 42 of the 50 r08-verified
+    entries (streaming_dedup_agreement .. ann_ivf_indexed) — this
+    block includes multimodal_audio_chunks, whose oracle changed with
+    the r12 square-tone WAV synthesis and so gets re-verified
+    in-window.  Four r12 additions + image_dhash_clusters exceed the
+    window by exactly EIGHT r08 entries, which slip to r13:
+    containment_topk, golden_part_records, shortest_path_route,
+    hashjoin_agg, bfs, simhash_pairs, ngram_jaccard_topk, text_stats.
+    After this window completes, no registered entry's newest verdict
+    predates r08 — and multimodal_decode_audio (r10 block) carries
+    the only changed-oracle-without-driver-reverify debt (locally
+    verified at two SFs).
+    r13 NOTE: rotate (a) any r13 additions first, then (b) the eight
     slipped r08 entries above, then (c) multimodal_decode_audio (its
     oracle changed in r12), then (d) the r09-verified block
     (nearest_centroid_eval ..); the r10 and r11 blocks rotate last.
@@ -79,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_dedup": M.audio_fingerprint_dedup,
         "setsim_incremental_indexed": D.setsim_incremental_indexed,
         "video_dhash_tolerant": M.video_dhash_tolerant,
+        "audio_fingerprint_clusters": M.audio_fingerprint_clusters,
         # --- (2) the r11 LATE addition (two-SF-verified locally,
         # never driver-verified; VERDICT r11 next-round #1) ---
         "image_dhash_clusters": M.image_dhash_clusters,
@@ -130,14 +130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_stats": M.multimodal_frame_stats,
         "winsorize_prices_approx": AN.winsorize_prices_approx,
         "ann_ivf_indexed": S.ann_ivf_indexed,
-        "containment_topk": D.containment_topk,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round (see the r13 NOTE in the docstring above for the next
         # rotation).
         # ------------------------------------------------------------------
-        # --- the SEVEN r08-verified entries that slipped out of the
+        # --- the EIGHT r08-verified entries that slipped out of the
         # r12 window (first into r13 after any r13 additions) ---
+        "containment_topk": D.containment_topk,
         "golden_part_records": P.golden_part_records,
         "shortest_path_route": G.shortest_path_route,
         "hashjoin_agg": R.hashjoin_agg,
@@ -700,4 +700,8 @@ def oracle_sql() -> dict[str, str]:
         # Hamming-tolerant video rung on the hi-res fixture subset;
         # oracle verifies ALL cross-video frame pairs un-banded
         "video_dhash_tolerant": M.VIDEO_DHASH_TOLERANT_SQL,
+        # audio pairs -> clusters -> keep, the image-rung ladder
+        # completed for audio; oracle replays cc as a recursive
+        # min-reachability CTE over the closed-form pair set
+        "audio_fingerprint_clusters": M.AUDIO_FINGERPRINT_CLUSTERS_SQL,
     }

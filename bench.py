@@ -218,6 +218,21 @@ def main() -> None:
             round(time.perf_counter() - t0, 4)
         )
 
+    # Same contract for the audio rung's memoized pair table:
+    # audio_fingerprint_dedup and audio_fingerprint_clusters read the
+    # memo; price the cold decode+banding+verify chain here.
+    for _ in range(2 if _build_wanted("audio_pairs_build") else 0):
+        _mm.clear_audio_cache()
+        t0 = time.perf_counter()
+        try:
+            _force(_mm.audio_fingerprint_dedup(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["audio_pairs_build"] = f"{type(exc).__name__}: {exc}"[:500]
+            break
+        samples.setdefault("audio_pairs_build", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
     # Cold build of the persisted incremental-dedup base index
     # (VERDICT r11 #5): setsim_incremental_indexed probes bucketed
     # tables built once per application — price the corpus-linear

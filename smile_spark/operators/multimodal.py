@@ -1136,6 +1136,27 @@ def audio_fingerprint_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(hash_batch, DHASH_SCHEMA)
 
 
+# Verified audio pair tables memoized per (application, sf_dir) — the
+# image rung's contract: the pair table is the persisted artifact,
+# consumed by audio_fingerprint_clusters and any repeat of the query;
+# the bench prices the cold build under ``audio_pairs_build``.
+_AUDIO_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_AUDIO_CHECKPOINTS: list[DataFrame] = []
+
+
+def clear_audio_cache() -> None:
+    """Drop the audio pair-table memo AND free its checkpointed
+    blocks (the clear_dhash_cache contract).  Unpersisted checkpoints
+    cannot be recomputed — only call when no live consumer holds the
+    old pair table."""
+    from smile_spark.session import unpersist_checkpoint
+
+    for df in _AUDIO_CHECKPOINTS:
+        unpersist_checkpoint(df)
+    _AUDIO_CHECKPOINTS.clear()
+    _AUDIO_PAIR_CACHE.clear()
+
+
 def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate audio pairs — the audio rung of the
     dedup ladder (VERDICT r11 What's-missing #1): gradient fingerprint
@@ -1153,14 +1174,26 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within Hamming 3 at sf0.1, so the banded join's output is
     true-pair-proportional, never quadratic.
 
+    The VERIFIED pair table is memoized per (application, sf_dir)
+    under the image rung's contract — one decode+banding+verify pass
+    feeds every consumer (:func:`audio_fingerprint_clusters`, repeats
+    of this query); the fingerprint checkpoint is released once the
+    pairs materialize.
+
     Returns (a, b, hamming) with a < b and hamming <= DHASH_MAX_DISTANCE.
     """
-    from smile_spark.session import release_checkpoints_on_gc
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _AUDIO_PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from smile_spark.session import unpersist_checkpoint
 
     hashes = audio_fingerprint_frame(spark, sf_dir).localCheckpoint()
-    out = _dhash_pairs_from_hashes(hashes)
-    release_checkpoints_on_gc(out, [hashes])
-    return out
+    result = _dhash_pairs_from_hashes(hashes).localCheckpoint()
+    unpersist_checkpoint(hashes)
+    _AUDIO_CHECKPOINTS.append(result)
+    _AUDIO_PAIR_CACHE[key] = result
+    return result
 
 
 # The oracle recomputes the fingerprint in closed form from doc_id
@@ -1467,43 +1500,34 @@ VIDEO_DHASH_TOLERANT_SQL = (
 # --- near-dup image clusters + canonical keep list -------------------------
 
 
-def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-image dedup DECISION over the perceptual near-dup graph:
-    connected components of the :func:`image_dhash_dedup` pair set
-    (min-label pointer jumping, graph.cc_labels), cluster sizes, and
-    the survivorship rule — keep the min-doc_id member of each
-    cluster, keep every singleton.  This is the artifact a curation
-    run actually consumes ("which image files survive"), completing
-    pairs -> clusters -> keep for the multimodal rung exactly as
-    dedup_canonical does for MinHash-LSH text pairs.
+def _perceptual_keep_list(pairs: DataFrame, universe: DataFrame) -> DataFrame:
+    """Shared pairs -> clusters -> keep core of the perceptual dedup
+    family: connected components of the (a, b) pair set (min-label
+    pointer jumping, graph.cc_labels), cluster sizes, and the
+    survivorship rule — keep the min-doc_id member of each cluster,
+    keep every singleton.  ``universe`` is a one-column (doc_id) frame
+    naming every document of the modality, so singletons (no pair)
+    appear with cluster_size 1 and keep true.
 
-    Emits (doc_id, cluster_size, keep) for EVERY image-modality doc.
-
-    Scale: past the pair table every stage is dimension-sized
-    (components over near-dup nodes only, O(log D) pointer-jumping
-    rounds); the left joins back to the image dimension are id-keyed.
-    The oracle replays the clustering as a recursive min-reachability
-    CTE over the same closed-form pair set.
-    """
+    Emits (doc_id, cluster_size, keep) for EVERY universe doc.  Past
+    the pair table every stage is dimension-sized (components over
+    near-dup nodes only, O(log D) pointer-jumping rounds); the left
+    joins back to the modality dimension are id-keyed."""
     from smile_spark.operators.graph import cc_labels
 
-    base = image_dhash_dedup(spark, sf_dir)
-    pairs = base.select("a", "b")
-    und = pairs.select(
+    p = pairs.select("a", "b")
+    und = p.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).union(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     nodes = und.select(F.col("src").alias("id")).distinct()
     labels = cc_labels(nodes, und)
     sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    imgs = table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == 0
-    ).select("doc_id")
-    out = (
-        imgs.join(
+    return (
+        universe.join(
             labels.select(F.col("id").alias("doc_id"), "component"),
             "doc_id",
             "left",
@@ -1520,6 +1544,55 @@ def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+def _keep_list_sql(pairs_sql: str, universe_sql: str) -> str:
+    """DuckDB twin of :func:`_perceptual_keep_list`: the clustering is
+    replayed as a recursive min-reachability CTE over the same
+    closed-form pair set."""
+    return (
+        "WITH RECURSIVE pairs AS ("
+        f" SELECT a, b FROM ({pairs_sql}) p),"
+        " und AS (SELECT a, b FROM pairs"
+        "  UNION ALL SELECT b AS a, a AS b FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS id FROM und),"
+        " reach(id, r) AS ("
+        "  SELECT id, id FROM nodes"
+        "  UNION"
+        "  SELECT rr.id, u.b FROM reach rr JOIN und u ON u.a = rr.r),"
+        " comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id),"
+        " sizes AS (SELECT c, COUNT(*) AS cluster_size FROM comp"
+        "  GROUP BY c),"
+        f" uni AS ({universe_sql})"
+        " SELECT uni.doc_id,"
+        "  CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,"
+        "  (c.c IS NULL OR c.c = uni.doc_id) AS keep"
+        " FROM uni LEFT JOIN comp c ON c.id = uni.doc_id"
+        " LEFT JOIN sizes s ON s.c = c.c"
+    )
+
+
+def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image dedup DECISION over the perceptual near-dup graph:
+    connected components of the :func:`image_dhash_dedup` pair set
+    (min-label pointer jumping, graph.cc_labels), cluster sizes, and
+    the survivorship rule — keep the min-doc_id member of each
+    cluster, keep every singleton.  This is the artifact a curation
+    run actually consumes ("which image files survive"), completing
+    pairs -> clusters -> keep for the multimodal rung exactly as
+    dedup_canonical does for MinHash-LSH text pairs.
+
+    Emits (doc_id, cluster_size, keep) for EVERY image-modality doc.
+
+    Scale: see :func:`_perceptual_keep_list` (the shared core).  The
+    oracle replays the clustering as a recursive min-reachability
+    CTE over the same closed-form pair set.
+    """
+    base = image_dhash_dedup(spark, sf_dir)
+    imgs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id")
+    out = _perceptual_keep_list(base, imgs)
     # the memoized pair table must outlive every derived consumer —
     # tie it to the returned frame (the memo holds it too, but a
     # keep-alive documents the dependency and survives a future memo
@@ -1529,22 +1602,34 @@ def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_alive(out, base)
 
 
-IMAGE_DHASH_CLUSTERS_SQL = (
-    "WITH RECURSIVE pairs AS ("
-    f" SELECT a, b FROM ({IMAGE_DHASH_DEDUP_SQL}) p),"
-    " und AS (SELECT a, b FROM pairs"
-    "  UNION ALL SELECT b AS a, a AS b FROM pairs),"
-    " nodes AS (SELECT DISTINCT a AS id FROM und),"
-    " reach(id, r) AS ("
-    "  SELECT id, id FROM nodes"
-    "  UNION"
-    "  SELECT rr.id, u.b FROM reach rr JOIN und u ON u.a = rr.r),"
-    " comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id),"
-    " sizes AS (SELECT c, COUNT(*) AS cluster_size FROM comp GROUP BY c),"
-    " imgs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)"
-    " SELECT i.doc_id,"
-    "  CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,"
-    "  (c.c IS NULL OR c.c = i.doc_id) AS keep"
-    " FROM imgs i LEFT JOIN comp c ON c.id = i.doc_id"
-    " LEFT JOIN sizes s ON s.c = c.c"
+def audio_fingerprint_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-audio-doc dedup DECISION over the perceptual near-dup
+    graph — the audio rung's pairs -> clusters -> keep completion,
+    mirroring :func:`image_dhash_clusters` exactly: connected
+    components of the memoized :func:`audio_fingerprint_dedup` pair
+    set, cluster sizes, min-doc_id survivorship, singletons kept.
+
+    Emits (doc_id, cluster_size, keep) for EVERY audio-modality doc.
+    """
+    base = audio_fingerprint_dedup(spark, sf_dir)
+    auds = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    ).select("doc_id")
+    out = _perceptual_keep_list(base, auds)
+    from smile_spark.session import keep_alive
+
+    return keep_alive(out, base)
+
+
+AUDIO_FINGERPRINT_CLUSTERS_SQL = _keep_list_sql(
+    AUDIO_FINGERPRINT_DEDUP_SQL,
+    "SELECT doc_id FROM documents WHERE doc_id % 3 = 1",
+)
+
+
+IMAGE_DHASH_CLUSTERS_SQL = _keep_list_sql(
+    IMAGE_DHASH_DEDUP_SQL,
+    "SELECT doc_id FROM documents WHERE doc_id % 3 = 0",
 )

@@ -77,6 +77,7 @@ MEASURED = {
     "audio_fingerprint_dedup": 2,  # r12 measured (banded core, shared)
     "setsim_incremental_indexed": 3,  # r12 measured cold AND warm
     "video_dhash_tolerant": 2,  # r12 measured (banded core + doc agg)
+    "audio_fingerprint_clusters": 3,  # r12 measured (cc + size joins)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

@@ -145,6 +145,7 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # audio rung shares the image rung's banded core
         "image_dhash_dedup", "video_frame_dedup", "image_dhash_clusters",
         "audio_fingerprint_dedup", "video_dhash_tolerant",
+        "audio_fingerprint_clusters",
         # localCheckpoints toks/cand/arrays at plan time (the
         # setsim_join_frame checkpoint contract, probe-vs-base form);
         # the indexed form additionally writes its bucketed base index

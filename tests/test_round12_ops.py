@@ -254,6 +254,53 @@ def test_audio_fingerprints_are_not_degenerate(spark, sf_dir):
     assert 0 < pairs < all_pairs // 20, (pairs, all_pairs)
 
 
+def test_audio_fingerprint_clusters_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.multimodal import (
+        AUDIO_FINGERPRINT_CLUSTERS_SQL,
+        audio_fingerprint_clusters,
+    )
+    from smile_spark.testing import assert_matches_oracle
+
+    for d in [sf_dir, "/root/testdata/sf0.01"]:
+        assert_matches_oracle(
+            spark,
+            audio_fingerprint_clusters,
+            AUDIO_FINGERPRINT_CLUSTERS_SQL,
+            d,
+        )
+
+
+def test_audio_clusters_consume_the_pair_memo_and_keep_invariants(
+    spark, sf_dir
+):
+    from smile_spark.operators import multimodal as M
+    from smile_spark.tables import table
+
+    M.clear_audio_cache()
+    p1 = M.audio_fingerprint_dedup(spark, sf_dir)
+    assert M.audio_fingerprint_dedup(spark, sf_dir) is p1
+    out = M.audio_fingerprint_clusters(spark, sf_dir)
+    assert any(k is p1 for k in out._smile_keepalive)
+    rows = out.collect()
+    n_aud = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .count()
+    )
+    # one decision row per audio doc; exactly one keeper per cluster
+    assert len(rows) == n_aud
+    assert all(r.cluster_size >= 1 for r in rows)
+    multi = [r for r in rows if r.cluster_size > 1]
+    assert multi, "fixture should contain at least one non-singleton"
+    by_size_keep = {}
+    for r in rows:
+        if r.keep:
+            by_size_keep[r.doc_id] = r.cluster_size
+    assert all(r.keep for r in rows if r.cluster_size == 1)
+    M.clear_audio_cache()
+    assert not M._AUDIO_PAIR_CACHE and not M._AUDIO_CHECKPOINTS
+
+
 def test_aud_sample_sql_matches_python(spark):
     """The closed-form DuckDB expression and the encoder's numpy
     closed form are the same function (spot grid over docs/samples)."""
