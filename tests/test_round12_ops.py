@@ -301,6 +301,65 @@ def test_audio_clusters_consume_the_pair_memo_and_keep_invariants(
     assert not M._AUDIO_PAIR_CACHE and not M._AUDIO_CHECKPOINTS
 
 
+def test_perceptual_keep_list_equals_brute_force_union_find(spark):
+    """The shared pairs -> clusters -> keep core (both modalities ride
+    it) must match a pure-python union-find on random pair sets:
+    component membership, cluster sizes, min-id survivorship, and
+    singleton handling."""
+    import random
+
+    from smile_spark.operators.multimodal import _perceptual_keep_list
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        n = 40
+        universe = list(range(n))
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(universe, 2)))
+                for _ in range(rng.randint(5, 25))
+            }
+        )
+        # brute-force union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        touched = {x for p in pairs for x in p}
+        for x in universe:
+            comp.setdefault(find(x), []).append(x)
+        truth = {}
+        for members in comp.values():
+            size = len(members) if len(members) > 1 or (
+                members[0] in touched
+            ) else 1
+            keeper = min(members)
+            for m in members:
+                truth[m] = (size, m == keeper)
+        pdf = spark.createDataFrame(pairs, "a bigint, b bigint")
+        uni = spark.createDataFrame(
+            [(x,) for x in universe], "doc_id bigint"
+        )
+        got = {
+            r.doc_id: (r.cluster_size, r.keep)
+            for r in _perceptual_keep_list(pdf, uni).collect()
+        }
+        assert got == truth, (seed, {
+            k: (got.get(k), truth.get(k))
+            for k in universe
+            if got.get(k) != truth.get(k)
+        })
+
+
 def test_aud_sample_sql_matches_python(spark):
     """The closed-form DuckDB expression and the encoder's numpy
     closed form are the same function (spot grid over docs/samples)."""
