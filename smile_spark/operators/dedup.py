@@ -1953,6 +1953,21 @@ def _setsim_hash_conf(spark: SparkSession) -> bool:
 
 
 def _setsim_index_tables(sf_dir: str, hash_tokens: bool) -> dict[str, str]:
+    """Catalog names of the four bucketed index tables for one
+    (fixture dir, token-hash mode).
+
+    SINGLE-WRITER ASSUMPTION (ADVICE r12 #3): the tables (and their
+    warehouse directories) are catalog/warehouse-global per (sf_dir,
+    mode) while the ``_SETSIM_INDEX_READY`` memo is per-process — a
+    second concurrent application that decides to rebuild runs
+    ``drop_bucketed_table`` (which also rm -rf's the warehouse dir)
+    and can yank files out from under another application's in-flight
+    probe.  One application owns the warehouse at a time — the same
+    contract as the repo-wide bench-vs-pytest concurrency rule (both
+    clobber ``spark-warehouse``).  The sidecar adoption path (see
+    :func:`setsim_index_build`) narrows the exposure — a fresh
+    session that finds a valid sidecar never drops anything — but the
+    rebuild path remains single-writer."""
     from smile_spark.sources.bucketed import bucket_table_name
 
     suffix = "h1" if hash_tokens else "h0"
@@ -1962,12 +1977,26 @@ def _setsim_index_tables(sf_dir: str, hash_tokens: bool) -> dict[str, str]:
     }
 
 
+# sidecar files this process wrote — removed by clear_setsim_index_cache
+# so the bench's cold loop forces the full drop-and-rebuild path
+# instead of adopting the index it just built
+_SETSIM_SIDECARS: set[str] = set()
+
+
 def clear_setsim_index_cache() -> None:
-    """Forget the per-application index memo so the next probe (or the
-    bench's cold ``setsim_index_build`` loop) rebuilds the bucketed
-    tables; the build overwrites them in place (drop + saveAsTable),
-    so no block storage leaks — nothing to unpersist."""
+    """Forget the per-application index memo AND drop the adoption
+    sidecars this process wrote, so the next probe (or the bench's
+    cold ``setsim_index_build`` loop) runs the full drop-and-rebuild
+    path — without the sidecar removal, the rebuild would ADOPT the
+    tables it just wrote and the cold entry would price a no-op.  The
+    build overwrites the tables in place (drop + saveAsTable), so no
+    block storage leaks — nothing to unpersist."""
+    from smile_spark.sources.bucketed import remove_sidecar_file
+
     _SETSIM_INDEX_READY.clear()
+    for path in list(_SETSIM_SIDECARS):
+        remove_sidecar_file(path)
+        _SETSIM_SIDECARS.discard(path)
 
 
 def setsim_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
@@ -1984,12 +2013,24 @@ def setsim_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     similarity.  The token-hash mode is baked into the table names, so
     flipping ``spark.smile.setsim.tokenHash`` mid-session can never
     serve an index built under the other tokenization.
+
+    A session whose per-process memo is empty first tries to ADOPT
+    the existing tables (VERDICT r12 next-round #5): a sidecar JSON
+    written after the tables records the base-block row count and the
+    build parameters, and when it matches what this build would
+    produce — and the catalog still knows all four tables — the
+    corpus-linear pass is skipped entirely.  A stale sidecar (the
+    snapshot changed) or missing tables fall through to the
+    drop-and-rebuild path, which stays behind
+    :func:`clear_setsim_index_cache` for the bench's cold pricing.
     """
     from pyspark.sql.window import Window
 
     from smile_spark.sources.bucketed import (
         drop_bucketed_table,
+        sidecar_adoptable,
         write_bucketed,
+        write_sidecar,
     )
 
     hash_tokens = _setsim_hash_conf(spark)
@@ -2000,6 +2041,28 @@ def setsim_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     docs = table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % SETSIM_INC_MOD != 0
     )
+    # snapshot fingerprint: base-block row count + every parameter the
+    # persisted tables depend on (one cheap column-pruned count); the
+    # sidecar name is (mode, sf_dir)-scoped exactly like the tables
+    from smile_spark.sources.bucketed import bucket_table_name
+
+    sidecar_name = bucket_table_name(
+        f"setsim_idx_{'h1' if hash_tokens else 'h0'}", sf_dir
+    )
+    expected = {
+        "base_rows": docs.count(),
+        "hash_tokens": hash_tokens,
+        "n_buckets": SETSIM_INDEX_BUCKETS,
+        "tau": [SETSIM_TAU_NUM, SETSIM_TAU_DEN],
+        "inc_mod": SETSIM_INC_MOD,
+        "sf_dir": sf_dir,
+        "tables": sorted(tables.values()),
+    }
+    if sidecar_adoptable(
+        spark, sidecar_name, expected, list(tables.values())
+    ):
+        _SETSIM_INDEX_READY.add(key)
+        return tables
     raw = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -2043,32 +2106,42 @@ def setsim_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     prefix = ranked.filter(
         F.col("pos") <= F.col("nb") - ceil_tau_n + 1
     ).select(F.col("doc_id").alias("rb"), "tok", "nb")
-    for tbl in tables.values():
-        drop_bucketed_table(spark, tbl)
-    write_bucketed(
-        prefix, tables["prefix"], "tok", n_buckets=SETSIM_INDEX_BUCKETS
-    )
-    write_bucketed(
-        dfreq, tables["df"], "tok", n_buckets=SETSIM_INDEX_BUCKETS
-    )
-    write_bucketed(
-        reps.select("rb", "ts", "nb"),
-        tables["reps"],
-        "rb",
-        n_buckets=SETSIM_INDEX_BUCKETS,
-    )
-    write_bucketed(
-        membership.select("rb", "b"),
-        tables["members"],
-        "rb",
-        n_buckets=SETSIM_INDEX_BUCKETS,
-    )
     # the bucketed tables are the persisted artifact; the build-time
-    # checkpoints are consumed and released immediately
+    # checkpoints are consumed and released in the finally block even
+    # when a drop/write throws — otherwise a failed build pins both
+    # checkpoints for the application lifetime and every retry leaks
+    # again (ADVICE r12 #2)
     from smile_spark.session import unpersist_checkpoint
 
-    unpersist_checkpoint(toks)
-    unpersist_checkpoint(membership)
+    try:
+        for tbl in tables.values():
+            drop_bucketed_table(spark, tbl)
+        write_bucketed(
+            prefix, tables["prefix"], "tok", n_buckets=SETSIM_INDEX_BUCKETS
+        )
+        write_bucketed(
+            dfreq, tables["df"], "tok", n_buckets=SETSIM_INDEX_BUCKETS
+        )
+        write_bucketed(
+            reps.select("rb", "ts", "nb"),
+            tables["reps"],
+            "rb",
+            n_buckets=SETSIM_INDEX_BUCKETS,
+        )
+        write_bucketed(
+            membership.select("rb", "b"),
+            tables["members"],
+            "rb",
+            n_buckets=SETSIM_INDEX_BUCKETS,
+        )
+        # tables are complete — record the snapshot fingerprint so a
+        # later session (on a metastore-backed catalog) can adopt them
+        _SETSIM_SIDECARS.add(
+            write_sidecar(spark, sidecar_name, expected)
+        )
+    finally:
+        unpersist_checkpoint(toks)
+        unpersist_checkpoint(membership)
     _SETSIM_INDEX_READY.add(key)
     return tables
 

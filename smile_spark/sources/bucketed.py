@@ -95,6 +95,90 @@ def drop_bucketed_table(spark: SparkSession, tbl: str) -> None:
     shutil.rmtree(loc, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Index-adoption sidecars (VERDICT r12 next-round #5)
+# ---------------------------------------------------------------------------
+
+# A bucketed-index BUILD is a corpus-linear job; the tables it writes
+# are warehouse-global per corpus snapshot.  A sidecar JSON next to
+# the tables records the snapshot fingerprint (row count + build
+# parameters): a session whose per-process READY memo is empty can
+# ADOPT the existing tables when (a) the sidecar matches what it
+# would build and (b) the catalog still knows the tables — instead of
+# unconditionally dropping and rewriting them.  That turns "once per
+# session" into the true "once per corpus snapshot" nightly-index
+# semantics.  On the in-memory catalog (local test sessions) a fresh
+# APPLICATION never sees the old catalog entries, so adoption only
+# fires within an application or on a metastore-backed cluster — the
+# production case.
+
+
+def _warehouse_dir(spark: SparkSession) -> str:
+    import os
+
+    return spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+
+
+def sidecar_path(spark: SparkSession, name: str) -> str:
+    import os
+
+    return os.path.join(_warehouse_dir(spark), f"{name}.sidecar.json")
+
+
+def write_sidecar(spark: SparkSession, name: str, payload: dict) -> str:
+    """Persist an index fingerprint next to its warehouse tables.
+    Written AFTER the tables: a crash between table writes and the
+    sidecar leaves no sidecar, so the next session rebuilds (never
+    adopts a half-written index)."""
+    import json
+    import os
+
+    path = sidecar_path(spark, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(payload, fh, sort_keys=True)
+    return path
+
+
+def read_sidecar(spark: SparkSession, name: str) -> dict | None:
+    import json
+    import os
+
+    path = sidecar_path(spark, name)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def remove_sidecar_file(path: str) -> None:
+    import os
+
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+
+
+def sidecar_adoptable(
+    spark: SparkSession,
+    name: str,
+    expected: dict,
+    tables: "list[str] | tuple[str, ...]",
+) -> bool:
+    """True iff the persisted sidecar matches ``expected`` exactly AND
+    every index table is still known to the catalog (a matching
+    sidecar over dropped tables must rebuild, not adopt)."""
+    if read_sidecar(spark, name) != expected:
+        return False
+    return all(spark.catalog.tableExists(t) for t in tables)
+
+
 def _ensure_bucketed_orders_customer(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str]:
