@@ -49,94 +49,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-12 window (exactly 50), per the r11
-    VERDICT's next-round #1: (1) the FOUR r12 additions
-    (audio_fingerprint_dedup, setsim_incremental_indexed,
-    video_dhash_tolerant, audio_fingerprint_clusters); (2) the r11
-    LATE addition image_dhash_clusters — the round's only
-    verification debt; (3) the three r07-green entries that slipped
-    the r11 window (winsorize_prices, bucketed_join_revenue,
-    copurchase_pairs); (4) the first 42 of the 50 r08-verified
-    entries (streaming_dedup_agreement .. ann_ivf_indexed) — this
-    block includes multimodal_audio_chunks, whose oracle changed with
-    the r12 square-tone WAV synthesis and so gets re-verified
-    in-window.  Four r12 additions + image_dhash_clusters exceed the
-    window by exactly EIGHT r08 entries, which slip to r13:
-    containment_topk, golden_part_records, shortest_path_route,
-    hashjoin_agg, bfs, simhash_pairs, ngram_jaccard_topk, text_stats.
+    insertion order.  Round-13 window (exactly 50), per the r12
+    VERDICT's next-round #1: (1) the THREE r13 additions
+    (ann_pq_indexed, image_dhash_incremental,
+    crossmodal_image_video_dedup); (2) the EIGHT r08-verified entries
+    that slipped the r12 window (containment_topk,
+    golden_part_records, shortest_path_route, hashjoin_agg, bfs,
+    simhash_pairs, ngram_jaccard_topk, text_stats); (3)
+    multimodal_decode_audio — its oracle changed with the r12
+    square-tone WAV synthesis and this re-verification clears the
+    round's only carried debt; (4) the first 38 of the 50
+    r09-verified entries (nearest_centroid_eval .. window_first_last).
     After this window completes, no registered entry's newest verdict
-    predates r08 — and multimodal_decode_audio (r10 block) carries
-    the only changed-oracle-without-driver-reverify debt (locally
-    verified at two SFs).
-    r13 NOTE: rotate (a) any r13 additions first, then (b) the eight
-    slipped r08 entries above, then (c) multimodal_decode_audio (its
-    oracle changed in r12), then (d) the r09-verified block
-    (nearest_centroid_eval ..); the r10 and r11 blocks rotate last.
+    predates r09 and no changed-oracle debt remains.  The TWELVE
+    r09-verified entries the additions displaced slip to r14:
+    conditional_aggs, bitwise_functions, try_cast_handling,
+    date_parts, streaming_state_agreement, srp_lsh_topk,
+    sliding_distinct_users, bigram_lm_fluency, session_path_topk,
+    embedding_outliers, streaming_window_agreement,
+    setsim_join_prefix.
+    r14 NOTE: rotate (a) any r14 additions first, then (b) the
+    twelve slipped r09 entries named above (they sit directly after
+    the window in insertion order), then (c) the r10-verified block
+    (semantic_dedup ..); the r11 and r12 blocks rotate last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- (1) NEW in r12, never driver-verified ---
-        "audio_fingerprint_dedup": M.audio_fingerprint_dedup,
-        "setsim_incremental_indexed": D.setsim_incremental_indexed,
-        "video_dhash_tolerant": M.video_dhash_tolerant,
-        "audio_fingerprint_clusters": M.audio_fingerprint_clusters,
-        # --- (2) the r11 LATE addition (two-SF-verified locally,
-        # never driver-verified; VERDICT r11 next-round #1) ---
-        "image_dhash_clusters": M.image_dhash_clusters,
-        # --- (3) the three r07-green entries that slipped the r11
-        # window ---
-        "winsorize_prices": AN.winsorize_prices,
-        "bucketed_join_revenue": BK.bucketed_join_revenue,
-        "copurchase_pairs": R.copurchase_pairs,
-        # --- (4) the first 42 of the 50 r08-verified entries ---
-        "streaming_dedup_agreement": ST.streaming_dedup_agreement,
-        "ann_pq_topk": S.ann_pq_topk,
-        "link_prediction_aa": G.link_prediction_aa,
-        "lsh_band_planner": D.lsh_band_planner,
-        "label_propagation": G.label_propagation,
-        "rake_keyphrases": T.rake_keyphrases,
-        "graph_modularity": G.graph_modularity,
-        "streaming_join_agreement": ST.streaming_join_agreement,
-        "agg_stats": R.agg_stats,
-        "array_functions": AN.array_functions,
-        "asof_latest_order": A.asof_latest_order,
-        "casts_parse": R.casts_parse,
-        "corr_stats": AN.corr_stats,
-        "cube_summary": AN.cube_summary,
-        "dedup_exact": D.dedup_exact,
-        "graph_check": G.graph_check,
-        "join_variants": R.join_variants,
-        "json_functions": AN.json_functions,
-        "lead_lag_delta": AN.lead_lag_delta,
-        "map_functions": AN.map_functions,
-        "math_functions": AN.math_functions,
-        "minhash_signature": D.minhash_signature,
-        "percentiles": AN.percentiles,
-        "regex_functions": AN.regex_functions,
-        "regional_revenue": R.regional_revenue,
-        "rollup_summary": R.rollup_summary,
-        "sampling_hash": AN.sampling_hash,
-        "scan_filter_count": R.scan_filter_count,
-        "set_ops": R.set_ops,
-        "simhash": D.simhash,
-        "stratified_sample": AN.stratified_sample,
-        "string_functions": R.string_functions,
-        "top_customers": R.top_customers,
-        "dedup_minhash_lsh": D.dedup_minhash_lsh,
-        "dedup_canonical": P.dedup_canonical,
-        "multimodal_meta": M.multimodal_meta,
-        "multimodal_frames": M.multimodal_frames,
-        "multimodal_resize": M.multimodal_resize,
-        "multimodal_audio_chunks": M.multimodal_audio_chunks,
-        "multimodal_frame_stats": M.multimodal_frame_stats,
-        "winsorize_prices_approx": AN.winsorize_prices_approx,
-        "ann_ivf_indexed": S.ann_ivf_indexed,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round (see the r13 NOTE in the docstring above for the next
-        # rotation).
-        # ------------------------------------------------------------------
-        # --- the EIGHT r08-verified entries that slipped out of the
-        # r12 window (first into r13 after any r13 additions) ---
+        # --- (1) NEW in r13, never driver-verified ---
+        "ann_pq_indexed": S.ann_pq_indexed,
+        "image_dhash_incremental": M.image_dhash_incremental,
+        "crossmodal_image_video_dedup": M.crossmodal_image_video_dedup,
+        # --- (2) the EIGHT r08-verified entries that slipped the
+        # r12 window (VERDICT r12 next-round #1) ---
         "containment_topk": D.containment_topk,
         "golden_part_records": P.golden_part_records,
         "shortest_path_route": G.shortest_path_route,
@@ -145,8 +88,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": D.simhash_pairs,
         "ngram_jaccard_topk": D.ngram_jaccard_topk,
         "text_stats": T.text_stats,
-        # --- r09-verified entries (the r09 window; rotate last) ---
-        # (1) the EIGHT r08 additions, verified r09
+        # --- (3) changed-oracle re-verify: its oracle was rewritten
+        # in r12 (square-tone WAV synthesis); this clears the round's
+        # only carried debt ---
+        "multimodal_decode_audio": M.multimodal_decode_audio,
+        # --- (4) the first 38 of the 50 r09-verified entries ---
         "nearest_centroid_eval": S.nearest_centroid_eval,
         "ann_recall_eval": S.ann_recall_eval,
         "exact_ngram_dedup": D.exact_ngram_dedup,
@@ -155,7 +101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_screen": Q.benford_screen,
         "hard_negative_mining": S.hard_negative_mining,
         "group_split_no_leakage": P.group_split_no_leakage,
-        # (2) the 34 r05-green entries, verified r09
         "token_count": T.token_count,
         "lang_id": T.lang_id,
         "fingerprint": T.fingerprint,
@@ -186,15 +131,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_sum": AN.range_frame_sum,
         "string_agg_priorities": R.string_agg_priorities,
         "window_first_last": AN.window_first_last,
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round (see the r14 NOTE in the docstring above for the next
+        # rotation).
+        # ------------------------------------------------------------------
+        # --- the TWELVE r09-verified entries that slipped out of the
+        # r13 window (first into r14 after any r14 additions) ---
         "conditional_aggs": AN.conditional_aggs,
         "bitwise_functions": AN.bitwise_functions,
         "try_cast_handling": R.try_cast_handling,
         "date_parts": AN.date_parts,
-        # (3) eight r06-green entries verified r09: the seven oldest
-        # plus setsim_join_prefix, rotated ahead of its unmodified r06
-        # peers in anticipation of the prefix-join rework (the 64-bit
-        # token hashing itself shipped in r10, not r09 — the r09 note
-        # claiming otherwise was wrong; VERDICT r09 What's-wrong #1)
         "streaming_state_agreement": ST.streaming_state_agreement,
         "srp_lsh_topk": S.srp_lsh_topk,
         "sliding_distinct_users": W.sliding_distinct_users,
@@ -203,22 +150,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": S.embedding_outliers,
         "streaming_window_agreement": ST.streaming_window_agreement,
         "setsim_join_prefix": D.setsim_join_prefix,
-        # --- r10-verified entries (the r10 window; rotate last) ---
-        # (1) the six r10 additions, verified r10
+        # --- r10-verified entries (the r10 window minus
+        # multimodal_decode_audio, which moved into the r13 window;
+        # rotate after the slipped r09 block) ---
         "semantic_dedup": D.semantic_dedup,
         "setsim_hash_agreement": D.setsim_hash_agreement,
         "ngram_hash_agreement": D.ngram_hash_agreement,
         "join_skew_profile": Q.join_skew_profile,
         "duplicate_set_groups": D.duplicate_set_groups,
         "pca_power_iteration": FT.pca_power_iteration,
-        # (2) the 42 r06-green entries, verified r10
         "jsonl_roundtrip": TF.jsonl_roundtrip,
         "compaction_roundtrip": CP.compaction_roundtrip,
         "incremental_ingest_certificate": IC.incremental_ingest_certificate,
         "schema_evolution_certificate": TF.schema_evolution_certificate,
         "personalized_pagerank": G.personalized_pagerank,
         "multimodal_decode_image": M.multimodal_decode_image,
-        "multimodal_decode_audio": M.multimodal_decode_audio,
         "multimodal_decode_video": M.multimodal_decode_video,
         "connected_components": G.connected_components,
         "token_entropy": T.token_entropy,
@@ -254,12 +200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster": AN.zorder_cluster,
         "interval_overlap_join": A.interval_overlap_join,
         "revenue_share": AN.revenue_share,
-        # (3) the two r07-green entries verified r10
         "revenue_concentration": AN.revenue_concentration,
         "degree_assortativity": G.degree_assortativity,
-        # --- r11-verified entries (the r11 window; rotate last): the
-        # five r11 additions, then the 45 long-green entries whose
-        # newest verdict is r11 ---
+        # --- r11-verified entries (the r11 window; rotate last) ---
         "image_dhash_dedup": M.image_dhash_dedup,
         "longest_repeat_profile": D.longest_repeat_profile,
         "video_frame_dedup": M.video_frame_dedup,
@@ -310,6 +253,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols_fit": FT.grouped_ols_fit,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "tfidf_top_terms": T.tfidf_top_terms,
+        # --- r12-verified entries (the r12 window; rotate last) ---
+        "audio_fingerprint_dedup": M.audio_fingerprint_dedup,
+        "setsim_incremental_indexed": D.setsim_incremental_indexed,
+        "video_dhash_tolerant": M.video_dhash_tolerant,
+        "audio_fingerprint_clusters": M.audio_fingerprint_clusters,
+        "image_dhash_clusters": M.image_dhash_clusters,
+        "winsorize_prices": AN.winsorize_prices,
+        "bucketed_join_revenue": BK.bucketed_join_revenue,
+        "copurchase_pairs": R.copurchase_pairs,
+        "streaming_dedup_agreement": ST.streaming_dedup_agreement,
+        "ann_pq_topk": S.ann_pq_topk,
+        "link_prediction_aa": G.link_prediction_aa,
+        "lsh_band_planner": D.lsh_band_planner,
+        "label_propagation": G.label_propagation,
+        "rake_keyphrases": T.rake_keyphrases,
+        "graph_modularity": G.graph_modularity,
+        "streaming_join_agreement": ST.streaming_join_agreement,
+        "agg_stats": R.agg_stats,
+        "array_functions": AN.array_functions,
+        "asof_latest_order": A.asof_latest_order,
+        "casts_parse": R.casts_parse,
+        "corr_stats": AN.corr_stats,
+        "cube_summary": AN.cube_summary,
+        "dedup_exact": D.dedup_exact,
+        "graph_check": G.graph_check,
+        "join_variants": R.join_variants,
+        "json_functions": AN.json_functions,
+        "lead_lag_delta": AN.lead_lag_delta,
+        "map_functions": AN.map_functions,
+        "math_functions": AN.math_functions,
+        "minhash_signature": D.minhash_signature,
+        "percentiles": AN.percentiles,
+        "regex_functions": AN.regex_functions,
+        "regional_revenue": R.regional_revenue,
+        "rollup_summary": R.rollup_summary,
+        "sampling_hash": AN.sampling_hash,
+        "scan_filter_count": R.scan_filter_count,
+        "set_ops": R.set_ops,
+        "simhash": D.simhash,
+        "stratified_sample": AN.stratified_sample,
+        "string_functions": R.string_functions,
+        "top_customers": R.top_customers,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_canonical": P.dedup_canonical,
+        "multimodal_meta": M.multimodal_meta,
+        "multimodal_frames": M.multimodal_frames,
+        "multimodal_resize": M.multimodal_resize,
+        "multimodal_audio_chunks": M.multimodal_audio_chunks,
+        "multimodal_frame_stats": M.multimodal_frame_stats,
+        "winsorize_prices_approx": AN.winsorize_prices_approx,
+        "ann_ivf_indexed": S.ann_ivf_indexed,
     }
     return q
 
@@ -579,6 +573,17 @@ def oracle_sql() -> dict[str, str]:
         # oracle-checkable while the retrieval stays approximate
         # (recall pinned in pytest)
         "ann_pq_topk": S.ann_pq_sql(),
+        # the persisted-index probe is result-identical to ann_pq_topk
+        # (same codebook rule, same codes, shared _pq_rank tail; also
+        # pinned by an agreement test), so it shares the oracle — the
+        # ann_ivf_indexed contract
+        "ann_pq_indexed": S.ann_pq_sql(),
+        # probe x base pairs verified un-banded in closed form (the
+        # image-rung oracle contract applied to the incremental path)
+        "image_dhash_incremental": M.IMAGE_DHASH_INCREMENTAL_SQL,
+        # every image x frame pair verified un-banded, aggregated per
+        # (image, video) pair
+        "crossmodal_image_video_dedup": M.CROSSMODAL_IMAGE_VIDEO_SQL,
         "containment_topk": D.CONTAINMENT_TOPK_SQL,
         "token_entropy": T.TOKEN_ENTROPY_SQL,
         "equi_depth_bins": AN.EQUI_DEPTH_BINS_SQL,

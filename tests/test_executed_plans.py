@@ -78,6 +78,12 @@ MEASURED = {
     "setsim_incremental_indexed": 3,  # r12 measured cold AND warm
     "video_dhash_tolerant": 2,  # r12 measured (banded core + doc agg)
     "audio_fingerprint_clusters": 3,  # r12 measured (cc + size joins)
+    "ann_pq_indexed": 1,  # r13 measured cold AND warm (probe: bucketed
+    #                       read + broadcast book, one agg exchange)
+    "image_dhash_incremental": 1,  # r13 measured cold AND warm
+    #                       (broadcast probe over bucketed index scan)
+    "crossmodal_image_video_dedup": 3,  # r13 measured (banded join +
+    #                       distinct + doc-pair agg)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

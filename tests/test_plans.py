@@ -151,6 +151,17 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # the indexed form additionally writes its bucketed base index
         # on first call (the ann_ivf_indexed eager-build precedent)
         "setsim_incremental", "setsim_incremental_indexed",
+        # writes its bucketed base band table on first call (the
+        # setsim_incremental_indexed eager-build precedent)
+        "image_dhash_incremental",
+        # collects its bounded codebook and writes the bucketed
+        # codes/book tables on first call (ann_pq_topk + indexed-build
+        # precedents combined)
+        "ann_pq_indexed",
+        # localCheckpoints both fingerprint tables and runs the salt
+        # probe aggregate at plan time (the image_dhash_dedup shape,
+        # asymmetric cross-modal form)
+        "crossmodal_image_video_dedup",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set

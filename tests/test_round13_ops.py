@@ -109,3 +109,168 @@ def test_setsim_index_build_failure_releases_checkpoints(
     monkeypatch.undo()
     D.clear_setsim_index_cache()
     D.setsim_index_build(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Persisted perceptual fingerprint index + incremental probe (VERDICT #2)
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_incremental_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.multimodal import (
+        IMAGE_DHASH_INCREMENTAL_SQL,
+        image_dhash_incremental,
+    )
+    from smile_spark.testing import assert_matches_oracle
+
+    for d in [sf_dir, "/root/testdata/sf0.01"]:
+        assert_matches_oracle(
+            spark,
+            image_dhash_incremental,
+            IMAGE_DHASH_INCREMENTAL_SQL,
+            d,
+        )
+
+
+def test_image_dhash_incremental_agrees_with_full_rebuild(spark, sf_dir):
+    """The incremental probe must emit EXACTLY the full pair table
+    restricted to (probe, base) pairs — the agreement contract the
+    r12 verdict prescribed."""
+    from smile_spark.operators.multimodal import (
+        DHASH_INC_MOD,
+        image_dhash_dedup,
+        image_dhash_incremental,
+    )
+
+    full = image_dhash_dedup(spark, sf_dir).collect()
+    restricted = set()
+    for r in full:
+        pa, pb = r.a % DHASH_INC_MOD == 0, r.b % DHASH_INC_MOD == 0
+        if pa and not pb:
+            restricted.add((r.a, r.b, r.hamming))
+        elif pb and not pa:
+            restricted.add((r.b, r.a, r.hamming))
+    inc = {
+        (r.a, r.b, r.hamming)
+        for r in image_dhash_incremental(spark, sf_dir).collect()
+    }
+    assert inc == restricted and inc
+
+
+def test_dhash_index_adoption_and_stale_sidecar(spark, sf_dir, monkeypatch):
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources import bucketed as BK
+
+    M.clear_dhash_index_cache()
+    tbl = M.dhash_index_build(spark, sf_dir)
+    # fresh 'session' (memo cleared, warehouse + catalog intact): adopt
+    M._DHASH_INDEX_READY.clear()
+    writes = []
+    real_write = BK.write_bucketed
+    monkeypatch.setattr(
+        BK,
+        "write_bucketed",
+        lambda *a, **k: (writes.append(a), real_write(*a, **k)),
+    )
+    assert M.dhash_index_build(spark, sf_dir) == tbl
+    assert writes == [], "adoption ran a rebuild job"
+    # stale sidecar: rebuild
+    path = BK.sidecar_path(spark, tbl)
+    with open(path) as fh:
+        payload = json.load(fh)
+    payload["base_rows"] += 1
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+    M._DHASH_INDEX_READY.clear()
+    assert M.dhash_index_build(spark, sf_dir) == tbl
+    assert len(writes) == 1, "stale sidecar must trigger a rebuild"
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index (VERDICT #3)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_pq_indexed_agrees_with_in_memory(spark, sf_dir):
+    """Result identity with ann_pq_topk — the contract that lets the
+    indexed form share ann_pq_sql()."""
+    from smile_spark.operators.similarity import ann_pq_indexed, ann_pq_topk
+
+    a = sorted(map(tuple, ann_pq_topk(spark, sf_dir).collect()))
+    b = sorted(map(tuple, ann_pq_indexed(spark, sf_dir).collect()))
+    assert a == b and a
+
+
+def test_ann_pq_indexed_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.similarity import ann_pq_indexed, ann_pq_sql
+    from smile_spark.testing import assert_matches_oracle
+
+    for d in [sf_dir, "/root/testdata/sf0.01"]:
+        assert_matches_oracle(spark, ann_pq_indexed, ann_pq_sql(), d)
+
+
+def test_pq_index_adoption(spark, sf_dir, monkeypatch):
+    from smile_spark.operators import similarity as S
+    from smile_spark.sources import bucketed as BK
+
+    S.clear_pq_index_cache()
+    tables = S.pq_index_build(spark, sf_dir)
+    S._PQ_INDEX_READY.clear()
+    writes = []
+    real_write = BK.write_bucketed
+    monkeypatch.setattr(
+        BK,
+        "write_bucketed",
+        lambda *a, **k: (writes.append(a), real_write(*a, **k)),
+    )
+    assert S.pq_index_build(spark, sf_dir) == tables
+    assert writes == [], "adoption ran a rebuild job"
+    # probe serves from the adopted tables
+    assert S.ann_pq_indexed(spark, sf_dir).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal video-frame <-> image near-dup (VERDICT #4)
+# ---------------------------------------------------------------------------
+
+
+def test_crossmodal_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.multimodal import (
+        CROSSMODAL_IMAGE_VIDEO_SQL,
+        crossmodal_image_video_dedup,
+    )
+    from smile_spark.testing import assert_matches_oracle
+
+    for d in [sf_dir, "/root/testdata/sf0.01"]:
+        assert_matches_oracle(
+            spark,
+            crossmodal_image_video_dedup,
+            CROSSMODAL_IMAGE_VIDEO_SQL,
+            d,
+        )
+
+
+def test_crossmodal_is_nondegenerate(spark, sf_dir):
+    """The rung must find real cross-modal matches without collapsing
+    toward all-pairs (the measurement that kept tolerance OFF the
+    exact video rung)."""
+    from pyspark.sql import functions as F
+
+    from smile_spark.operators.multimodal import (
+        crossmodal_image_video_dedup,
+    )
+    from smile_spark.tables import table
+
+    out = crossmodal_image_video_dedup(spark, sf_dir)
+    n_pairs = out.count()
+    docs = table(spark, sf_dir, "documents")
+    n_img = docs.filter(F.col("doc_id") % 3 == 0).count()
+    n_vid = docs.filter(F.col("doc_id") % 3 == 2).count()
+    assert n_pairs > 0
+    assert n_pairs < 0.5 * n_img * n_vid, (n_pairs, n_img, n_vid)
+    # sanity on the aggregate semantics: every row counts >= 1 close
+    # frame and min_hamming within the radius
+    row = out.agg(
+        F.min("n_close").alias("mn"), F.max("min_hamming").alias("mh")
+    ).first()
+    assert row.mn >= 1 and row.mh <= 3
