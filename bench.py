@@ -269,6 +269,22 @@ def main() -> None:
             round(time.perf_counter() - t0, 4)
         )
 
+    # The AUDIO twin of dhash_index_build (the "(then audio)" half of
+    # VERDICT r12 #2): audio_fingerprint_incremental probes the
+    # bucketed audio band table — price the base decode + banding +
+    # write here, leave the index warm for the probe entry.
+    for _ in range(2 if _build_wanted("audio_index_build") else 0):
+        _mm.clear_audio_index_cache()
+        t0 = time.perf_counter()
+        try:
+            _mm.audio_index_build(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["audio_index_build"] = f"{type(exc).__name__}: {exc}"[:500]
+            break
+        samples.setdefault("audio_index_build", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
     # Cold build of the persisted PQ index (VERDICT r12 #3):
     # ann_pq_indexed probes the bucketed codes + codebook tables —
     # price the codebook + full-corpus encode + writes here, leave

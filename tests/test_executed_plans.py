@@ -82,6 +82,8 @@ MEASURED = {
     #                       read + broadcast book, one agg exchange)
     "image_dhash_incremental": 1,  # r13 measured cold AND warm
     #                       (broadcast probe over bucketed index scan)
+    "audio_fingerprint_incremental": 1,  # r13 measured (same shared
+    #                       probe core as image_dhash_incremental)
     "crossmodal_image_video_dedup": 3,  # r13 measured (banded join +
     #                       distinct + doc-pair agg)
 }

@@ -151,9 +151,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # the indexed form additionally writes its bucketed base index
         # on first call (the ann_ivf_indexed eager-build precedent)
         "setsim_incremental", "setsim_incremental_indexed",
-        # writes its bucketed base band table on first call (the
+        # write their bucketed base band table on first call (the
         # setsim_incremental_indexed eager-build precedent)
-        "image_dhash_incremental",
+        "image_dhash_incremental", "audio_fingerprint_incremental",
         # collects its bounded codebook and writes the bucketed
         # codes/book tables on first call (ann_pq_topk + indexed-build
         # precedents combined)

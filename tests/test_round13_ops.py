@@ -163,8 +163,9 @@ def test_dhash_index_adoption_and_stale_sidecar(spark, sf_dir, monkeypatch):
 
     M.clear_dhash_index_cache()
     tbl = M.dhash_index_build(spark, sf_dir)
+    app = spark.sparkContext.applicationId
     # fresh 'session' (memo cleared, warehouse + catalog intact): adopt
-    M._DHASH_INDEX_READY.clear()
+    M._BAND_INDEX_READY.discard((app, sf_dir, "image"))
     writes = []
     real_write = BK.write_bucketed
     monkeypatch.setattr(
@@ -181,7 +182,7 @@ def test_dhash_index_adoption_and_stale_sidecar(spark, sf_dir, monkeypatch):
     payload["base_rows"] += 1
     with open(path, "w") as fh:
         json.dump(payload, fh)
-    M._DHASH_INDEX_READY.clear()
+    M._BAND_INDEX_READY.discard((app, sf_dir, "image"))
     assert M.dhash_index_build(spark, sf_dir) == tbl
     assert len(writes) == 1, "stale sidecar must trigger a rebuild"
 
@@ -274,3 +275,85 @@ def test_crossmodal_is_nondegenerate(spark, sf_dir):
         F.min("n_close").alias("mn"), F.max("min_hamming").alias("mh")
     ).first()
     assert row.mn >= 1 and row.mh <= 3
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint index + incremental probe (the "(then audio)" half
+# of VERDICT #2; shared _band_index_build/_band_incremental core)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_incremental_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.multimodal import (
+        AUDIO_FINGERPRINT_INCREMENTAL_SQL,
+        audio_fingerprint_incremental,
+    )
+    from smile_spark.testing import assert_matches_oracle
+
+    for d in [sf_dir, "/root/testdata/sf0.01"]:
+        assert_matches_oracle(
+            spark,
+            audio_fingerprint_incremental,
+            AUDIO_FINGERPRINT_INCREMENTAL_SQL,
+            d,
+        )
+
+
+def test_audio_incremental_agrees_with_full_rebuild(spark, sf_dir):
+    """The audio probe must emit EXACTLY the full audio pair table
+    restricted to (probe, base) pairs — the image-incremental
+    agreement contract through the shared core."""
+    from smile_spark.operators.multimodal import (
+        DHASH_INC_MOD,
+        audio_fingerprint_dedup,
+        audio_fingerprint_incremental,
+    )
+
+    full = audio_fingerprint_dedup(spark, sf_dir).collect()
+    restricted = set()
+    for r in full:
+        pa, pb = r.a % DHASH_INC_MOD == 0, r.b % DHASH_INC_MOD == 0
+        if pa and not pb:
+            restricted.add((r.a, r.b, r.hamming))
+        elif pb and not pa:
+            restricted.add((r.b, r.a, r.hamming))
+    inc = {
+        (r.a, r.b, r.hamming)
+        for r in audio_fingerprint_incremental(spark, sf_dir).collect()
+    }
+    assert inc == restricted
+    # non-empty at the fixture floor (1 probe-base pair measured at
+    # the 500-doc documents table)
+    assert inc
+
+
+def test_audio_index_adoption_is_modality_scoped(spark, sf_dir, monkeypatch):
+    """Clearing the audio index must not evict the image index memo
+    (and vice versa), and adoption works through the shared core."""
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources import bucketed as BK
+
+    M.clear_dhash_index_cache()
+    M.clear_audio_index_cache()
+    M.dhash_index_build(spark, sf_dir)
+    tbl_a = M.audio_index_build(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    assert (app, sf_dir, "image") in M._BAND_INDEX_READY
+    assert (app, sf_dir, "audio") in M._BAND_INDEX_READY
+    # audio clear leaves the image memo alone
+    M.clear_audio_index_cache()
+    assert (app, sf_dir, "image") in M._BAND_INDEX_READY
+    assert (app, sf_dir, "audio") not in M._BAND_INDEX_READY
+    # the audio sidecar is gone -> full rebuild, then fresh-session
+    # adoption (memo cleared, sidecar + catalog intact) runs no writes
+    M.audio_index_build(spark, sf_dir)
+    M._BAND_INDEX_READY.discard((app, sf_dir, "audio"))
+    writes = []
+    real_write = BK.write_bucketed
+    monkeypatch.setattr(
+        BK,
+        "write_bucketed",
+        lambda *a, **k: (writes.append(a), real_write(*a, **k)),
+    )
+    assert M.audio_index_build(spark, sf_dir) == tbl_a
+    assert writes == [], "adoption ran a rebuild job"
