@@ -50,27 +50,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
     insertion order.  Round-13 window (exactly 50), per the r12
-    VERDICT's next-round #1: (1) the FOUR r13 additions
+    VERDICT's next-round #1: (1) the SIX r13 additions
     (ann_pq_indexed, image_dhash_incremental,
-    crossmodal_image_video_dedup, audio_fingerprint_incremental);
-    (2) the EIGHT r08-verified entries that slipped the r12 window
+    crossmodal_image_video_dedup, audio_fingerprint_incremental,
+    dedup_minhash_incremental, crossmodal_dedup_clusters); (2) the
+    EIGHT r08-verified entries that slipped the r12 window
     (containment_topk, golden_part_records, shortest_path_route,
     hashjoin_agg, bfs, simhash_pairs, ngram_jaccard_topk,
     text_stats); (3) multimodal_decode_audio — its oracle changed
     with the r12 square-tone WAV synthesis and this re-verification
-    clears the round's only carried debt; (4) the first 37 of the 50
-    r09-verified entries (nearest_centroid_eval ..
-    string_agg_priorities).  After this window completes, no
-    registered entry's newest verdict predates r09 and no
-    changed-oracle debt remains.  The THIRTEEN r09-verified entries
-    the additions displaced slip to r14: window_first_last,
+    clears the round's only carried debt; (4) the first 35 of the 50
+    r09-verified entries (nearest_centroid_eval .. set_ops_all).
+    After this window completes, no registered entry's newest verdict
+    predates r09 and no changed-oracle debt remains.  The FIFTEEN
+    r09-verified entries the additions displaced slip to r14:
+    range_frame_sum, string_agg_priorities, window_first_last,
     conditional_aggs, bitwise_functions, try_cast_handling,
     date_parts, streaming_state_agreement, srp_lsh_topk,
     sliding_distinct_users, bigram_lm_fluency, session_path_topk,
     embedding_outliers, streaming_window_agreement,
     setsim_join_prefix.
     r14 NOTE: rotate (a) any r14 additions first, then (b) the
-    thirteen slipped r09 entries named above (they sit directly
+    fifteen slipped r09 entries named above (they sit directly
     after the window in insertion order), then (c) the r10-verified
     block (semantic_dedup ..); the r11 and r12 blocks rotate last.
     """
@@ -80,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_incremental": M.image_dhash_incremental,
         "crossmodal_image_video_dedup": M.crossmodal_image_video_dedup,
         "audio_fingerprint_incremental": M.audio_fingerprint_incremental,
+        "dedup_minhash_incremental": D.dedup_minhash_incremental,
+        "crossmodal_dedup_clusters": M.crossmodal_dedup_clusters,
         # --- (2) the EIGHT r08-verified entries that slipped the
         # r12 window (VERDICT r12 next-round #1) ---
         "containment_topk": D.containment_topk,
@@ -94,7 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in r12 (square-tone WAV synthesis); this clears the round's
         # only carried debt ---
         "multimodal_decode_audio": M.multimodal_decode_audio,
-        # --- (4) the first 37 of the 50 r09-verified entries ---
+        # --- (4) the first 35 of the 50 r09-verified entries ---
         "nearest_centroid_eval": S.nearest_centroid_eval,
         "ann_recall_eval": S.ann_recall_eval,
         "exact_ngram_dedup": D.exact_ngram_dedup,
@@ -130,15 +133,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": AN.price_histogram,
         "null_semantics": AN.null_semantics,
         "set_ops_all": R.set_ops_all,
-        "range_frame_sum": AN.range_frame_sum,
-        "string_agg_priorities": R.string_agg_priorities,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round (see the r14 NOTE in the docstring above for the next
         # rotation).
         # ------------------------------------------------------------------
-        # --- the THIRTEEN r09-verified entries that slipped out of
+        # --- the FIFTEEN r09-verified entries that slipped out of
         # the r13 window (first into r14 after any r14 additions) ---
+        "range_frame_sum": AN.range_frame_sum,
+        "string_agg_priorities": R.string_agg_priorities,
         "window_first_last": AN.window_first_last,
         "conditional_aggs": AN.conditional_aggs,
         "bitwise_functions": AN.bitwise_functions,
@@ -590,6 +593,12 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint_incremental": (
             M.AUDIO_FINGERPRINT_INCREMENTAL_SQL
         ),
+        # probe and base signatures in closed SQL form, candidates by
+        # the same band equi-join, exact shingle-Jaccard verify
+        "dedup_minhash_incremental": D.MINHASH_INCREMENTAL_SQL,
+        # recursive min-reachability CTE over the UNION of the three
+        # closed-form pair sets (image, video, cross-modal)
+        "crossmodal_dedup_clusters": M.CROSSMODAL_DEDUP_CLUSTERS_SQL,
         "containment_topk": D.CONTAINMENT_TOPK_SQL,
         "token_entropy": T.TOKEN_ENTROPY_SQL,
         "equi_depth_bins": AN.EQUI_DEPTH_BINS_SQL,

@@ -39,6 +39,11 @@ N_HASHES = 16           # minhash signature length
 N_BANDS = 4             # LSH bands (4 rows per band)
 ROWS_PER_BAND = N_HASHES // N_BANDS
 LSH_VERIFY_THRESHOLD = 0.5
+# increment block for ALL text-rung incremental forms (setsim + the
+# minhash index): doc_id % SETSIM_INC_MOD == 0 — the daily-crawl
+# stand-in (the dedup_eval block-modulus device; at 100 TB the split
+# is "today's ingest" vs "the corpus", not an id residue)
+SETSIM_INC_MOD = 5
 JACCARD_SUBSET_MOD = 50  # word-jaccard candidate blocking
 SIMHASH_SUBSET_MOD = 10
 SIMHASH_BITS = 32
@@ -319,7 +324,13 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle runs the identical arithmetic, so values match
     bit-for-bit.
     """
-    docs = table(spark, sf_dir, "documents")
+    return _minhash_sig_from_docs(table(spark, sf_dir, "documents"))
+
+
+def _minhash_sig_from_docs(docs: DataFrame) -> DataFrame:
+    """The signature pipeline over an arbitrary (doc_id, text) frame —
+    factored so subset passes (the incremental probe, the base-index
+    build) pay signature cost only for their own rows."""
     # MIN is duplicate-insensitive → skip the distinct's shuffle; the
     # only exchange in this plan is the final groupBy(doc_id).
     sh = _shingles(docs, distinct=False)
@@ -338,6 +349,30 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string("%08x", F.col(f"n{i}")).alias(f"m{i}")
             for i in range(N_HASHES)
         ],
+    )
+
+
+def _lsh_bands_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey): all N_BANDS band keys from ONE pass over
+    the signature frame (a per-band union would recompute the
+    signature aggregate once per band)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                "md5(concat("
+                + ",".join(
+                    f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+                )
+                + "))"
+            ).alias("bkey"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
 
 
@@ -402,29 +437,11 @@ def _dedup_minhash_lsh_build(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     sig = minhash_signature(spark, sf_dir)
-    # All bands from ONE pass over the signature (a per-band union
-    # would recompute the signature aggregate once per band), then
-    # materialize: the band table is tiny (#docs × N_BANDS rows) and
-    # feeds both sides of the candidate self-join — at scale this is
-    # the signature table you'd persist anyway.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.expr(
-                "md5(concat("
-                + ",".join(
-                    f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
-                )
-                + "))"
-            ).alias("bkey"),
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-    ).localCheckpoint()
+    # The band table is tiny (#docs × N_BANDS rows) and feeds both
+    # sides of the candidate self-join — at scale this is the
+    # signature table you'd persist anyway (minhash_index_build does
+    # exactly that for the incremental path).
+    bands = _lsh_bands_from_sig(sig).localCheckpoint()
     _LSH_CHECKPOINTS.append(bands)
     ba = bands.select(F.col("doc_id").alias("a"), "band", "bkey")
     bb = bands.select(F.col("doc_id").alias("b"), "band", "bkey")
@@ -441,13 +458,23 @@ def _dedup_minhash_lsh_build(
         .localCheckpoint()
     )
     _LSH_CHECKPOINTS.append(cand)
-    # Exact verification only ever touches documents that appear in a
-    # candidate pair — a vanishing fraction of the corpus by LSH
-    # design.  Semi-join the doc table down to those ids BEFORE the
-    # second shingle explode, so the verify path explodes+distincts a
-    # few hundred documents, not the whole corpus (measured 2× on the
-    # end-to-end operator: the full-corpus re-explode was half its
-    # runtime).
+    return _lsh_verify_pairs(spark, sf_dir, cand, _LSH_CHECKPOINTS)
+
+
+def _lsh_verify_pairs(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, ckpts: list
+) -> DataFrame:
+    """Exact-Jaccard verification of a CHECKPOINTED (a, b) candidate
+    frame, factored for the full and incremental LSH forms.
+
+    Exact verification only ever touches documents that appear in a
+    candidate pair — a vanishing fraction of the corpus by LSH
+    design.  Semi-join the doc table down to those ids BEFORE the
+    second shingle explode, so the verify path explodes+distincts a
+    few hundred documents, not the whole corpus (measured 2× on the
+    end-to-end operator: the full-corpus re-explode was half its
+    runtime).  Checkpoints created here are appended to ``ckpts`` —
+    the caller owns their release."""
     cand_ids = (
         cand.select(F.col("a").alias("doc_id"))
         .union(cand.select(F.col("b").alias("doc_id")))
@@ -459,7 +486,7 @@ def _dedup_minhash_lsh_build(
     # The distinct shingle set feeds three consumers (sizes, both join
     # sides); checkpoint so the explode+distinct runs once, not thrice.
     sh = _shingles(cand_docs).localCheckpoint()
-    _LSH_CHECKPOINTS.append(sh)
+    ckpts.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("a"), "sh")
     sb = sh.select(F.col("doc_id").alias("b"), "sh")
@@ -556,6 +583,203 @@ def dedup_minhash_lsh_sql() -> str:
         f" WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)"
         f"  >= {LSH_VERIFY_THRESHOLD}"
     )
+
+
+# --- persisted MinHash band index + incremental probe ----------------------
+
+MINHASH_INDEX_BUCKETS = 16
+_MH_INDEX_READY: set[tuple[str, str]] = set()
+_MH_INDEX_SIDECARS: set[str] = set()
+
+
+def _mh_index_table(sf_dir: str) -> str:
+    """Catalog name of the persisted base band-key table (the
+    setsim/dhash single-writer assumption applies — see
+    :func:`_setsim_index_tables`)."""
+    from smile_spark.sources.bucketed import bucket_table_name
+
+    return bucket_table_name("mh_idx_bands", sf_dir)
+
+
+def clear_minhash_index_cache() -> None:
+    """Forget the per-process index memo AND drop the adoption
+    sidecars this process wrote, so the next probe (or the bench's
+    cold ``minhash_index_build`` loop) reruns the full signature +
+    band + write path.  The build overwrites the table in place —
+    nothing to unpersist."""
+    from smile_spark.sources.bucketed import remove_sidecar_file
+
+    _MH_INDEX_READY.clear()
+    for path in list(_MH_INDEX_SIDECARS):
+        remove_sidecar_file(path)
+        _MH_INDEX_SIDECARS.discard(path)
+
+
+def minhash_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the MinHash-LSH BASE band index once per corpus
+    snapshot: signature + banding over the base block
+    (doc_id % SETSIM_INC_MOD != 0 — the setsim text-block convention),
+    persisted as ONE bucketed table (doc_id, band, bkey) keyed by
+    bkey.  Returns the table name.
+
+    This completes the persisted-incremental story across the WHOLE
+    dedup ladder: exact set-similarity (``setsim_index_build``),
+    MinHash-LSH (here), and the perceptual image/audio rungs
+    (``dhash_index_build``/``audio_index_build``) all share the same
+    nightly-index + increment-linear-probe shape and the same sidecar
+    adoption contract.  At 100 TB the corpus pays its shingle +
+    signature pass once per snapshot; each daily ingest signatures
+    only its own documents.
+    """
+    from smile_spark.sources.bucketed import (
+        drop_bucketed_table,
+        sidecar_adoptable,
+        write_bucketed,
+        write_sidecar,
+    )
+
+    tbl = _mh_index_table(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MH_INDEX_READY:
+        return tbl
+    base = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_INC_MOD != 0
+    )
+    expected = {
+        "base_rows": base.count(),
+        "inc_mod": SETSIM_INC_MOD,
+        "n_buckets": MINHASH_INDEX_BUCKETS,
+        "n_hashes": N_HASHES,
+        "n_bands": N_BANDS,
+        "shingle_k": SHINGLE_K,
+        "sf_dir": sf_dir,
+        "tables": [tbl],
+    }
+    if sidecar_adoptable(spark, tbl, expected, [tbl]):
+        _MH_INDEX_READY.add(key)
+        return tbl
+    bands = _lsh_bands_from_sig(_minhash_sig_from_docs(base))
+    drop_bucketed_table(spark, tbl)
+    write_bucketed(bands, tbl, "bkey", n_buckets=MINHASH_INDEX_BUCKETS)
+    _MH_INDEX_SIDECARS.add(write_sidecar(spark, tbl, expected))
+    _MH_INDEX_READY.add(key)
+    return tbl
+
+
+def dedup_minhash_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup — the daily-ingest form of
+    :func:`dedup_minhash_lsh`: signature + banding run over the
+    INCREMENT block only (doc_id % SETSIM_INC_MOD == 0), and the
+    candidate join probes the PERSISTED base band table from
+    :func:`minhash_index_build` with the tiny probe side broadcast —
+    exchange-free on the corpus side, immune to hot-bucket skew (a
+    boilerplate band key's candidates surface across every index scan
+    task).  The exact shingle-Jaccard verify is the shared
+    candidate-bounded :func:`_lsh_verify_pairs` core.
+
+    Returns (a, b, jaccard): a from the increment, b from the base,
+    jaccard >= LSH_VERIFY_THRESHOLD.  Increment-internal pairs are
+    the next nightly rebuild's job, as in every incremental rung.
+    """
+    from smile_spark.session import release_checkpoints_on_gc
+    from smile_spark.sources.bucketed import read_bucketed
+
+    tbl = minhash_index_build(spark, sf_dir)
+    inc = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_INC_MOD == 0
+    )
+    pb = _lsh_bands_from_sig(_minhash_sig_from_docs(inc)).select(
+        F.col("doc_id").alias("a"), "band", "bkey"
+    )
+    ix = read_bucketed(spark, tbl).select(
+        F.col("doc_id").alias("b"), "band", "bkey"
+    )
+    ckpts: list = []
+    cand = (
+        ix.join(F.broadcast(pb), ["band", "bkey"])
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    ckpts.append(cand)
+    out = _lsh_verify_pairs(spark, sf_dir, cand, ckpts)
+    release_checkpoints_on_gc(out, ckpts)
+    return out
+
+
+def _minhash_sql_ctes(p: str, where: str) -> str:
+    """Prefixed signature CTE chain (pos/toks/hashed/nsig/sig) over a
+    filtered document set — the :func:`_minhash_sql_core` arithmetic,
+    factored so probe and base signatures compose in one statement."""
+    perms = ", ".join(
+        f"MIN({_minhash_perm(i)}) AS n{i}" for i in range(N_HASHES)
+    )
+    fmts = ", ".join(
+        f"printf('%08x', n{i}) AS m{i}" for i in range(N_HASHES)
+    )
+    return (
+        f"{p}pos AS ("
+        "  SELECT doc_id, text, unnest(generate_series(1,"
+        f"   greatest(length(text) - {SHINGLE_K - 1}, 1))) AS i"
+        f"  FROM documents WHERE {where}),"
+        f" {p}toks AS (SELECT DISTINCT doc_id,"
+        f"  substr(text, i, {SHINGLE_K}) AS sh FROM {p}pos),"
+        f" {p}hashed AS ("
+        f"  SELECT doc_id, {MINHASH_BASE_DUCK} AS h0 FROM {p}toks),"
+        f" {p}nsig AS (SELECT doc_id, {perms} FROM {p}hashed"
+        "   GROUP BY doc_id),"
+        f" {p}sig AS (SELECT doc_id, {fmts} FROM {p}nsig)"
+    )
+
+
+def _minhash_bands_sql(p: str) -> str:
+    sel = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat({cols}))"
+        " AS bkey FROM {p}sig".format(
+            b=b,
+            p=p,
+            cols=", ".join(
+                f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"{p}bands AS ({sel})"
+
+
+# oracle: probe and base signatures in closed SQL form, candidates by
+# the same band equi-join, exact Jaccard verify — the
+# dedup_minhash_lsh_sql arithmetic split across the two blocks
+MINHASH_INCREMENTAL_SQL = (
+    "WITH "
+    + _minhash_sql_ctes("p_", f"doc_id % {SETSIM_INC_MOD} = 0")
+    + ", "
+    + _minhash_sql_ctes("b_", f"doc_id % {SETSIM_INC_MOD} <> 0")
+    + ", "
+    + _minhash_bands_sql("p_")
+    + ", "
+    + _minhash_bands_sql("b_")
+    + ","
+    " cand AS (SELECT DISTINCT pa.doc_id AS a, bb.doc_id AS b"
+    "  FROM p_bands pa JOIN b_bands bb ON pa.band = bb.band"
+    "   AND pa.bkey = bb.bkey),"
+    " psizes AS (SELECT doc_id, COUNT(*) AS n FROM p_toks"
+    "  GROUP BY doc_id),"
+    " bsizes AS (SELECT doc_id, COUNT(*) AS n FROM b_toks"
+    "  GROUP BY doc_id),"
+    " inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c"
+    "  JOIN p_toks ta ON ta.doc_id = c.a"
+    "  JOIN b_toks tb ON tb.doc_id = c.b AND ta.sh = tb.sh"
+    "  GROUP BY c.a, c.b)"
+    " SELECT i.a, i.b,"
+    "  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard"
+    " FROM inter i JOIN psizes sa ON sa.doc_id = i.a"
+    "  JOIN bsizes sb ON sb.doc_id = i.b"
+    f" WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)"
+    f"  >= {LSH_VERIFY_THRESHOLD}"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1695,10 +1919,8 @@ SETSIM_HASH_AGREEMENT_SQL = (
 # Incremental corpus dedup (probe an increment against the base index)
 # ---------------------------------------------------------------------------
 
-# increment block: doc_id % SETSIM_INC_MOD == 0 — the daily-crawl
-# stand-in (the dedup_eval block-modulus device; at 100 TB the split
-# is "today's ingest" vs "the corpus", not an id residue)
-SETSIM_INC_MOD = 5
+# (the increment block constant SETSIM_INC_MOD lives with the LSH
+# constants at the top of this file — the minhash index shares it)
 
 
 def setsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

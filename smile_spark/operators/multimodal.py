@@ -2144,3 +2144,62 @@ AUDIO_FINGERPRINT_INCREMENTAL_SQL = (
     " FROM p_hashes x JOIN b_hashes y ON TRUE"
     f" WHERE {_DUCK_HAMMING} <= {DHASH_MAX_DISTANCE}"
 )
+
+
+def crossmodal_dedup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOINT dedup DECISION across the visual modalities: connected
+    components over the UNION of three verified pair sets — image
+    near-dups (:func:`image_dhash_dedup`, memoized), exact-frame video
+    near-dups (:func:`video_frame_dedup`), and the cross-modal
+    image<->video pairs (:func:`crossmodal_image_video_dedup`) — then
+    the shared cluster/keep core (:func:`_perceptual_keep_list`):
+    cluster sizes, min-doc_id survivorship, singletons kept.
+
+    This is what the cross-modal rung is FOR: a thumbnail that
+    duplicates a video keyframe must not survive just because image-
+    only and video-only dedup each saw half the picture.  Image and
+    video doc ids live in disjoint residue classes (0 vs 2 mod 3), so
+    plain doc_id keys are safe across the union.
+
+    Emits (doc_id, cluster_size, keep) for EVERY image- and
+    video-modality doc.  Measured at sf0.01: 333 universe docs, 53
+    survivors, one dominant 256-doc component — the dense synthetic
+    cross pairs merge aggressively, and the keep list stays
+    non-trivial.  Past the pair tables every stage is
+    dimension-sized; the oracle replays the clustering as a recursive
+    min-reachability CTE over the identical closed-form pair union.
+    """
+    from smile_spark.session import keep_alive
+
+    ip = image_dhash_dedup(spark, sf_dir)
+    vp = video_frame_dedup(spark, sf_dir)
+    cp = crossmodal_image_video_dedup(spark, sf_dir)
+    pairs = (
+        ip.select("a", "b")
+        .union(vp.select("a", "b"))
+        .union(cp.select("a", "b"))
+    )
+    universe = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 3 == 2)
+        )
+        .select("doc_id")
+    )
+    out = _perceptual_keep_list(pairs, universe)
+    # every source pair frame owns checkpoints (the memoized image
+    # pair table; vp/cp's gc-released fingerprint checkpoints) that
+    # must outlive the composed result — the session.keep_alive
+    # composer contract
+    return keep_alive(out, ip, vp, cp)
+
+
+CROSSMODAL_DEDUP_CLUSTERS_SQL = _keep_list_sql(
+    f"SELECT a, b FROM ({IMAGE_DHASH_DEDUP_SQL}) ip"
+    f" UNION ALL SELECT a, b FROM ({VIDEO_FRAME_DEDUP_SQL}) vp"
+    f" UNION ALL SELECT a, b FROM ({CROSSMODAL_IMAGE_VIDEO_SQL}) cp",
+    "SELECT doc_id FROM documents"
+    " WHERE doc_id % 3 = 0 OR doc_id % 3 = 2",
+)

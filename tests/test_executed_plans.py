@@ -86,6 +86,11 @@ MEASURED = {
     #                       probe core as image_dhash_incremental)
     "crossmodal_image_video_dedup": 3,  # r13 measured (banded join +
     #                       distinct + doc-pair agg)
+    "dedup_minhash_incremental": 3,  # r13 measured cold AND warm
+    #                       (probe signature agg + cand distinct +
+    #                        candidate-bounded verify)
+    "crossmodal_dedup_clusters": 5,  # r13 measured (three pair
+    #                       sources + cc rounds + size joins)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

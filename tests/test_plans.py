@@ -162,6 +162,12 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # probe aggregate at plan time (the image_dhash_dedup shape,
         # asymmetric cross-modal form)
         "crossmodal_image_video_dedup",
+        # writes its bucketed base band table + localCheckpoints the
+        # candidate frame at plan time
+        "dedup_minhash_incremental",
+        # composes three checkpoint-owning pair frames and runs
+        # cc_labels pointer-jumping rounds at plan time
+        "crossmodal_dedup_clusters",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set

@@ -357,3 +357,126 @@ def test_audio_index_adoption_is_modality_scoped(spark, sf_dir, monkeypatch):
     )
     assert M.audio_index_build(spark, sf_dir) == tbl_a
     assert writes == [], "adoption ran a rebuild job"
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash band index + incremental probe
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_minhash_incremental_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.dedup import (
+        MINHASH_INCREMENTAL_SQL,
+        dedup_minhash_incremental,
+    )
+    from smile_spark.testing import assert_matches_oracle
+
+    for d in [sf_dir, "/root/testdata/sf0.01"]:
+        assert_matches_oracle(
+            spark,
+            dedup_minhash_incremental,
+            MINHASH_INCREMENTAL_SQL,
+            d,
+        )
+
+
+def test_minhash_incremental_agrees_with_full_rebuild(spark, sf_dir):
+    """The incremental probe must emit EXACTLY the full LSH pair table
+    restricted to (increment, base) pairs — same jaccard values."""
+    from smile_spark.operators.dedup import (
+        SETSIM_INC_MOD,
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+
+    full = dedup_minhash_lsh(spark, sf_dir).collect()
+    restricted = set()
+    for r in full:
+        pa, pb = r.a % SETSIM_INC_MOD == 0, r.b % SETSIM_INC_MOD == 0
+        if pa and not pb:
+            restricted.add((r.a, r.b, round(r.jaccard, 9)))
+        elif pb and not pa:
+            restricted.add((r.b, r.a, round(r.jaccard, 9)))
+    inc = {
+        (r.a, r.b, round(r.jaccard, 9))
+        for r in dedup_minhash_incremental(spark, sf_dir).collect()
+    }
+    assert inc == restricted and inc
+
+
+def test_minhash_index_adoption(spark, sf_dir, monkeypatch):
+    from smile_spark.operators import dedup as D
+    from smile_spark.sources import bucketed as BK
+
+    D.clear_minhash_index_cache()
+    tbl = D.minhash_index_build(spark, sf_dir)
+    D._MH_INDEX_READY.clear()
+    writes = []
+    real_write = BK.write_bucketed
+    monkeypatch.setattr(
+        BK,
+        "write_bucketed",
+        lambda *a, **k: (writes.append(a), real_write(*a, **k)),
+    )
+    assert D.minhash_index_build(spark, sf_dir) == tbl
+    assert writes == [], "adoption ran a rebuild job"
+
+
+# ---------------------------------------------------------------------------
+# Joint cross-modal clusters / keep list
+# ---------------------------------------------------------------------------
+
+
+def test_crossmodal_dedup_clusters_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators.multimodal import (
+        CROSSMODAL_DEDUP_CLUSTERS_SQL,
+        crossmodal_dedup_clusters,
+    )
+    from smile_spark.testing import assert_matches_oracle
+
+    for d in [sf_dir, "/root/testdata/sf0.01"]:
+        assert_matches_oracle(
+            spark,
+            crossmodal_dedup_clusters,
+            CROSSMODAL_DEDUP_CLUSTERS_SQL,
+            d,
+        )
+
+
+def test_crossmodal_clusters_cover_both_modalities(spark, sf_dir):
+    """One row per image/video doc; the joint clustering must merge at
+    least one cross-modal pair (a cluster containing BOTH an image and
+    a video doc), and the composed frame must survive a post-gc
+    re-collect (the keep_alive composer contract)."""
+    import gc as _gc
+
+    from pyspark.sql import functions as F
+
+    from smile_spark.operators.multimodal import crossmodal_dedup_clusters
+    from smile_spark.tables import table
+
+    out = crossmodal_dedup_clusters(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    n_uni = docs.filter(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 3 == 2)
+    ).count()
+    rows = out.collect()
+    assert len(rows) == n_uni
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < n_uni
+    # multi-doc clusters exist and at least one spans both modalities:
+    # a non-keep doc whose cluster rep (min id) is the other modality
+    # class is only possible when a cross pair merged them — cheap
+    # proxy: some cluster_size exceeds the largest single-modality
+    # cluster of the image-only decision
+    from smile_spark.operators.multimodal import image_dhash_clusters
+
+    img_max = max(
+        r.cluster_size for r in image_dhash_clusters(spark, sf_dir).collect()
+    )
+    joint_max = max(r.cluster_size for r in rows)
+    assert joint_max > img_max, (joint_max, img_max)
+    # keep_alive: the parents' checkpoints must survive gc while the
+    # composed frame is alive
+    _gc.collect()
+    assert len(out.collect()) == n_uni
