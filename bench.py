@@ -251,6 +251,23 @@ def main() -> None:
             round(time.perf_counter() - t0, 4)
         )
 
+    # Cold decode of the memoized per-frame hash table: one decode
+    # pass per session serves video_frame_dedup and both cross-modal
+    # consumers (the dhash_pairs_build treatment one level earlier);
+    # the eager localCheckpoint materializes at call time, so the call
+    # IS the build.
+    for _ in range(2 if _build_wanted("video_hashes_build") else 0):
+        _mm.clear_video_hash_cache()
+        t0 = time.perf_counter()
+        try:
+            _mm.video_frame_hashes_cached(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["video_hashes_build"] = f"{type(exc).__name__}: {exc}"[:500]
+            break
+        samples.setdefault("video_hashes_build", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
     # Cold build of the persisted perceptual fingerprint index
     # (VERDICT r12 #2): image_dhash_incremental probes the bucketed
     # base band table — price the base decode + banding + bucketed

@@ -1284,6 +1284,45 @@ def video_frame_dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(hash_batch, VIDEO_DHASH_SCHEMA)
 
 
+# The per-frame hash table memoized per (application, sf_dir) — the
+# lsh_pairs_cached contract one level EARLIER in the pipeline: the
+# frame-hash table is the shared artifact of the video rung, consumed
+# by video_frame_dedup, crossmodal_image_video_dedup, and
+# crossmodal_dedup_clusters; one decode pass per session feeds all
+# three, and the bench prices the cold decode under
+# ``video_hashes_build``.
+_VIDEO_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_VIDEO_HASH_CHECKPOINTS: list[DataFrame] = []
+
+
+def clear_video_hash_cache() -> None:
+    """Drop the frame-hash memo AND free its checkpointed blocks (the
+    clear_dhash_cache contract).  Unpersisted checkpoints cannot be
+    recomputed — only call when no live consumer holds the old hash
+    table."""
+    from smile_spark.session import unpersist_checkpoint
+
+    for df in _VIDEO_HASH_CHECKPOINTS:
+        unpersist_checkpoint(df)
+    _VIDEO_HASH_CHECKPOINTS.clear()
+    _VIDEO_HASH_CACHE.clear()
+
+
+def video_frame_hashes_cached(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The checkpointed (doc_id, frame_idx, b0..b3) frame-hash table,
+    decoded at most once per Spark application per fixture dir."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _VIDEO_HASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = video_frame_dhash_frame(spark, sf_dir).localCheckpoint()
+    _VIDEO_HASH_CHECKPOINTS.append(df)
+    _VIDEO_HASH_CACHE[key] = df
+    return df
+
+
 def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate video pairs by PERCEPTUALLY IDENTICAL shared
     frames: two videos pair when at least one frame of each carries
@@ -1302,8 +1341,12 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi-res fixture subset whose frames the dHash grid can genuinely
     subsample.
 
-    The per-(doc, hash) distinct is checkpointed — one decode pass
-    feeds both join sides; blocks release when the result frame dies.
+    The hash table comes from the per-application memo
+    (:func:`video_frame_hashes_cached` — one decode pass per session
+    serves this op and both cross-modal consumers; cold cost priced by
+    the bench's ``video_hashes_build``); the per-(doc, hash) distinct
+    is checkpointed so it runs once for both join sides, and its
+    blocks release when the result frame dies.
 
     Returns (a, b, n_shared) with a < b and n_shared = number of
     distinct shared hash values >= 1.
@@ -1312,7 +1355,7 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keys = ["b0", "b1", "b2", "b3"]
     sigs = (
-        video_frame_dhash_frame(spark, sf_dir)
+        video_frame_hashes_cached(spark, sf_dir)
         .select("doc_id", *keys)
         .distinct()
         .localCheckpoint()
@@ -1974,10 +2017,15 @@ def crossmodal_image_video_dedup(
     cf. the 70%-degenerate measurement that keeps tolerance off the
     exact video rung).
     """
-    from smile_spark.session import release_checkpoints_on_gc
+    from smile_spark.session import keep_alive, release_checkpoints_on_gc
 
     ih = image_dhash_frame(spark, sf_dir).localCheckpoint()
-    vh = video_frame_dhash_frame(spark, sf_dir).localCheckpoint()
+    # the frame-hash table comes from the per-application memo (one
+    # decode pass per session, shared with video_frame_dedup and the
+    # joint clusters op; cold cost priced by video_hashes_build) — its
+    # checkpoint is OWNED by the memo, so it is kept alive below, never
+    # released with this result
+    vh = video_frame_hashes_cached(spark, sf_dir)
     band_structs = [
         F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
         for k in range(DHASH_N_BANDS)
@@ -2045,8 +2093,8 @@ def crossmodal_image_video_dedup(
             F.min("hamming").cast("bigint").alias("min_hamming"),
         )
     )
-    release_checkpoints_on_gc(out, [ih, vh])
-    return out
+    release_checkpoints_on_gc(out, [ih])
+    return keep_alive(out, vh)
 
 
 def _vid_hash_ctes(p: str) -> str:

@@ -480,3 +480,23 @@ def test_crossmodal_clusters_cover_both_modalities(spark, sf_dir):
     # composed frame is alive
     _gc.collect()
     assert len(out.collect()) == n_uni
+
+
+def test_video_hash_memo_contract(spark, sf_dir):
+    """One decode pass per (application, sf_dir): repeat calls return
+    the same checkpointed frame; clear rebuilds; consumers survive a
+    clear-then-recompute cycle with identical results."""
+    import gc as _gc
+
+    from smile_spark.operators import multimodal as M
+
+    a = M.video_frame_hashes_cached(spark, sf_dir)
+    assert M.video_frame_hashes_cached(spark, sf_dir) is a
+    out = M.crossmodal_image_video_dedup(spark, sf_dir)
+    n1 = out.count()
+    del out
+    _gc.collect()
+    M.clear_video_hash_cache()
+    b = M.video_frame_hashes_cached(spark, sf_dir)
+    assert b is not a
+    assert M.crossmodal_image_video_dedup(spark, sf_dir).count() == n1
