@@ -343,19 +343,65 @@ def ivf_search_indexed(
 
 # Index paths memoized per (application, sf_dir): an IVF index is the
 # one-time physical investment (like bucketing) — built once, probed
-# many times.  Same persist-and-reuse pattern as windows._ROLLUP_CACHE.
+# many times.  Since r13 the index lives at a STABLE warehouse path
+# with a sidecar fingerprint (the setsim/dhash/PQ adoption contract):
+# a fresh session whose memo is empty adopts a matching on-disk index
+# instead of rebuilding — the cell-partitioned parquet is path-based,
+# so adoption needs no catalog entry, only the sidecar match.  The
+# single-writer assumption of the bucketed indexes applies.
 _IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
+_IVF_INDEX_SIDECARS: set[str] = set()
+
+
+def clear_ivf_index_cache() -> None:
+    """Forget the per-process IVF index memo AND drop the adoption
+    sidecars this process wrote, forcing the next probe to rebuild
+    the cell-partitioned index (overwrite in place — nothing to
+    unpersist)."""
+    from smile_spark.sources.bucketed import remove_sidecar_file
+
+    _IVF_INDEX_CACHE.clear()
+    for path in list(_IVF_INDEX_SIDECARS):
+        remove_sidecar_file(path)
+        _IVF_INDEX_SIDECARS.discard(path)
 
 
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
-    from smile_spark.session import scratch_dir
+    import os
+
+    from smile_spark.sources.bucketed import (
+        _warehouse_dir,
+        bucket_table_name,
+        read_sidecar,
+        write_sidecar,
+    )
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_INDEX_CACHE:
-        path = scratch_dir("smile_ivf_index_")
+    if key in _IVF_INDEX_CACHE:
+        return _IVF_INDEX_CACHE[key]
+    name = bucket_table_name("ivf_index", sf_dir)
+    path = os.path.join(_warehouse_dir(spark), name)
+    expected = {
+        "n_vec": _vectors(spark, sf_dir).count(),
+        "centroid_mod": CENTROID_MOD,
+        "sf_dir": sf_dir,
+        "path": path,
+    }
+    # path-based adoption: the parquet directory + a matching sidecar
+    # (written AFTER the build, so a crashed build is never adopted)
+    from smile_spark.sources.bucketed import sidecar_path
+
+    if not (
+        read_sidecar(spark, name) == expected and os.path.isdir(path)
+    ):
         ivf_build(spark, sf_dir, path)
-        _IVF_INDEX_CACHE[key] = path
-    return _IVF_INDEX_CACHE[key]
+        write_sidecar(spark, name, expected)
+    # track the sidecar whether built OR adopted: path-based adoption
+    # works across processes (no catalog needed), so a clear must be
+    # able to drop a sidecar this process never wrote
+    _IVF_INDEX_SIDECARS.add(sidecar_path(spark, name))
+    _IVF_INDEX_CACHE[key] = path
+    return path
 
 
 def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -500,3 +500,33 @@ def test_video_hash_memo_contract(spark, sf_dir):
     b = M.video_frame_hashes_cached(spark, sf_dir)
     assert b is not a
     assert M.crossmodal_image_video_dedup(spark, sf_dir).count() == n1
+
+
+def test_ivf_index_adoption(spark, sf_dir, monkeypatch):
+    """The IVF index now lives at a stable warehouse path with a
+    sidecar (the setsim/dhash/PQ adoption contract, path-based): a
+    fresh 'session' (memo cleared) adopts the on-disk index without a
+    rebuild; clear_ivf_index_cache drops the sidecar and forces one."""
+    from smile_spark.operators import similarity as sim
+
+    sim.clear_ivf_index_cache()
+    p1 = sim._ivf_index_path(spark, sf_dir)
+    sim._IVF_INDEX_CACHE.clear()
+
+    def boom(*a, **k):
+        raise AssertionError("rebuild ran during adoption")
+
+    monkeypatch.setattr(sim, "ivf_build", boom)
+    assert sim._ivf_index_path(spark, sf_dir) == p1
+    # and the probe serves from the adopted index
+    assert sim.ann_ivf_indexed(spark, sf_dir).count() > 0
+    monkeypatch.undo()
+    # cold path: clear drops the sidecar -> rebuild happens
+    sim.clear_ivf_index_cache()
+    calls = []
+    real = sim.ivf_build
+    monkeypatch.setattr(
+        sim, "ivf_build", lambda *a, **k: (calls.append(a), real(*a, **k))
+    )
+    sim._ivf_index_path(spark, sf_dir)
+    assert len(calls) == 1
