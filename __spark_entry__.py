@@ -50,20 +50,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
     insertion order.  Round-13 window (exactly 50), per the r12
-    VERDICT's next-round #1: (1) the SIX r13 additions
+    VERDICT's next-round #1: (1) the EIGHT r13 additions
     (ann_pq_indexed, image_dhash_incremental,
     crossmodal_image_video_dedup, audio_fingerprint_incremental,
-    dedup_minhash_incremental, crossmodal_dedup_clusters); (2) the
+    dedup_minhash_incremental, crossmodal_dedup_clusters,
+    video_dhash_incremental, semantic_dedup_incremental); (2) the
     EIGHT r08-verified entries that slipped the r12 window
     (containment_topk, golden_part_records, shortest_path_route,
     hashjoin_agg, bfs, simhash_pairs, ngram_jaccard_topk,
     text_stats); (3) multimodal_decode_audio — its oracle changed
     with the r12 square-tone WAV synthesis and this re-verification
-    clears the round's only carried debt; (4) the first 35 of the 50
-    r09-verified entries (nearest_centroid_eval .. set_ops_all).
+    clears the round's only carried debt; (4) the first 33 of the 50
+    r09-verified entries (nearest_centroid_eval .. price_histogram).
     After this window completes, no registered entry's newest verdict
-    predates r09 and no changed-oracle debt remains.  The FIFTEEN
+    predates r09 and no changed-oracle debt remains.  The SEVENTEEN
     r09-verified entries the additions displaced slip to r14:
+    null_semantics and set_ops_all (displaced by the second-wave
+    additions; they sit directly after the window), then
     range_frame_sum, string_agg_priorities, window_first_last,
     conditional_aggs, bitwise_functions, try_cast_handling,
     date_parts, streaming_state_agreement, srp_lsh_topk,
@@ -71,7 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embedding_outliers, streaming_window_agreement,
     setsim_join_prefix.
     r14 NOTE: rotate (a) any r14 additions first, then (b) the
-    fifteen slipped r09 entries named above (they sit directly
+    seventeen slipped r09 entries named above (they sit directly
     after the window in insertion order), then (c) the r10-verified
     block (semantic_dedup ..); the r11 and r12 blocks rotate last.
     """
@@ -83,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_incremental": M.audio_fingerprint_incremental,
         "dedup_minhash_incremental": D.dedup_minhash_incremental,
         "crossmodal_dedup_clusters": M.crossmodal_dedup_clusters,
+        "video_dhash_incremental": M.video_dhash_incremental,
+        "semantic_dedup_incremental": D.semantic_dedup_incremental,
         # --- (2) the EIGHT r08-verified entries that slipped the
         # r12 window (VERDICT r12 next-round #1) ---
         "containment_topk": D.containment_topk,
@@ -131,13 +136,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": R.q3_shipping_priority,
         "skew_salted_revenue": R.skew_salted_revenue,
         "price_histogram": AN.price_histogram,
-        "null_semantics": AN.null_semantics,
-        "set_ops_all": R.set_ops_all,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round (see the r14 NOTE in the docstring above for the next
         # rotation).
         # ------------------------------------------------------------------
+        # --- the TWO r09-verified entries the second-wave r13
+        # additions displaced (first among the r14 slips) ---
+        "null_semantics": AN.null_semantics,
+        "set_ops_all": R.set_ops_all,
         # --- the FIFTEEN r09-verified entries that slipped out of
         # the r13 window (first into r14 after any r14 additions) ---
         "range_frame_sum": AN.range_frame_sum,
@@ -599,6 +606,13 @@ def oracle_sql() -> dict[str, str]:
         # recursive min-reachability CTE over the UNION of the three
         # closed-form pair sets (image, video, cross-modal)
         "crossmodal_dedup_clusters": M.CROSSMODAL_DEDUP_CLUSTERS_SQL,
+        # probe and base HI-RES frame hashes in closed form, every
+        # probe x base frame pair verified un-banded, rolled up per
+        # video pair
+        "video_dhash_incremental": M.VIDEO_DHASH_INCREMENTAL_SQL,
+        # base-block centroids, fold-exact argmin assignment on both
+        # sides, cosine rounded to 6 before the tau compare
+        "semantic_dedup_incremental": D.SEMANTIC_DEDUP_INCREMENTAL_SQL,
         "containment_topk": D.CONTAINMENT_TOPK_SQL,
         "token_entropy": T.TOKEN_ENTROPY_SQL,
         "equi_depth_bins": AN.EQUI_DEPTH_BINS_SQL,

@@ -318,6 +318,39 @@ def main() -> None:
             round(time.perf_counter() - t0, 4)
         )
 
+    # The VIDEO third of the perceptual band-index family:
+    # video_dhash_incremental probes the bucketed hi-res frame band
+    # table — price the base decode + per-frame banding + write here,
+    # leave the index warm for the probe entry.
+    for _ in range(2 if _build_wanted("video_index_build") else 0):
+        _mm.clear_video_index_cache()
+        t0 = time.perf_counter()
+        try:
+            _mm.video_index_build(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["video_index_build"] = f"{type(exc).__name__}: {exc}"[:500]
+            break
+        samples.setdefault("video_index_build", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
+    # Cold build of the persisted SemDeDup assignment index:
+    # semantic_dedup_incremental probes the bucketed base assignment
+    # table — price the corpus-linear assign + bucketed write here,
+    # leave the index warm so the registered entry times the
+    # increment-only probe path.
+    for _ in range(2 if _build_wanted("semantic_index_build") else 0):
+        _dedup.clear_semantic_index_cache()
+        t0 = time.perf_counter()
+        try:
+            _dedup.semantic_index_build(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["semantic_index_build"] = f"{type(exc).__name__}: {exc}"[:500]
+            break
+        samples.setdefault("semantic_index_build", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
     # Cold build of the persisted PQ index (VERDICT r12 #3):
     # ann_pq_indexed probes the bucketed codes + codebook tables —
     # price the codebook + full-corpus encode + writes here, leave

@@ -1064,6 +1064,206 @@ SEMANTIC_DEDUP_SQL = semantic_dedup_sql()
 
 
 # ---------------------------------------------------------------------------
+# Incremental SemDeDup: persisted assignment index + daily probe
+# ---------------------------------------------------------------------------
+
+# The embedding-modality member of the incremental-dedup family
+# (setsim / MinHash / image / audio / video all have one): the
+# nightly job assigns the BASE corpus to centroids ONCE and persists
+# the assignment bucketed by cluster id; a daily probe assigns only
+# its own vectors and verifies cosine against base cluster-mates read
+# exchange-free from the bucketed table.  "Today's crawl" is the
+# shared vec_id % 5 == 0 block.
+SEM_INC_MOD = 5
+SEM_INDEX_BUCKETS = 16
+_SEM_INDEX_READY: set[tuple[str, str]] = set()
+_SEM_INDEX_SIDECARS: set[str] = set()
+
+
+def _sem_index_table(sf_dir: str) -> str:
+    """Catalog name of the persisted base assignment table.  The
+    setsim/dhash single-writer assumption applies — one application
+    owns the warehouse at a time; sidecar adoption never drops."""
+    from smile_spark.sources.bucketed import bucket_table_name
+
+    return bucket_table_name("sem_idx_assign", sf_dir)
+
+
+def clear_semantic_index_cache() -> None:
+    """Forget the per-process memo AND drop this process' adoption
+    sidecars, so the next probe (or the bench's cold
+    ``semantic_index_build`` loop) runs the full assign + write path.
+    The build overwrites the table in place — nothing to unpersist."""
+    from smile_spark.sources.bucketed import remove_sidecar_file
+
+    _SEM_INDEX_READY.clear()
+    for path in list(_SEM_INDEX_SIDECARS):
+        remove_sidecar_file(path)
+        _SEM_INDEX_SIDECARS.discard(path)
+
+
+def _sem_base_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroids of the NIGHTLY model: the deterministic subsample
+    restricted to the base block — the index must know nothing of
+    probe vectors (the stand-in for an offline k-means fitted when
+    the snapshot was taken)."""
+    from smile_spark.operators.similarity import CENTROID_MOD, _vectors
+
+    emb = _vectors(spark, sf_dir)
+    return emb.filter(
+        (F.col("vec_id") % CENTROID_MOD == 0)
+        & (F.col("vec_id") % SEM_INC_MOD != 0)
+    ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+
+
+def semantic_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the SemDeDup base assignment (cid, vec_id, v, d2)
+    bucketed by cid — the corpus-linear nightly job.  Every daily
+    probe then reads pre-bucketed cluster-mates with zero exchange on
+    the corpus side.  Sidecar adoption follows the setsim contract:
+    a fresh session adopts a matching index instead of rebuilding;
+    a stale sidecar (snapshot changed) forces the rebuild; the cold
+    path stays behind :func:`clear_semantic_index_cache` for bench
+    pricing (``semantic_index_build``)."""
+    from smile_spark.operators.similarity import (
+        CENTROID_MOD,
+        _assign,
+        _vectors,
+    )
+    from smile_spark.sources.bucketed import (
+        drop_bucketed_table,
+        sidecar_adoptable,
+        write_bucketed,
+        write_sidecar,
+    )
+
+    tbl = _sem_index_table(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SEM_INDEX_READY:
+        return tbl
+    base = _vectors(spark, sf_dir).filter(
+        F.col("vec_id") % SEM_INC_MOD != 0
+    )
+    n_base = base.count()
+    expected = {
+        "base_rows": n_base,
+        "op": "semantic",
+        "inc_mod": SEM_INC_MOD,
+        "centroid_mod": CENTROID_MOD,
+        "n_buckets": SEM_INDEX_BUCKETS,
+        "sf_dir": sf_dir,
+        "tables": [tbl],
+    }
+    if sidecar_adoptable(spark, tbl, expected, [tbl]):
+        _SEM_INDEX_READY.add(key)
+        return tbl
+    assigned = _assign(base, _sem_base_centroids(spark, sf_dir)).select(
+        "cid", "vec_id", "v", "d2"
+    )
+    drop_bucketed_table(spark, tbl)
+    write_bucketed(assigned, tbl, "cid", n_buckets=SEM_INDEX_BUCKETS)
+    _SEM_INDEX_SIDECARS.add(write_sidecar(spark, tbl, expected))
+    _SEM_INDEX_READY.add(key)
+    return tbl
+
+
+def semantic_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SemDeDup — the embedding-modality daily-ingest
+    path, completing the incremental family across text (setsim /
+    MinHash), image, audio, video, and now embeddings.
+
+    Probe vectors (vec_id % SEM_INC_MOD == 0) assign to the NIGHTLY
+    model's centroids map-side (broadcast centroid array, the
+    :func:`smile_spark.operators.similarity._assign` device — no
+    probe row replicates through a shuffle), then broadcast over the
+    persisted base assignment table (:func:`semantic_index_build`)
+    joined on cid: the corpus side reads pre-bucketed data with zero
+    exchange and pays no assignment work per run.  The cosine verify
+    runs inline on cluster-mate candidates only — cluster size is
+    bounded by K exactly as in :func:`semantic_dedup`.
+
+    Returns (a, b, cid, cos_r): a = probe vector, b = base
+    cluster-mate, cos_r = round(cosine, 6) >= SEMDEDUP_TAU.  Keep or
+    drop policy over these pairs is downstream's call (the pair
+    contract of every incremental rung); probe-internal duplicates
+    are the next nightly rebuild's job.
+    """
+    from smile_spark.operators.similarity import (
+        _assign,
+        _dot,
+        _norm,
+        _vectors,
+    )
+    from smile_spark.sources.bucketed import read_bucketed
+
+    tbl = semantic_index_build(spark, sf_dir)
+    probe = _vectors(spark, sf_dir).filter(
+        F.col("vec_id") % SEM_INC_MOD == 0
+    )
+    pa = _assign(probe, _sem_base_centroids(spark, sf_dir)).select(
+        F.col("vec_id").alias("a"), F.col("v").alias("av"), "cid"
+    )
+    ix = read_bucketed(spark, tbl).select(
+        "cid", F.col("vec_id").alias("b"), F.col("v").alias("bv")
+    )
+    return (
+        ix.join(F.broadcast(pa), "cid")
+        .withColumn(
+            "cos_r",
+            F.round(_dot("av", "bv") / (_norm("av") * _norm("bv")), 6),
+        )
+        .filter(F.col("cos_r") >= SEMDEDUP_TAU)
+        .select("a", "b", F.col("cid").cast("bigint").alias("cid"), "cos_r")
+    )
+
+
+def semantic_dedup_incremental_sql() -> str:
+    """Exact DuckDB oracle: base-block centroid subsample, fold-exact
+    d2 argmin assignment (ROW_NUMBER d2 ASC, cid ASC — the proven
+    equivalent of the Spark array_min-struct device), fold-exact
+    cosine rounded to 6 before the tau compare."""
+    from smile_spark.operators.similarity import CENTROID_MOD
+
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),"
+        " (x, y) -> x + y)"
+    )
+    cos = (
+        "list_reduce(list_transform(generate_series(1, len(x.v)),"
+        " i -> x.v[i] * y.v[i]), (a, b) -> a + b)"
+        " / (sqrt(list_reduce(list_transform(x.v, t -> t * t),"
+        " (a, b) -> a + b))"
+        " * sqrt(list_reduce(list_transform(y.v, t -> t * t),"
+        " (a, b) -> a + b)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, t -> CAST(t AS DOUBLE)) AS v"
+        " FROM embeddings),"
+        f" c AS (SELECT vec_id AS cid, v AS cv FROM e"
+        f"  WHERE vec_id % {CENTROID_MOD} = 0"
+        f"   AND vec_id % {SEM_INC_MOD} <> 0),"
+        f" s AS (SELECT e.vec_id, e.v, c.cid, {d2} AS d2 FROM e, c),"
+        " asg AS (SELECT vec_id, v, cid FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        "   ORDER BY d2 ASC, cid ASC) AS rn FROM s) WHERE rn = 1)"
+        " SELECT x.vec_id AS a, y.vec_id AS b,"
+        " CAST(x.cid AS BIGINT) AS cid,"
+        f" ROUND({cos}, 6) AS cos_r"
+        " FROM asg x JOIN asg y ON x.cid = y.cid"
+        f"  AND x.vec_id % {SEM_INC_MOD} = 0"
+        f"  AND y.vec_id % {SEM_INC_MOD} <> 0"
+        f" WHERE ROUND({cos}, 6) >= {SEMDEDUP_TAU}"
+    )
+
+
+SEMANTIC_DEDUP_INCREMENTAL_SQL = semantic_dedup_incremental_sql()
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 

@@ -1422,16 +1422,25 @@ def _hires_dims(doc_id: int) -> tuple[int, int]:
     return 32 + doc_id % 16, 16 + doc_id % 8
 
 
-def attach_hires_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+def attach_hires_video(
+    spark: SparkSession, sf_dir: str, where=None
+) -> DataFrame:
     """Hi-res re-render of the video payloads for the tolerant-dedup
     subset: same concatenated-PGM container, same pixel formula
     (31d + 97f + 7i mod 256), frame dims >= 32x16 so the dHash grid
-    genuinely subsamples.  (doc_id, payload) via Arrow mapInPandas."""
+    genuinely subsamples.  (doc_id, payload) via Arrow mapInPandas.
+
+    ``where`` (a Column predicate on doc_id) restricts WHICH hi-res
+    videos get re-rendered — applied BEFORE the encode, so an
+    incremental probe pays decode work for its own block only (the
+    image/audio ``_band_frame`` contract)."""
     ids = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % HIRES_MOD == 2)
         .select("doc_id")
     )
+    if where is not None:
+        ids = ids.filter(where)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1457,6 +1466,34 @@ def attach_hires_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HIRES_FRAME_KEY = 16
 
 
+def hires_frame_hashes(
+    spark: SparkSession, sf_dir: str, where=None
+) -> DataFrame:
+    """Per-frame dHash of the HI-RES video subset, keyed by the
+    composite frame id ``doc_id * 16 + frame_idx`` so every consumer
+    of :data:`DHASH_SCHEMA` (the banded pair core, the band index)
+    applies unchanged.  ``where`` restricts the decode to a doc_id
+    block (see :func:`attach_hires_video`)."""
+    mm = attach_hires_video(spark, sf_dir, where)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, _off, _len, w, h, pix in (
+                    sample_video_frames_indexed(bytes(payload), every_n=1)
+                ):
+                    bands = _dhash_bands(pix, w, h)
+                    out["doc_id"].append(
+                        int(doc_id) * _HIRES_FRAME_KEY + idx
+                    )
+                    for k in range(DHASH_N_BANDS):
+                        out[f"b{k}"].append(int(bands[k]))
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(hash_batch, DHASH_SCHEMA)
+
+
 def video_dhash_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-TOLERANT near-duplicate video pairs over the hi-res
     subset: per-frame dHash via the real decode path, then two videos
@@ -1478,24 +1515,7 @@ def video_dhash_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from smile_spark.session import release_checkpoints_on_gc
 
-    mm = attach_hires_video(spark, sf_dir)
-
-    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for idx, _off, _len, w, h, pix in (
-                    sample_video_frames_indexed(bytes(payload), every_n=1)
-                ):
-                    bands = _dhash_bands(pix, w, h)
-                    out["doc_id"].append(
-                        int(doc_id) * _HIRES_FRAME_KEY + idx
-                    )
-                    for k in range(DHASH_N_BANDS):
-                        out[f"b{k}"].append(int(bands[k]))
-            yield pd.DataFrame(out)
-
-    hashes = mm.mapInPandas(hash_batch, DHASH_SCHEMA).localCheckpoint()
+    hashes = hires_frame_hashes(spark, sf_dir).localCheckpoint()
     pairs = _dhash_pairs_from_hashes(hashes)
     out = (
         pairs.select(
@@ -1703,20 +1723,38 @@ DHASH_INC_MOD = 5
 DHASH_INDEX_BUCKETS = 16
 # (applicationId, sf_dir, modality) -> index table is ready
 _BAND_INDEX_READY: set[tuple[str, str, str]] = set()
-_BAND_INDEX_SIDECARS: dict[str, set[str]] = {"image": set(), "audio": set()}
-# modality -> (doc_id % 3 class, fingerprint frame fn, table base,
-#              grid descriptor recorded in the sidecar)
+_BAND_INDEX_SIDECARS: dict[str, set[str]] = {
+    "image": set(),
+    "audio": set(),
+    "video": set(),
+}
+# modality -> (subset mod, subset residue, table base).  Image/audio
+# subsets are the modality thirds (doc_id % 3); video's tolerant rung
+# lives on the HI-RES subset (doc_id % HIRES_MOD == 2, every second
+# video doc), whose frames the dHash grid genuinely subsamples —
+# the exact-match rung on tiny base frames needs no band index (a
+# 64-bit equi-join has no banding step).  The sidecar payloads for
+# image and audio are byte-identical to the r13-era writes, so
+# indexes built before the video rung existed still adopt.
 _BAND_MODALITY = {
-    "image": (0, "dhash_idx_bands"),
-    "audio": (1, "audio_idx_bands"),
+    "image": (3, 0, "dhash_idx_bands"),
+    "audio": (3, 1, "audio_idx_bands"),
+    "video": (HIRES_MOD, 2, "video_idx_bands"),
 }
 
 
 def _band_frame(
     spark: SparkSession, sf_dir: str, modality: str, where
 ) -> DataFrame:
+    """Fingerprint frame of one modality's subset, restricted by the
+    doc_id predicate ``where`` BEFORE any decode work.  Rows follow
+    :data:`DHASH_SCHEMA`; video rows carry composite frame ids
+    (doc_id * 16 + frame_idx) so the downstream band explode and
+    Hamming verify are modality-blind."""
     if modality == "image":
         return image_dhash_frame(spark, sf_dir, where)
+    if modality == "video":
+        return hires_frame_hashes(spark, sf_dir, where)
     return audio_fingerprint_frame(spark, sf_dir, where)
 
 
@@ -1727,7 +1765,7 @@ def _band_index_table(sf_dir: str, modality: str) -> str:
     at a time; the sidecar adoption path never drops anything."""
     from smile_spark.sources.bucketed import bucket_table_name
 
-    return bucket_table_name(_BAND_MODALITY[modality][1], sf_dir)
+    return bucket_table_name(_BAND_MODALITY[modality][2], sf_dir)
 
 
 def _clear_band_index(modality: str) -> None:
@@ -1754,6 +1792,12 @@ def clear_audio_index_cache() -> None:
     """The AUDIO twin of :func:`clear_dhash_index_cache` (bench cold
     entry ``audio_index_build``)."""
     _clear_band_index("audio")
+
+
+def clear_video_index_cache() -> None:
+    """The VIDEO twin of :func:`clear_dhash_index_cache` (bench cold
+    entry ``video_index_build``)."""
+    _clear_band_index("video")
 
 
 def _band_index_build(
@@ -1786,24 +1830,31 @@ def _band_index_build(
     )
     from smile_spark.tables import table as _table
 
-    mod_class, _ = _BAND_MODALITY[modality]
+    sub_mod, sub_res, _ = _BAND_MODALITY[modality]
     tbl = _band_index_table(sf_dir, modality)
     key = (spark.sparkContext.applicationId, sf_dir, modality)
     if key in _BAND_INDEX_READY:
         return tbl
-    base_pred = (F.col("doc_id") % 3 == mod_class) & (
+    base_pred = (F.col("doc_id") % sub_mod == sub_res) & (
         F.col("doc_id") % DHASH_INC_MOD != 0
     )
     n_base = (
         _table(spark, sf_dir, "documents").filter(base_pred).count()
     )
+    # image/audio payloads are byte-identical to pre-video builds so
+    # existing warehouse sidecars keep adopting; the video payload
+    # records the hi-res dHash grid plus the per-video frame count
+    grids = {
+        "image": [DHASH_GW, DHASH_GH],
+        "audio": [AUD_FP_GRID],
+        "video": [DHASH_GW, DHASH_GH, VID_FRAMES],
+    }
     expected = {
         "base_rows": n_base,
         "modality": modality,
         "inc_mod": DHASH_INC_MOD,
         "n_buckets": DHASH_INDEX_BUCKETS,
-        "grid": [DHASH_GW, DHASH_GH] if modality == "image"
-        else [AUD_FP_GRID],
+        "grid": grids[modality],
         "sf_dir": sf_dir,
         "tables": [tbl],
     }
@@ -1844,6 +1895,16 @@ def audio_index_build(spark: SparkSession, sf_dir: str) -> str:
     """The AUDIO perceptual base index (see :func:`_band_index_build`);
     cold-priced by the bench as ``audio_index_build``."""
     return _band_index_build(spark, sf_dir, "audio")
+
+
+def video_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """The VIDEO perceptual base index: per-FRAME dHash rows of the
+    hi-res base block, banded and persisted through the shared
+    :func:`_band_index_build` core (composite frame ids ride the band
+    rows, so the probe's Hamming verify and the per-video rollup both
+    run off the one bucketed table).  Cold-priced by the bench as
+    ``video_index_build``."""
+    return _band_index_build(spark, sf_dir, "video")
 
 
 def _band_incremental(
@@ -1925,6 +1986,44 @@ def audio_fingerprint_incremental(
     return _band_incremental(spark, sf_dir, "audio")
 
 
+def video_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual VIDEO dedup over the hi-res subset —
+    the third modality of the nightly-index family (image and audio
+    landed in r13's first wave; this completes the symmetry so every
+    perceptual rung has both a full-rebuild form and a daily-ingest
+    form).
+
+    The shared :func:`_band_incremental` probe runs at FRAME
+    granularity (composite ids ``doc_id * 16 + frame_idx``, the
+    :func:`video_dhash_tolerant` device): today's hi-res videos
+    (``doc_id % DHASH_INC_MOD == 0`` within the subset) decode and
+    band ONLY their own frames, broadcast over the persisted base
+    band table (:func:`video_index_build`), verify exact 64-bit
+    Hamming inline, and the surviving frame pairs roll up per video
+    pair.  The corpus side pays no decode, no banding, and no
+    shuffle per run; the rollup groups the probe-sized pair set.
+
+    Returns (a, b, n_close, min_hamming): a = probe video, b = base
+    video, n_close = cross-video frame pairs within
+    DHASH_MAX_DISTANCE, min_hamming their closest distance.
+    Probe-internal video pairs are the next nightly rebuild's job,
+    exactly as in the image/audio/setsim incrementals.
+    """
+    pairs = _band_incremental(spark, sf_dir, "video")
+    return (
+        pairs.select(
+            F.expr(f"a div {_HIRES_FRAME_KEY}").alias("va"),
+            F.expr(f"b div {_HIRES_FRAME_KEY}").alias("vb"),
+            "hamming",
+        )
+        .groupBy(F.col("va").alias("a"), F.col("vb").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_close"),
+            F.min("hamming").cast("bigint").alias("min_hamming"),
+        )
+    )
+
+
 def _img_hash_ctes(p: str, where: str) -> str:
     """Closed-form dHash CTE chain (prefix ``p`` keeps names unique
     when two image sets appear in one statement): pixel (gy, gx) of
@@ -1978,6 +2077,66 @@ IMAGE_DHASH_INCREMENTAL_SQL = (
     f" {_DUCK_HAMMING} AS hamming"
     " FROM p_hashes x JOIN b_hashes y ON TRUE"
     f" WHERE {_DUCK_HAMMING} <= {DHASH_MAX_DISTANCE}"
+)
+
+
+def _hires_vid_hash_ctes(p: str, where: str) -> str:
+    """Closed-form HI-RES per-frame dHash CTE chain (prefix ``p``
+    keeps names unique when probe and base sets share a statement):
+    frame pixel (gy, gx) of frame f is
+    (31*doc_id + VID_FRAME_SALT*f + 7*(sy*w + sx)) % 256 with hi-res
+    dims w = 32 + doc_id % 16, h = 16 + doc_id % 8 — the
+    VIDEO_DHASH_TOLERANT_SQL formula, factored for the incremental
+    oracle (cf. the tiny-frame ``_vid_hash_ctes`` the cross-modal
+    oracle uses)."""
+    return (
+        f"{p}vids AS (SELECT doc_id, 32 + doc_id % 16 AS w,"
+        f"  16 + doc_id % 8 AS h FROM documents WHERE {where}),"
+        f" {p}cells AS (SELECT doc_id, f, gy, gx,"
+        f"  ((31 * doc_id + {VID_FRAME_SALT} * f"
+        "   + 7 * (((gy * h) // 8) * w + ((gx * w) // 9))) % 256) AS p"
+        f"  FROM {p}vids, range({VID_FRAMES}) t0(f),"
+        "   range(8) t1(gy), range(9) t2(gx)),"
+        f" {p}bits AS (SELECT l.doc_id, l.f, l.gy, l.gx,"
+        "  CASE WHEN r.p > l.p THEN 1 ELSE 0 END AS bit"
+        f"  FROM {p}cells l JOIN {p}cells r ON r.doc_id = l.doc_id"
+        "   AND r.f = l.f AND r.gy = l.gy AND r.gx = l.gx + 1"
+        "  WHERE l.gx < 8),"
+        f" {p}bands AS (SELECT doc_id, f, gy // 2 AS band,"
+        "  CAST(SUM(bit * (1 << ((gy % 2) * 8 + gx))) AS INTEGER) AS val"
+        f"  FROM {p}bits GROUP BY doc_id, f, gy // 2),"
+        f" {p}hashes AS (SELECT doc_id, f,"
+        "  MAX(CASE WHEN band = 0 THEN val END) AS b0,"
+        "  MAX(CASE WHEN band = 1 THEN val END) AS b1,"
+        "  MAX(CASE WHEN band = 2 THEN val END) AS b2,"
+        "  MAX(CASE WHEN band = 3 THEN val END) AS b3"
+        f"  FROM {p}bands GROUP BY doc_id, f)"
+    )
+
+
+# oracle: recompute probe and base HI-RES frame hashes in closed form
+# and verify ALL probe x base frame pairs un-banded (the image-rung
+# contract), then aggregate per video pair — a banding or bucketing
+# recall bug on the Spark side fails the row-count/hash gate
+VIDEO_DHASH_INCREMENTAL_SQL = (
+    "WITH "
+    + _hires_vid_hash_ctes(
+        "p_",
+        f"doc_id % {HIRES_MOD} = 2 AND doc_id % {DHASH_INC_MOD} = 0",
+    )
+    + ", "
+    + _hires_vid_hash_ctes(
+        "b_",
+        f"doc_id % {HIRES_MOD} = 2 AND doc_id % {DHASH_INC_MOD} <> 0",
+    )
+    + ", close AS (SELECT x.doc_id AS a, y.doc_id AS b,"
+    f"  {_DUCK_HAMMING} AS hamming"
+    "  FROM p_hashes x JOIN b_hashes y ON TRUE)"
+    " SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_close,"
+    "  MIN(hamming) AS min_hamming"
+    " FROM close"
+    f" WHERE hamming <= {DHASH_MAX_DISTANCE}"
+    " GROUP BY a, b"
 )
 
 

@@ -91,6 +91,12 @@ MEASURED = {
     #                        candidate-bounded verify)
     "crossmodal_dedup_clusters": 5,  # r13 measured (three pair
     #                       sources + cc rounds + size joins)
+    "video_dhash_incremental": 2,  # r13 measured cold AND warm
+    #                       (broadcast probe frames over bucketed
+    #                        index scan + per-video-pair rollup)
+    "semantic_dedup_incremental": 1,  # r13 measured cold AND warm
+    #                       (map-side assign, broadcast probe over
+    #                        bucketed assignment scan)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

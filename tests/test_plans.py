@@ -168,6 +168,11 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # composes three checkpoint-owning pair frames and runs
         # cc_labels pointer-jumping rounds at plan time
         "crossmodal_dedup_clusters",
+        # write their bucketed base index tables on first call (the
+        # image_dhash_incremental / setsim_incremental_indexed
+        # eager-build precedents — video frame bands, SemDeDup
+        # assignment respectively)
+        "video_dhash_incremental", "semantic_dedup_incremental",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set
