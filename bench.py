@@ -268,6 +268,25 @@ def main() -> None:
             round(time.perf_counter() - t0, 4)
         )
 
+    # Cold build of the memoized cross-modal pair table (the
+    # dhash_pairs_build contract): crossmodal_image_video_dedup and
+    # crossmodal_dedup_clusters both read the memo — price the image
+    # decode + asymmetric banded join + verify chain here, AFTER the
+    # video hash memo is warm so this isolates the cross-modal work.
+    for _ in range(2 if _build_wanted("crossmodal_pairs_build") else 0):
+        _mm.clear_crossmodal_cache()
+        t0 = time.perf_counter()
+        try:
+            _force(_mm.crossmodal_image_video_dedup(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["crossmodal_pairs_build"] = (
+                f"{type(exc).__name__}: {exc}"[:500]
+            )
+            break
+        samples.setdefault("crossmodal_pairs_build", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
     # Cold build of the persisted perceptual fingerprint index
     # (VERDICT r12 #2): image_dhash_incremental probes the bucketed
     # base band table — price the base decode + banding + bucketed

@@ -2143,6 +2143,28 @@ VIDEO_DHASH_INCREMENTAL_SQL = (
 # --- cross-modal near-dup: video frames <-> images --------------------------
 
 
+# The verified cross-modal pair table memoized per (application,
+# sf_dir) — the dhash_pairs_build contract applied to the cross-modal
+# rung: the banded join (image re-decode included) runs once per
+# session and feeds both the registered entry and the joint clusters
+# op; the bench prices the cold chain under ``crossmodal_pairs_build``.
+_CROSSMODAL_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CROSSMODAL_CHECKPOINTS: list[DataFrame] = []
+
+
+def clear_crossmodal_cache() -> None:
+    """Drop the cross-modal pair-table memo AND free its checkpointed
+    blocks (the clear_dhash_cache contract).  Unpersisted checkpoints
+    cannot be recomputed — only call when no live consumer holds the
+    old pair table."""
+    from smile_spark.session import unpersist_checkpoint
+
+    for df in _CROSSMODAL_CHECKPOINTS:
+        unpersist_checkpoint(df)
+    _CROSSMODAL_CHECKPOINTS.clear()
+    _CROSSMODAL_PAIR_CACHE.clear()
+
+
 def crossmodal_image_video_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2168,6 +2190,14 @@ def crossmodal_image_video_dedup(
     verify runs inline on candidates (both fingerprints ride the band
     rows), then survivors aggregate per (image, video) pair.
 
+    The VERIFIED pair table is memoized per (application, sf_dir)
+    under the ``dhash_pairs_build`` contract — one decode + banded
+    join per session feeds this entry and
+    :func:`crossmodal_dedup_clusters`; the image fingerprint
+    checkpoint releases once the self-contained pair checkpoint
+    materializes, and the bench prices the cold chain as
+    ``crossmodal_pairs_build``.
+
     Returns (a, b, n_close, min_hamming): a = image doc, b = video
     doc, n_close = frames of b within the radius of a's hash,
     min_hamming their closest distance.  Measured non-degenerate at
@@ -2176,14 +2206,17 @@ def crossmodal_image_video_dedup(
     cf. the 70%-degenerate measurement that keeps tolerance off the
     exact video rung).
     """
-    from smile_spark.session import keep_alive, release_checkpoints_on_gc
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CROSSMODAL_PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from smile_spark.session import unpersist_checkpoint
 
     ih = image_dhash_frame(spark, sf_dir).localCheckpoint()
     # the frame-hash table comes from the per-application memo (one
     # decode pass per session, shared with video_frame_dedup and the
     # joint clusters op; cold cost priced by video_hashes_build) — its
-    # checkpoint is OWNED by the memo, so it is kept alive below, never
-    # released with this result
+    # checkpoint is OWNED by that memo and is never released here
     vh = video_frame_hashes_cached(spark, sf_dir)
     band_structs = [
         F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
@@ -2252,8 +2285,14 @@ def crossmodal_image_video_dedup(
             F.min("hamming").cast("bigint").alias("min_hamming"),
         )
     )
-    release_checkpoints_on_gc(out, [ih])
-    return keep_alive(out, vh)
+    # the memoized pair checkpoint is self-contained (lineage
+    # truncated), so neither the image fingerprint checkpoint nor the
+    # memo-owned video hash table needs to outlive it
+    result = out.localCheckpoint()
+    unpersist_checkpoint(ih)
+    _CROSSMODAL_CHECKPOINTS.append(result)
+    _CROSSMODAL_PAIR_CACHE[key] = result
+    return result
 
 
 def _vid_hash_ctes(p: str) -> str:
@@ -2396,10 +2435,10 @@ def crossmodal_dedup_clusters(
         .select("doc_id")
     )
     out = _perceptual_keep_list(pairs, universe)
-    # every source pair frame owns checkpoints (the memoized image
-    # pair table; vp/cp's gc-released fingerprint checkpoints) that
-    # must outlive the composed result — the session.keep_alive
-    # composer contract
+    # ip and cp are self-contained memo checkpoints; vp still owns
+    # its gc-released per-call signature checkpoint — all three must
+    # outlive the composed result (the session.keep_alive composer
+    # contract)
     return keep_alive(out, ip, vp, cp)
 
 

@@ -93,8 +93,12 @@ def test_kcore_peel_releases_all_checkpoints(spark, sf_dir):
     gc.collect()
     n1 = jsc.getPersistentRDDs().size()
     # the profile is driver-built: a warm-memo invocation must leave
-    # ZERO additional persisted RDDs behind
-    assert n1 - n0 == 0, (n0, n1)
+    # ZERO additional persisted RDDs behind.  <= rather than ==: other
+    # frames' gc-deferred checkpoint releases can land between the two
+    # measurements (observed 23 -> 21 in a full-suite run), and a
+    # DECREASE is never a kcore leak — the setsim build-failure test
+    # uses the same bound for the same reason.
+    assert n1 - n0 <= 0, (n0, n1)
 
 
 # ---------------------------------------------------------------------------

@@ -497,6 +497,10 @@ def test_video_hash_memo_contract(spark, sf_dir):
     del out
     _gc.collect()
     M.clear_video_hash_cache()
+    # the cross-modal pair table is itself memoized now — clear it
+    # too so the final call genuinely recomputes through the fresh
+    # video hash memo
+    M.clear_crossmodal_cache()
     b = M.video_frame_hashes_cached(spark, sf_dir)
     assert b is not a
     assert M.crossmodal_image_video_dedup(spark, sf_dir).count() == n1

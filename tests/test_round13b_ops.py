@@ -164,3 +164,38 @@ def test_semantic_index_adoption_and_stale_sidecar(
     D._SEM_INDEX_READY.clear()
     assert D.semantic_index_build(spark, sf_dir) == tbl
     assert len(writes) == 1, "stale sidecar must trigger a rebuild"
+
+
+# ---------------------------------------------------------------------------
+# Memoized cross-modal pair table (the dhash_pairs_build contract)
+# ---------------------------------------------------------------------------
+
+
+def test_crossmodal_pair_memo_contract(spark, sf_dir):
+    """One banded cross-modal join per (application, sf_dir): repeat
+    calls return the same checkpointed pair table; clearing releases
+    the checkpoint and a rebuild yields identical pairs; the joint
+    clusters op reads the memo."""
+    import gc as _gc
+
+    from smile_spark.operators import multimodal as M
+
+    M.clear_crossmodal_cache()
+    a = M.crossmodal_image_video_dedup(spark, sf_dir)
+    assert M.crossmodal_image_video_dedup(spark, sf_dir) is a
+    rows = {tuple(r) for r in a.collect()}
+    assert rows, "cross-modal pairs degenerate at the fixture floor"
+    # the clusters op must consume the memo, not rebuild
+    n_clusters = M.crossmodal_dedup_clusters(spark, sf_dir).count()
+    assert n_clusters > 0
+    _gc.collect()
+    jsc = spark.sparkContext._jsc.sc()
+    n0 = jsc.getPersistentRDDs().size()
+    M.clear_crossmodal_cache()
+    _gc.collect()
+    assert jsc.getPersistentRDDs().size() < n0, (
+        "clear_crossmodal_cache released no checkpointed blocks"
+    )
+    b = M.crossmodal_image_video_dedup(spark, sf_dir)
+    assert b is not a
+    assert {tuple(r) for r in b.collect()} == rows
