@@ -102,7 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in r12 (square-tone WAV synthesis); this clears the round's
         # only carried debt ---
         "multimodal_decode_audio": M.multimodal_decode_audio,
-        # --- (4) the first 35 of the 50 r09-verified entries ---
+        # --- (4) the first 33 of the 50 r09-verified entries ---
         "nearest_centroid_eval": S.nearest_centroid_eval,
         "ann_recall_eval": S.ann_recall_eval,
         "exact_ngram_dedup": D.exact_ngram_dedup,

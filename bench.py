@@ -120,6 +120,20 @@ def main() -> None:
                 time.perf_counter() - t0, 4
             )
 
+    if only:
+        # The subset warmup lap covers only the asked-for queries,
+        # leaving the drift controls COLD — the r13 solo-arbitration
+        # attempt drift-flagged purely because its "start" controls
+        # timed a cold session (1.24 s vs 0.39 at the end) and the
+        # retime had to be discarded.  Warm the controls untimed so a
+        # solo run's controls measure the same warm session the full
+        # run's do (the full warmup lap already covers them there).
+        for cname in control_names:
+            try:
+                _force(all_queries[cname](spark, sf_dir))
+            except Exception:  # noqa: BLE001 — controls must not kill
+                continue
+
     run_controls("start")
 
     samples: dict[str, list[float]] = {}

@@ -656,6 +656,12 @@ def minhash_index_build(spark: SparkSession, sf_dir: str) -> str:
         "tables": [tbl],
     }
     if sidecar_adoptable(spark, tbl, expected, [tbl]):
+        # track the sidecar whether built OR adopted (the IVF
+        # contract, ADVICE r13 #2) so the bench's cold loop always
+        # restores the full rebuild path
+        from smile_spark.sources.bucketed import sidecar_path
+
+        _MH_INDEX_SIDECARS.add(sidecar_path(spark, tbl))
         _MH_INDEX_READY.add(key)
         return tbl
     bands = _lsh_bands_from_sig(_minhash_sig_from_docs(base))
@@ -1155,6 +1161,14 @@ def semantic_index_build(spark: SparkSession, sf_dir: str) -> str:
         "tables": [tbl],
     }
     if sidecar_adoptable(spark, tbl, expected, [tbl]):
+        # track the sidecar whether built OR adopted (the IVF
+        # contract, ADVICE r13 #2): without this, a fresh process
+        # over an existing warehouse adopts here and
+        # clear_semantic_index_cache cannot force the cold
+        # assign+write path the bench's semantic_index_build prices
+        from smile_spark.sources.bucketed import sidecar_path
+
+        _SEM_INDEX_SIDECARS.add(sidecar_path(spark, tbl))
         _SEM_INDEX_READY.add(key)
         return tbl
     assigned = _assign(base, _sem_base_centroids(spark, sf_dir)).select(
@@ -2483,6 +2497,13 @@ def setsim_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     if sidecar_adoptable(
         spark, sidecar_name, expected, list(tables.values())
     ):
+        # track the sidecar whether built OR adopted (the IVF
+        # contract, ADVICE r13 #2): clear_setsim_index_cache must be
+        # able to force a true cold rebuild even when this process
+        # only ever adopted a prior application's index
+        from smile_spark.sources.bucketed import sidecar_path
+
+        _SETSIM_SIDECARS.add(sidecar_path(spark, sidecar_name))
         _SETSIM_INDEX_READY.add(key)
         return tables
     raw = docs.select(

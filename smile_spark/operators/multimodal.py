@@ -1859,6 +1859,12 @@ def _band_index_build(
         "tables": [tbl],
     }
     if sidecar_adoptable(spark, tbl, expected, [tbl]):
+        # track the sidecar whether built OR adopted (the IVF
+        # contract, ADVICE r13 #2) so the per-modality cache clears
+        # always restore the cold decode+band+write path
+        from smile_spark.sources.bucketed import sidecar_path
+
+        _BAND_INDEX_SIDECARS[modality].add(sidecar_path(spark, tbl))
         _BAND_INDEX_READY.add(key)
         return tbl
     hashes = _band_frame(
@@ -2153,14 +2159,18 @@ _CROSSMODAL_CHECKPOINTS: list[DataFrame] = []
 
 
 def clear_crossmodal_cache() -> None:
-    """Drop the cross-modal pair-table memo AND free its checkpointed
-    blocks (the clear_dhash_cache contract).  Unpersisted checkpoints
-    cannot be recomputed — only call when no live consumer holds the
-    old pair table."""
-    from smile_spark.session import unpersist_checkpoint
+    """Drop the cross-modal pair-table memo; the checkpointed blocks
+    are freed when the LAST reference to the evicted frame drops
+    (``session.release_checkpoint_when_gc``) rather than immediately,
+    so a consumer returned BEFORE the clear (e.g. a live
+    crossmodal_dedup_clusters frame holding the pair table via
+    keep_alive) keeps evaluating instead of failing with
+    lost-checkpoint-block errors (ADVICE r13 #3).  Callers that held
+    no consumer see the blocks released at the next gc pass."""
+    from smile_spark.session import release_checkpoint_when_gc
 
     for df in _CROSSMODAL_CHECKPOINTS:
-        unpersist_checkpoint(df)
+        release_checkpoint_when_gc(df)
     _CROSSMODAL_CHECKPOINTS.clear()
     _CROSSMODAL_PAIR_CACHE.clear()
 

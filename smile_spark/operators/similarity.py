@@ -1312,6 +1312,12 @@ def pq_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     if sidecar_adoptable(
         spark, sidecar_name, expected, list(tables.values())
     ):
+        # track the sidecar whether built OR adopted (the IVF
+        # contract, ADVICE r13 #2) so clear_pq_index_cache always
+        # restores the cold codebook+encode+write path
+        from smile_spark.sources.bucketed import sidecar_path
+
+        _PQ_INDEX_SIDECARS.add(sidecar_path(spark, sidecar_name))
         _PQ_INDEX_READY.add(key)
         return tables
     books = _pq_codebook(spark, emb)

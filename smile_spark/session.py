@@ -185,6 +185,52 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+def release_checkpoint_when_gc(df) -> None:
+    """Defer a checkpoint release to the frame's OWN garbage
+    collection: the block-manager storage behind a
+    ``localCheckpoint``-ed DataFrame is freed when the LAST Python
+    reference to it drops (memo eviction plus every consumer
+    keep-alive), not at eviction time.
+
+    This is the safe eviction device for memoized frames that prior
+    consumers may still hold via :func:`keep_alive` (ADVICE r13 #3):
+    an immediate :func:`unpersist_checkpoint` on eviction would fail
+    those consumers with lost-checkpoint-block errors, while this
+    defers the release until CPython refcounting proves nobody can
+    evaluate the frame again.  The JVM-side RDD handle is captured
+    eagerly so the finalizer holds NO reference to the Python frame
+    (a self-referencing finalizer would keep it alive forever).
+    Best-effort on py4j internals, mirroring
+    :func:`unpersist_checkpoint`'s warn-once contract.
+    """
+    global _UNPERSIST_WARNED
+    import weakref
+
+    try:
+        jrdd = df._jdf.queryExecution().analyzed().rdd()
+    except Exception as exc:  # noqa: BLE001 — leak beats crash here
+        if not _UNPERSIST_WARNED:
+            _UNPERSIST_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "release_checkpoint_when_gc is a no-op on this Spark"
+                f" build ({type(exc).__name__}: {exc}); checkpointed"
+                " blocks will leak for the life of the application",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return
+
+    def _unp(j=jrdd):
+        try:
+            j.unpersist(False)
+        except Exception:  # noqa: BLE001 — interpreter/JVM may be gone
+            pass
+
+    weakref.finalize(df, _unp)
+
+
 def keep_alive(result, *parents):
     """Attach checkpoint-owning ``parents`` to ``result`` so their
     blocks survive for as long as the returned frame does.

@@ -173,9 +173,11 @@ def test_semantic_index_adoption_and_stale_sidecar(
 
 def test_crossmodal_pair_memo_contract(spark, sf_dir):
     """One banded cross-modal join per (application, sf_dir): repeat
-    calls return the same checkpointed pair table; clearing releases
-    the checkpoint and a rebuild yields identical pairs; the joint
-    clusters op reads the memo."""
+    calls return the same checkpointed pair table; clearing evicts
+    the memo but defers the block release until the last live
+    reference drops (ADVICE r13 #3 — a consumer returned before the
+    clear keeps evaluating); a rebuild yields identical pairs; the
+    joint clusters op reads the memo."""
     import gc as _gc
 
     from smile_spark.operators import multimodal as M
@@ -193,9 +195,19 @@ def test_crossmodal_pair_memo_contract(spark, sf_dir):
     n0 = jsc.getPersistentRDDs().size()
     M.clear_crossmodal_cache()
     _gc.collect()
+    # `a` is still referenced here — the deferred release must NOT
+    # have freed the blocks, and the stale consumer still evaluates
+    assert jsc.getPersistentRDDs().size() == n0, (
+        "clear_crossmodal_cache must defer the release while a"
+        " consumer still holds the pair table"
+    )
+    assert {tuple(r) for r in a.collect()} == rows, (
+        "stale consumer failed after a mid-session cache clear"
+    )
+    del a
+    _gc.collect()
     assert jsc.getPersistentRDDs().size() < n0, (
-        "clear_crossmodal_cache released no checkpointed blocks"
+        "dropping the last reference released no checkpointed blocks"
     )
     b = M.crossmodal_image_video_dedup(spark, sf_dir)
-    assert b is not a
     assert {tuple(r) for r in b.collect()} == rows
