@@ -418,6 +418,60 @@ def main() -> None:
             round(time.perf_counter() - t0, 4)
         )
 
+    # Cold pricing of the nightly index FOLD (VERDICT r13 #3): the
+    # roll-forward appends the fold block's rows to the persisted
+    # index — the increment-linear nightly step.  A fold is a one-way
+    # append, so each timed pass first restores the pre-fold BASE
+    # state (untimed, corpus-linear — the cost setsim_index_build
+    # already prices) and then times the fold alone.
+    for _ in range(
+        _build_passes if _build_wanted("setsim_rollforward") else 0
+    ):
+        try:
+            _dedup.clear_setsim_roll_cache()
+            _dedup.setsim_roll_restore_base(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["setsim_rollforward"] = (
+                f"{type(exc).__name__}: {exc}"[:500]
+            )
+            break
+        t0 = time.perf_counter()
+        try:
+            _dedup.setsim_index_rollforward(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["setsim_rollforward"] = (
+                f"{type(exc).__name__}: {exc}"[:500]
+            )
+            break
+        samples.setdefault("setsim_rollforward", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
+    # The IMAGE twin through the shared band core: restore the base
+    # band table untimed, then time the decode+band+append fold.
+    for _ in range(
+        _build_passes if _build_wanted("dhash_rollforward") else 0
+    ):
+        try:
+            _mm.clear_dhash_roll_cache()
+            _mm.band_roll_restore_base(spark, sf_dir, "image")
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["dhash_rollforward"] = (
+                f"{type(exc).__name__}: {exc}"[:500]
+            )
+            break
+        t0 = time.perf_counter()
+        try:
+            _mm.band_index_rollforward(spark, sf_dir, "image")
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors["dhash_rollforward"] = (
+                f"{type(exc).__name__}: {exc}"[:500]
+            )
+            break
+        samples.setdefault("dhash_rollforward", []).append(
+            round(time.perf_counter() - t0, 4)
+        )
+
     # Two passes, min per query: the first pass doubles as per-query
     # warmup (code cache, shuffle-file reuse is disabled by noop's
     # overwrite, OS pagecache), the min filters GC/scheduler noise so

@@ -2435,77 +2435,27 @@ def clear_setsim_index_cache() -> None:
         _SETSIM_SIDECARS.discard(path)
 
 
-def setsim_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
-    """Materialize the incremental-dedup BASE index once per
-    (application, fixture dir, token-hash mode): one corpus-linear
-    pass over the base block (tokenize, per-side GroupJoin collapse,
-    document frequencies, AllPairs prefixes — exactly the base-side
-    stages of :func:`setsim_incremental`), persisted as four bucketed
-    tables.  Returns the table-name map.
-
-    At 100 TB this is the nightly index job: the corpus pays its
-    linear pass ONCE, and every ingest probes the bucketed tables —
-    the ``ann_ivf_indexed`` persist-and-probe contract applied to set
-    similarity.  The token-hash mode is baked into the table names, so
-    flipping ``spark.smile.setsim.tokenHash`` mid-session can never
-    serve an index built under the other tokenization.
-
-    A session whose per-process memo is empty first tries to ADOPT
-    the existing tables (VERDICT r12 next-round #5): a sidecar JSON
-    written after the tables records the base-block row count and the
-    build parameters, and when it matches what this build would
-    produce — and the catalog still knows all four tables — the
-    corpus-linear pass is skipped entirely.  A stale sidecar (the
-    snapshot changed) or missing tables fall through to the
-    drop-and-rebuild path, which stays behind
-    :func:`clear_setsim_index_cache` for the bench's cold pricing.
-    """
+def _setsim_index_write(
+    spark: SparkSession,
+    docs: DataFrame,
+    tables: dict[str, str],
+    hash_tokens: bool,
+) -> None:
+    """Compute and persist the four setsim index tables for ``docs``
+    (the corpus-linear pass: tokenize, per-side GroupJoin collapse,
+    document frequencies, AllPairs prefixes), dropping any prior
+    version first.  Shared by :func:`setsim_index_build` and the
+    roll-forward family's base rebuild; sidecar/memo bookkeeping stays
+    with the callers.  Build-time checkpoints are consumed and
+    released in the finally block even when a drop/write throws
+    (ADVICE r12 #2)."""
     from pyspark.sql.window import Window
 
     from smile_spark.sources.bucketed import (
         drop_bucketed_table,
-        sidecar_adoptable,
         write_bucketed,
-        write_sidecar,
     )
 
-    hash_tokens = _setsim_hash_conf(spark)
-    tables = _setsim_index_tables(sf_dir, hash_tokens)
-    key = (spark.sparkContext.applicationId, sf_dir, hash_tokens)
-    if key in _SETSIM_INDEX_READY:
-        return tables
-    docs = table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % SETSIM_INC_MOD != 0
-    )
-    # snapshot fingerprint: base-block row count + every parameter the
-    # persisted tables depend on (one cheap column-pruned count); the
-    # sidecar name is (mode, sf_dir)-scoped exactly like the tables
-    from smile_spark.sources.bucketed import bucket_table_name
-
-    sidecar_name = bucket_table_name(
-        f"setsim_idx_{'h1' if hash_tokens else 'h0'}", sf_dir
-    )
-    expected = {
-        "base_rows": docs.count(),
-        "hash_tokens": hash_tokens,
-        "n_buckets": SETSIM_INDEX_BUCKETS,
-        "tau": [SETSIM_TAU_NUM, SETSIM_TAU_DEN],
-        "inc_mod": SETSIM_INC_MOD,
-        "sf_dir": sf_dir,
-        "tables": sorted(tables.values()),
-    }
-    if sidecar_adoptable(
-        spark, sidecar_name, expected, list(tables.values())
-    ):
-        # track the sidecar whether built OR adopted (the IVF
-        # contract, ADVICE r13 #2): clear_setsim_index_cache must be
-        # able to force a true cold rebuild even when this process
-        # only ever adopted a prior application's index
-        from smile_spark.sources.bucketed import sidecar_path
-
-        _SETSIM_SIDECARS.add(sidecar_path(spark, sidecar_name))
-        _SETSIM_INDEX_READY.add(key)
-        return tables
     raw = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -2549,11 +2499,6 @@ def setsim_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     prefix = ranked.filter(
         F.col("pos") <= F.col("nb") - ceil_tau_n + 1
     ).select(F.col("doc_id").alias("rb"), "tok", "nb")
-    # the bucketed tables are the persisted artifact; the build-time
-    # checkpoints are consumed and released in the finally block even
-    # when a drop/write throws — otherwise a failed build pins both
-    # checkpoints for the application lifetime and every retry leaks
-    # again (ADVICE r12 #2)
     from smile_spark.session import unpersist_checkpoint
 
     try:
@@ -2577,14 +2522,82 @@ def setsim_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             "rb",
             n_buckets=SETSIM_INDEX_BUCKETS,
         )
-        # tables are complete — record the snapshot fingerprint so a
-        # later session (on a metastore-backed catalog) can adopt them
-        _SETSIM_SIDECARS.add(
-            write_sidecar(spark, sidecar_name, expected)
-        )
     finally:
         unpersist_checkpoint(toks)
         unpersist_checkpoint(membership)
+
+
+def setsim_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Materialize the incremental-dedup BASE index once per
+    (application, fixture dir, token-hash mode): one corpus-linear
+    pass over the base block (tokenize, per-side GroupJoin collapse,
+    document frequencies, AllPairs prefixes — exactly the base-side
+    stages of :func:`setsim_incremental`), persisted as four bucketed
+    tables.  Returns the table-name map.
+
+    At 100 TB this is the nightly index job: the corpus pays its
+    linear pass ONCE, and every ingest probes the bucketed tables —
+    the ``ann_ivf_indexed`` persist-and-probe contract applied to set
+    similarity.  The token-hash mode is baked into the table names, so
+    flipping ``spark.smile.setsim.tokenHash`` mid-session can never
+    serve an index built under the other tokenization.
+
+    A session whose per-process memo is empty first tries to ADOPT
+    the existing tables (VERDICT r12 next-round #5): a sidecar JSON
+    written after the tables records the base-block row count and the
+    build parameters, and when it matches what this build would
+    produce — and the catalog still knows all four tables — the
+    corpus-linear pass is skipped entirely.  A stale sidecar (the
+    snapshot changed) or missing tables fall through to the
+    drop-and-rebuild path, which stays behind
+    :func:`clear_setsim_index_cache` for the bench's cold pricing.
+    """
+    from smile_spark.sources.bucketed import (
+        sidecar_adoptable,
+        write_sidecar,
+    )
+
+    hash_tokens = _setsim_hash_conf(spark)
+    tables = _setsim_index_tables(sf_dir, hash_tokens)
+    key = (spark.sparkContext.applicationId, sf_dir, hash_tokens)
+    if key in _SETSIM_INDEX_READY:
+        return tables
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_INC_MOD != 0
+    )
+    # snapshot fingerprint: base-block row count + every parameter the
+    # persisted tables depend on (one cheap column-pruned count); the
+    # sidecar name is (mode, sf_dir)-scoped exactly like the tables
+    from smile_spark.sources.bucketed import bucket_table_name
+
+    sidecar_name = bucket_table_name(
+        f"setsim_idx_{'h1' if hash_tokens else 'h0'}", sf_dir
+    )
+    expected = {
+        "base_rows": docs.count(),
+        "hash_tokens": hash_tokens,
+        "n_buckets": SETSIM_INDEX_BUCKETS,
+        "tau": [SETSIM_TAU_NUM, SETSIM_TAU_DEN],
+        "inc_mod": SETSIM_INC_MOD,
+        "sf_dir": sf_dir,
+        "tables": sorted(tables.values()),
+    }
+    if sidecar_adoptable(
+        spark, sidecar_name, expected, list(tables.values())
+    ):
+        # track the sidecar whether built OR adopted (the IVF
+        # contract, ADVICE r13 #2): clear_setsim_index_cache must be
+        # able to force a true cold rebuild even when this process
+        # only ever adopted a prior application's index
+        from smile_spark.sources.bucketed import sidecar_path
+
+        _SETSIM_SIDECARS.add(sidecar_path(spark, sidecar_name))
+        _SETSIM_INDEX_READY.add(key)
+        return tables
+    _setsim_index_write(spark, docs, tables, hash_tokens)
+    # tables are complete — record the snapshot fingerprint so a
+    # later session (on a metastore-backed catalog) can adopt them
+    _SETSIM_SIDECARS.add(write_sidecar(spark, sidecar_name, expected))
     _SETSIM_INDEX_READY.add(key)
     return tables
 
@@ -2611,17 +2624,32 @@ def setsim_incremental_indexed(
     Returns (a, b, na, nb, i, jaccard), a from the increment, b from
     the base.
     """
+    return _setsim_probe_indexed(
+        spark,
+        sf_dir,
+        setsim_index_build(spark, sf_dir),
+        F.col("doc_id") % SETSIM_INC_MOD == 0,
+    )
+
+
+def _setsim_probe_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: dict[str, str],
+    probe_pred,
+) -> DataFrame:
+    """The indexed-probe core of :func:`setsim_incremental_indexed`,
+    parametrized by the index table map and the probe-block predicate
+    so the roll-forward family (:func:`setsim_rolled_probe`) reuses
+    the identical probe plan against its own tables."""
     from pyspark.sql.window import Window
 
     from smile_spark.session import release_checkpoints_on_gc
     from smile_spark.sources.bucketed import read_bucketed
 
-    tables = setsim_index_build(spark, sf_dir)
     hash_tokens = _setsim_hash_conf(spark)
     group: list[DataFrame] = []
-    docs = table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % SETSIM_INC_MOD == 0
-    )
+    docs = table(spark, sf_dir, "documents").filter(probe_pred)
     raw = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -2748,6 +2776,349 @@ def setsim_incremental_indexed(
     )
     release_checkpoints_on_gc(out, group)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Nightly index roll-forward (VERDICT r13 What's-missing #1)
+# ---------------------------------------------------------------------------
+
+# Every *_index_build is corpus-linear per SNAPSHOT: when the base
+# block grows, the sidecar goes stale and the whole index is dropped
+# and rebuilt.  The roll-forward makes the NIGHTLY job itself
+# increment-linear: fold the verified increment's rows into the
+# persisted tables (append, never rewrite) and advance the sidecar
+# fingerprint, reserving the full rebuild for parameter changes.
+#
+# Fixture block arithmetic: the standard increment (doc_id % 5 == 0)
+# splits in half — the FOLD block (doc_id % 10 == 0) is "yesterday's
+# verified increment" the nightly job adopts into the index, and the
+# PROBE block (doc_id % 10 == 5) is "today's crawl" probing the
+# rolled index.  The rolled index therefore covers exactly
+# doc_id % 10 != 5, which the closed-form oracle mirrors.
+#
+# CORRECTNESS OF THE FROZEN df ORDER: the AllPairs prefix filter only
+# requires that probe and index rank tokens by the SAME total order —
+# the df values are a prefix-size heuristic, not a correctness input.
+# The fold ranks its prefixes under the PERSISTED base df (absent
+# tokens read df 0 and sort first), exactly the order every future
+# probe uses, so the rolled index and its probes share one total
+# order and the filter stays lossless.  A full rebuild on the grown
+# base would choose a DIFFERENT (also internally consistent) order;
+# verified pair RESULTS are identical either way — which is what the
+# agreement test pins.
+#
+# The roll family gets its OWN table names (setsim_roll_*): folding
+# into the setsim_idx_* tables in place would silently change
+# setsim_incremental_indexed's verified contract (its probe block
+# overlaps the fold block).  In production there is one index and the
+# probe convention advances with it; the fixture keeps both states
+# observable.
+
+SETSIM_ROLL_MOD = 2 * SETSIM_INC_MOD  # fold: % 10 == 0; probe: % 10 == 5
+_SETSIM_ROLL_READY: set[tuple[str, str, bool]] = set()
+_SETSIM_ROLL_SIDECARS: set[str] = set()
+
+
+def _setsim_roll_tables(sf_dir: str, hash_tokens: bool) -> dict[str, str]:
+    """Roll-forward twin of :func:`_setsim_index_tables` (same
+    single-writer assumption)."""
+    from smile_spark.sources.bucketed import bucket_table_name
+
+    suffix = "h1" if hash_tokens else "h0"
+    return {
+        part: bucket_table_name(f"setsim_roll_{part}_{suffix}", sf_dir)
+        for part in ("prefix", "df", "reps", "members")
+    }
+
+
+def _setsim_roll_payloads(
+    spark: SparkSession,
+    sf_dir: str,
+    hash_tokens: bool,
+    tables: dict[str, str],
+) -> tuple[dict, dict]:
+    """(base-state, rolled-state) sidecar payloads.  Both carry every
+    build parameter plus the covered-block row counts (cheap parquet
+    metadata counts), so a parameter change OR a snapshot change makes
+    both states unadoptable and forces the full rebuild."""
+    docs = table(spark, sf_dir, "documents")
+    base = {
+        "state": "base",
+        "base_rows": docs.filter(
+            F.col("doc_id") % SETSIM_INC_MOD != 0
+        ).count(),
+        "hash_tokens": hash_tokens,
+        "n_buckets": SETSIM_INDEX_BUCKETS,
+        "tau": [SETSIM_TAU_NUM, SETSIM_TAU_DEN],
+        "inc_mod": SETSIM_INC_MOD,
+        "roll_mod": SETSIM_ROLL_MOD,
+        "sf_dir": sf_dir,
+        "tables": sorted(tables.values()),
+    }
+    rolled = dict(base)
+    rolled["state"] = "rolled"
+    rolled["fold_rows"] = docs.filter(
+        F.col("doc_id") % SETSIM_ROLL_MOD == 0
+    ).count()
+    return base, rolled
+
+
+def _setsim_roll_sidecar_name(sf_dir: str, hash_tokens: bool) -> str:
+    from smile_spark.sources.bucketed import bucket_table_name
+
+    return bucket_table_name(
+        f"setsim_roll_{'h1' if hash_tokens else 'h0'}", sf_dir
+    )
+
+
+def clear_setsim_roll_cache() -> None:
+    """Forget the roll-forward memo AND drop this process' adoption
+    sidecars (built or adopted — the IVF contract), so the next call
+    runs the full base-rebuild + fold path.  Tables overwrite in
+    place; nothing to unpersist."""
+    from smile_spark.sources.bucketed import remove_sidecar_file
+
+    _SETSIM_ROLL_READY.clear()
+    for path in list(_SETSIM_ROLL_SIDECARS):
+        remove_sidecar_file(path)
+        _SETSIM_ROLL_SIDECARS.discard(path)
+
+
+def setsim_roll_restore_base(spark: SparkSession, sf_dir: str) -> None:
+    """Force the roll tables back to the pre-fold BASE state (drop +
+    corpus-linear rebuild + base sidecar) — the bench/test device for
+    pricing the FOLD alone: a fold is a one-way append, so re-timing
+    it cold requires restoring the state it consumes.  Production
+    never calls this; the nightly job folds each increment once."""
+    from smile_spark.sources.bucketed import write_sidecar
+
+    hash_tokens = _setsim_hash_conf(spark)
+    tables = _setsim_roll_tables(sf_dir, hash_tokens)
+    key = (spark.sparkContext.applicationId, sf_dir, hash_tokens)
+    _SETSIM_ROLL_READY.discard(key)
+    base_docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_INC_MOD != 0
+    )
+    _setsim_index_write(spark, base_docs, tables, hash_tokens)
+    pb, _ = _setsim_roll_payloads(spark, sf_dir, hash_tokens, tables)
+    _SETSIM_ROLL_SIDECARS.add(
+        write_sidecar(
+            spark, _setsim_roll_sidecar_name(sf_dir, hash_tokens), pb
+        )
+    )
+
+
+def _setsim_fold_append(
+    spark: SparkSession,
+    sf_dir: str,
+    hash_tokens: bool,
+    tables: dict[str, str],
+) -> None:
+    """Append the fold block's collapse/membership/prefix rows to the
+    persisted roll tables — the increment-linear nightly step.  The
+    df table is NOT touched: it is the frozen total order (see the
+    section comment).  On ANY append failure the tables are dropped
+    and the sidecar removed, so a half-appended index is never
+    adoptable (the crash-window analogue of sidecar-after-write; a
+    transactional table format would make append+fingerprint atomic)."""
+    from pyspark.sql.window import Window
+
+    from smile_spark.session import unpersist_checkpoint
+    from smile_spark.sources.bucketed import (
+        append_bucketed,
+        drop_bucketed_table,
+        read_bucketed,
+        remove_sidecar_file,
+        sidecar_path,
+    )
+
+    fold = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_ROLL_MOD == 0
+    )
+    raw = fold.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    if hash_tokens:
+        raw = raw.select("doc_id", F.xxhash64("tok").alias("tok"))
+    toks = raw.distinct().localCheckpoint()
+    try:
+        dsets = toks.groupBy("doc_id").agg(
+            F.array_sort(F.collect_set("tok")).alias("ts")
+        )
+        membership = (
+            dsets.groupBy("ts")
+            .agg(
+                F.min("doc_id").alias("rb"),
+                F.collect_list("doc_id").alias("ms"),
+            )
+            .select(
+                "rb",
+                "ts",
+                F.explode("ms").alias("b"),
+                F.size("ts").cast("bigint").alias("nb"),
+            )
+            .localCheckpoint()
+        )
+        reps = membership.filter(F.col("b") == F.col("rb"))
+        rtoks = toks.join(
+            reps.select(F.col("rb").alias("doc_id")), "doc_id", "semi"
+        )
+        # prefixes ranked under the FROZEN persisted df — absent
+        # tokens read df 0 and sort first, the probe's exact rule
+        dfreq = read_bucketed(spark, tables["df"])
+        wdoc = Window.partitionBy("doc_id").orderBy(
+            F.asc("df"), F.asc("tok")
+        )
+        ceil_tau_n = F.expr(
+            f"({SETSIM_TAU_NUM} * nb + {SETSIM_TAU_DEN - 1})"
+            f" div {SETSIM_TAU_DEN}"
+        )
+        ranked = (
+            rtoks.join(dfreq, "tok", "left")
+            .withColumn("df", F.coalesce("df", F.lit(0)))
+            .join(
+                reps.select(F.col("rb").alias("doc_id"), "nb"), "doc_id"
+            )
+            .withColumn("pos", F.row_number().over(wdoc))
+        )
+        prefix = ranked.filter(
+            F.col("pos") <= F.col("nb") - ceil_tau_n + 1
+        ).select(F.col("doc_id").alias("rb"), "tok", "nb")
+        try:
+            append_bucketed(
+                prefix,
+                tables["prefix"],
+                "tok",
+                n_buckets=SETSIM_INDEX_BUCKETS,
+            )
+            append_bucketed(
+                reps.select("rb", "ts", "nb"),
+                tables["reps"],
+                "rb",
+                n_buckets=SETSIM_INDEX_BUCKETS,
+            )
+            append_bucketed(
+                membership.select("rb", "b"),
+                tables["members"],
+                "rb",
+                n_buckets=SETSIM_INDEX_BUCKETS,
+            )
+        except Exception:
+            for tbl in tables.values():
+                drop_bucketed_table(spark, tbl)
+            scpath = sidecar_path(
+                spark, _setsim_roll_sidecar_name(sf_dir, hash_tokens)
+            )
+            remove_sidecar_file(scpath)
+            _SETSIM_ROLL_SIDECARS.discard(scpath)
+            raise
+    finally:
+        unpersist_checkpoint(toks)
+        # membership may not exist if the first checkpoint threw
+        try:
+            unpersist_checkpoint(membership)
+        except NameError:
+            pass
+
+
+def setsim_index_rollforward(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, str]:
+    """Advance the persisted setsim index from covering the BASE
+    block to covering base ∪ fold by APPENDING the fold block's
+    collapse/membership/prefix rows and updating the sidecar — the
+    nightly job's increment-linear form (VERDICT r13 next-round #3),
+    replacing the drop-and-rebuild that made every snapshot change
+    corpus-linear.
+
+    Three-state resolution per (application, sf_dir, token-hash):
+    1. a ROLLED sidecar over live tables → adopt (nothing to do);
+    2. a BASE sidecar over live tables → fold (increment-linear);
+    3. anything else (no sidecar, stale snapshot, CHANGED PARAMETERS)
+       → full corpus-linear base rebuild, then fold.
+    Parameter changes land in state 3 by construction — every build
+    parameter is in both payloads, so no rolled index built under
+    other parameters can ever be adopted (the stale-params test pins
+    this).  The single-writer assumption of the setsim index family
+    applies unchanged."""
+    from smile_spark.sources.bucketed import (
+        sidecar_adoptable,
+        sidecar_path,
+        write_sidecar,
+    )
+
+    hash_tokens = _setsim_hash_conf(spark)
+    tables = _setsim_roll_tables(sf_dir, hash_tokens)
+    key = (spark.sparkContext.applicationId, sf_dir, hash_tokens)
+    if key in _SETSIM_ROLL_READY:
+        return tables
+    name = _setsim_roll_sidecar_name(sf_dir, hash_tokens)
+    pb, pr = _setsim_roll_payloads(spark, sf_dir, hash_tokens, tables)
+    if sidecar_adoptable(spark, name, pr, list(tables.values())):
+        _SETSIM_ROLL_SIDECARS.add(sidecar_path(spark, name))
+        _SETSIM_ROLL_READY.add(key)
+        return tables
+    if not sidecar_adoptable(spark, name, pb, list(tables.values())):
+        base_docs = table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % SETSIM_INC_MOD != 0
+        )
+        _setsim_index_write(spark, base_docs, tables, hash_tokens)
+        _SETSIM_ROLL_SIDECARS.add(write_sidecar(spark, name, pb))
+    _setsim_fold_append(spark, sf_dir, hash_tokens, tables)
+    _SETSIM_ROLL_SIDECARS.add(write_sidecar(spark, name, pr))
+    _SETSIM_ROLL_READY.add(key)
+    return tables
+
+
+def setsim_rolled_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Today's crawl (doc_id % 10 == 5) probing the ROLLED index —
+    the end-to-end proof that folded rows genuinely participate in
+    candidate generation: probe docs near-duplicating FOLD docs
+    (b % 10 == 0) can only surface through the appended prefix rows,
+    so any fold defect (wrong ranking order, missed append, schema
+    drift) fails the closed-form oracle's hash gate.
+
+    The probe plan is byte-identical to setsim_incremental_indexed's
+    (the shared :func:`_setsim_probe_indexed` core): increment-only
+    tokenize/collapse/prefix, candidates against the bucketed prefix
+    table, candidate-bounded exact verify.  Returns
+    (a, b, na, nb, i, jaccard): a from the probe block, b from
+    base ∪ fold.
+    """
+    tables = setsim_index_rollforward(spark, sf_dir)
+    return _setsim_probe_indexed(
+        spark,
+        sf_dir,
+        tables,
+        F.col("doc_id") % SETSIM_ROLL_MOD == SETSIM_INC_MOD,
+    )
+
+
+# oracle: exact all-pairs Jaccard between the probe block and the
+# rolled coverage (base ∪ fold = everything except the probe block) —
+# un-banded, un-prefixed closed form, so prefix/fold recall failures
+# fail the row-count/hash gate
+SETSIM_ROLLED_PROBE_SQL = (
+    "WITH toks AS (SELECT DISTINCT doc_id, tok FROM documents,"
+    "  unnest(string_split(text, ' ')) t(tok)),"
+    " sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),"
+    f" inc AS (SELECT doc_id FROM documents"
+    f"  WHERE doc_id % {SETSIM_ROLL_MOD} = {SETSIM_INC_MOD}),"
+    f" base AS (SELECT doc_id FROM documents"
+    f"  WHERE doc_id % {SETSIM_ROLL_MOD} <> {SETSIM_INC_MOD}),"
+    " inter AS (SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS i"
+    "  FROM toks ta JOIN inc ON inc.doc_id = ta.doc_id"
+    "  JOIN toks tb ON tb.tok = ta.tok"
+    "  JOIN base ON base.doc_id = tb.doc_id"
+    "  GROUP BY 1, 2),"
+    " jacc AS (SELECT a, b, CAST(sa.n AS BIGINT) AS na,"
+    "  CAST(sb.n AS BIGINT) AS nb, CAST(i AS BIGINT) AS i,"
+    "  ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard"
+    "  FROM inter JOIN sizes sa ON sa.doc_id = inter.a"
+    "  JOIN sizes sb ON sb.doc_id = inter.b)"
+    " SELECT a, b, na, nb, i, jaccard FROM jacc"
+    f" WHERE jaccard >= {SETSIM_TAU}"
+)
 
 
 # ---------------------------------------------------------------------------

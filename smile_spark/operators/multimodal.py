@@ -1800,6 +1800,26 @@ def clear_video_index_cache() -> None:
     _clear_band_index("video")
 
 
+def _band_rows_from_hashes(hashes: DataFrame) -> DataFrame:
+    """Explode a fingerprint frame to its composite (bv, doc_id,
+    b0..b3) band rows — bv = band * 65536 + val (band < 4, val < 2^16
+    — injective); the fingerprint columns ride along so a probe's
+    verify never joins back.  Shared by the nightly build and the
+    roll-forward append."""
+    band_structs = [
+        F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
+        for k in range(DHASH_N_BANDS)
+    ]
+    return hashes.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        (F.col("bb.band").cast("bigint") * 65536 + F.col("bb.val"))
+        .alias("bv"),
+        "doc_id", "b0", "b1", "b2", "b3",
+    )
+
+
 def _band_index_build(
     spark: SparkSession, sf_dir: str, modality: str
 ) -> str:
@@ -1870,18 +1890,7 @@ def _band_index_build(
     hashes = _band_frame(
         spark, sf_dir, modality, F.col("doc_id") % DHASH_INC_MOD != 0
     )
-    band_structs = [
-        F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
-        for k in range(DHASH_N_BANDS)
-    ]
-    bands = hashes.select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.explode(F.array(*band_structs)).alias("bb"),
-    ).select(
-        (F.col("bb.band").cast("bigint") * 65536 + F.col("bb.val"))
-        .alias("bv"),
-        "doc_id", "b0", "b1", "b2", "b3",
-    )
+    bands = _band_rows_from_hashes(hashes)
     drop_bucketed_table(spark, tbl)
     write_bucketed(bands, tbl, "bv", n_buckets=DHASH_INDEX_BUCKETS)
     _BAND_INDEX_SIDECARS[modality].add(
@@ -1935,23 +1944,32 @@ def _band_incremental(
     hamming <= DHASH_MAX_DISTANCE.  Increment-internal pairs are the
     next nightly rebuild's job, exactly as in setsim_incremental.
     """
-    tbl = _band_index_build(spark, sf_dir, modality)
-    probe_hashes = _band_frame(
-        spark, sf_dir, modality, F.col("doc_id") % DHASH_INC_MOD == 0
+    return _band_probe(
+        spark,
+        sf_dir,
+        modality,
+        _band_index_build(spark, sf_dir, modality),
+        F.col("doc_id") % DHASH_INC_MOD == 0,
     )
-    band_structs = [
-        F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
-        for k in range(DHASH_N_BANDS)
-    ]
-    pb = probe_hashes.select(
+
+
+def _band_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    modality: str,
+    tbl: str,
+    probe_pred,
+) -> DataFrame:
+    """The broadcast-probe core of :func:`_band_incremental`,
+    parametrized by the index table and probe predicate so the
+    roll-forward family reuses the identical probe plan against its
+    own tables."""
+    probe_hashes = _band_frame(spark, sf_dir, modality, probe_pred)
+    pb = _band_rows_from_hashes(probe_hashes).select(
         F.col("doc_id").alias("a"),
         F.col("b0").alias("xa0"), F.col("b1").alias("xa1"),
         F.col("b2").alias("xa2"), F.col("b3").alias("xa3"),
-        F.explode(F.array(*band_structs)).alias("bb"),
-    ).select(
-        "a", "xa0", "xa1", "xa2", "xa3",
-        (F.col("bb.band").cast("bigint") * 65536 + F.col("bb.val"))
-        .alias("bv"),
+        "bv",
     )
     from smile_spark.sources.bucketed import read_bucketed
 
@@ -2030,6 +2048,229 @@ def video_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Perceptual band-index roll-forward (VERDICT r13 What's-missing #1)
+# ---------------------------------------------------------------------------
+
+# The setsim roll-forward contract applied to the shared band core:
+# fold "yesterday's verified increment" (doc_id % 10 == 0 within the
+# modality) into the persisted band table by APPENDING its band rows
+# and advancing the sidecar, so the nightly job is increment-linear;
+# the full corpus rebuild is reserved for parameter/snapshot changes.
+# Band rows are per-document (no cross-document statistics), so the
+# rolled table's CONTENT is row-identical to a full rebuild over the
+# grown base — which the agreement test pins directly.
+#
+# The roll family gets its OWN table per modality ({base}_roll):
+# folding into the probed index in place would let the standard
+# incremental probes (whose probe block CONTAINS the fold block) find
+# folded copies of their own documents.  Fixture degeneracy note:
+# every hi-res VIDEO increment doc has doc_id % 10 == 0 (ids ≡ 20
+# mod 30), so video's post-roll probe block (% 10 == 5) is empty at
+# the fixture — the video rung is covered by the content-agreement
+# test; image and audio keep non-degenerate probe blocks.
+
+BAND_ROLL_MOD = 2 * DHASH_INC_MOD  # fold: % 10 == 0; probe: % 10 == 5
+_BAND_ROLL_READY: set[tuple[str, str, str]] = set()
+_BAND_ROLL_SIDECARS: dict[str, set[str]] = {
+    "image": set(),
+    "audio": set(),
+    "video": set(),
+}
+
+
+def _band_roll_table(sf_dir: str, modality: str) -> str:
+    from smile_spark.sources.bucketed import bucket_table_name
+
+    return bucket_table_name(
+        f"{_BAND_MODALITY[modality][2]}_roll", sf_dir
+    )
+
+
+def _band_roll_payloads(
+    spark: SparkSession, sf_dir: str, modality: str, tbl: str
+) -> tuple[dict, dict]:
+    """(base-state, rolled-state) sidecar payloads — every build
+    parameter plus covered-block row counts, so parameter AND
+    snapshot changes force the full rebuild."""
+    from smile_spark.tables import table as _table
+
+    sub_mod, sub_res, _ = _BAND_MODALITY[modality]
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % sub_mod == sub_res
+    )
+    grids = {
+        "image": [DHASH_GW, DHASH_GH],
+        "audio": [AUD_FP_GRID],
+        "video": [DHASH_GW, DHASH_GH, VID_FRAMES],
+    }
+    base = {
+        "state": "base",
+        "base_rows": docs.filter(
+            F.col("doc_id") % DHASH_INC_MOD != 0
+        ).count(),
+        "modality": modality,
+        "inc_mod": DHASH_INC_MOD,
+        "roll_mod": BAND_ROLL_MOD,
+        "n_buckets": DHASH_INDEX_BUCKETS,
+        "grid": grids[modality],
+        "sf_dir": sf_dir,
+        "tables": [tbl],
+    }
+    rolled = dict(base)
+    rolled["state"] = "rolled"
+    rolled["fold_rows"] = docs.filter(
+        F.col("doc_id") % BAND_ROLL_MOD == 0
+    ).count()
+    return base, rolled
+
+
+def _clear_band_roll(modality: str) -> None:
+    from smile_spark.sources.bucketed import remove_sidecar_file
+
+    for key in [k for k in _BAND_ROLL_READY if k[2] == modality]:
+        _BAND_ROLL_READY.discard(key)
+    sidecars = _BAND_ROLL_SIDECARS[modality]
+    for path in list(sidecars):
+        remove_sidecar_file(path)
+        sidecars.discard(path)
+
+
+def clear_dhash_roll_cache() -> None:
+    """Forget the IMAGE roll-forward memo AND drop this process'
+    adoption sidecars, so the next call runs the full base-rebuild +
+    fold path (bench cold pricing)."""
+    _clear_band_roll("image")
+
+
+def clear_audio_roll_cache() -> None:
+    """The AUDIO twin of :func:`clear_dhash_roll_cache`."""
+    _clear_band_roll("audio")
+
+
+def clear_video_roll_cache() -> None:
+    """The VIDEO twin of :func:`clear_dhash_roll_cache`."""
+    _clear_band_roll("video")
+
+
+def band_roll_restore_base(
+    spark: SparkSession, sf_dir: str, modality: str
+) -> None:
+    """Force the roll table back to the pre-fold BASE state (drop +
+    corpus-linear rebuild + base sidecar) — the bench/test device for
+    pricing the FOLD alone (a fold is a one-way append).  Production
+    never calls this."""
+    from smile_spark.sources.bucketed import (
+        drop_bucketed_table,
+        write_bucketed,
+        write_sidecar,
+    )
+
+    tbl = _band_roll_table(sf_dir, modality)
+    key = (spark.sparkContext.applicationId, sf_dir, modality)
+    _BAND_ROLL_READY.discard(key)
+    hashes = _band_frame(
+        spark, sf_dir, modality, F.col("doc_id") % DHASH_INC_MOD != 0
+    )
+    drop_bucketed_table(spark, tbl)
+    write_bucketed(
+        _band_rows_from_hashes(hashes),
+        tbl,
+        "bv",
+        n_buckets=DHASH_INDEX_BUCKETS,
+    )
+    pb, _ = _band_roll_payloads(spark, sf_dir, modality, tbl)
+    _BAND_ROLL_SIDECARS[modality].add(
+        write_sidecar(spark, tbl, pb)
+    )
+
+
+def band_index_rollforward(
+    spark: SparkSession, sf_dir: str, modality: str
+) -> str:
+    """Advance the persisted band index from covering the BASE block
+    to base ∪ fold by appending the fold block's band rows and
+    updating the sidecar — the increment-linear nightly step for the
+    perceptual rungs (the setsim_index_rollforward three-state
+    contract: adopt rolled → fold over base → full rebuild then
+    fold).  The fold pays decode + banding for its OWN documents
+    only; a failed append drops the table and sidecar so a
+    half-appended index is never adoptable."""
+    from smile_spark.sources.bucketed import (
+        append_bucketed,
+        drop_bucketed_table,
+        remove_sidecar_file,
+        sidecar_adoptable,
+        sidecar_path,
+        write_bucketed,
+        write_sidecar,
+    )
+
+    tbl = _band_roll_table(sf_dir, modality)
+    key = (spark.sparkContext.applicationId, sf_dir, modality)
+    if key in _BAND_ROLL_READY:
+        return tbl
+    pb, pr = _band_roll_payloads(spark, sf_dir, modality, tbl)
+    if sidecar_adoptable(spark, tbl, pr, [tbl]):
+        _BAND_ROLL_SIDECARS[modality].add(sidecar_path(spark, tbl))
+        _BAND_ROLL_READY.add(key)
+        return tbl
+    if not sidecar_adoptable(spark, tbl, pb, [tbl]):
+        hashes = _band_frame(
+            spark, sf_dir, modality, F.col("doc_id") % DHASH_INC_MOD != 0
+        )
+        drop_bucketed_table(spark, tbl)
+        write_bucketed(
+            _band_rows_from_hashes(hashes),
+            tbl,
+            "bv",
+            n_buckets=DHASH_INDEX_BUCKETS,
+        )
+        _BAND_ROLL_SIDECARS[modality].add(write_sidecar(spark, tbl, pb))
+    fold_hashes = _band_frame(
+        spark, sf_dir, modality, F.col("doc_id") % BAND_ROLL_MOD == 0
+    )
+    try:
+        append_bucketed(
+            _band_rows_from_hashes(fold_hashes),
+            tbl,
+            "bv",
+            n_buckets=DHASH_INDEX_BUCKETS,
+        )
+    except Exception:
+        drop_bucketed_table(spark, tbl)
+        scpath = sidecar_path(spark, tbl)
+        remove_sidecar_file(scpath)
+        _BAND_ROLL_SIDECARS[modality].discard(scpath)
+        raise
+    _BAND_ROLL_SIDECARS[modality].add(write_sidecar(spark, tbl, pr))
+    _BAND_ROLL_READY.add(key)
+    return tbl
+
+
+def image_dhash_rolled_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Today's image crawl (doc_id % 10 == 5 within the image third)
+    probing the ROLLED band index — the end-to-end proof that folded
+    band rows participate in candidate generation: probe images
+    near-duplicating FOLD images (b % 10 == 0) can only surface
+    through the appended rows.  The probe plan is byte-identical to
+    image_dhash_incremental's (the shared :func:`_band_probe` core).
+
+    Returns (a, b, hamming): a from the probe block, b from
+    base ∪ fold, hamming <= DHASH_MAX_DISTANCE.
+    """
+    tbl = band_index_rollforward(spark, sf_dir, "image")
+    return _band_probe(
+        spark,
+        sf_dir,
+        "image",
+        tbl,
+        F.col("doc_id") % BAND_ROLL_MOD == DHASH_INC_MOD,
+    )
+
+
 def _img_hash_ctes(p: str, where: str) -> str:
     """Closed-form dHash CTE chain (prefix ``p`` keeps names unique
     when two image sets appear in one statement): pixel (gy, gx) of
@@ -2078,6 +2319,29 @@ IMAGE_DHASH_INCREMENTAL_SQL = (
     + ", "
     + _img_hash_ctes(
         "b_", f"doc_id % 3 = 0 AND doc_id % {DHASH_INC_MOD} <> 0"
+    )
+    + " SELECT x.doc_id AS a, y.doc_id AS b,"
+    f" {_DUCK_HAMMING} AS hamming"
+    " FROM p_hashes x JOIN b_hashes y ON TRUE"
+    f" WHERE {_DUCK_HAMMING} <= {DHASH_MAX_DISTANCE}"
+)
+
+
+# oracle for the rolled-index probe: identical closed form with the
+# probe block % 10 == 5 and the rolled coverage % 10 <> 5 (= base ∪
+# fold) — un-banded, so a fold defect fails the hash gate
+IMAGE_DHASH_ROLLED_PROBE_SQL = (
+    "WITH "
+    + _img_hash_ctes(
+        "p_",
+        f"doc_id % 3 = 0"
+        f" AND doc_id % {BAND_ROLL_MOD} = {DHASH_INC_MOD}",
+    )
+    + ", "
+    + _img_hash_ctes(
+        "b_",
+        f"doc_id % 3 = 0"
+        f" AND doc_id % {BAND_ROLL_MOD} <> {DHASH_INC_MOD}",
     )
     + " SELECT x.doc_id AS a, y.doc_id AS b,"
     f" {_DUCK_HAMMING} AS hamming"

@@ -48,6 +48,37 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def append_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 16,
+    sort: bool = True,
+    sort_cols: list[str] | str | None = None,
+) -> None:
+    """APPEND ``df`` into an existing bucketed catalog table — the
+    roll-forward primitive: new rows land in their hash bucket as new
+    files (Spark bucketed appends add per-bucket files; reads stay
+    bucket-aware, so join/agg exchange elimination survives the
+    append).  The bucket spec must match the table's or Spark refuses
+    — callers pass the same spec the original ``write_bucketed`` used.
+    ``saveAsTable`` append resolves columns BY NAME, so the frame may
+    order columns freely as long as names and types match."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = (
+        df.write.mode("append").format("parquet").bucketBy(n_buckets, *cols)
+    )
+    if sort:
+        if sort_cols is None:
+            scols = cols
+        elif isinstance(sort_cols, str):
+            scols = [sort_cols]
+        else:
+            scols = list(sort_cols)
+        writer = writer.sortBy(*scols)
+    writer.saveAsTable(table_name)
+
+
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a bucketed catalog table (bucket metadata intact, so joins
     and aggregations on the bucket key skip their exchange)."""
