@@ -263,3 +263,98 @@ def test_band_rollforward_rolled_adoption(spark, sf_dir, monkeypatch):
     M.band_index_rollforward(spark, sf_dir, "image")
     assert jobs == [], "rolled adoption ran a rebuild/fold job"
     assert M.image_dhash_rolled_probe(spark, sf_dir).count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# image_clusters_incremental (incremental cluster maintenance)
+# ---------------------------------------------------------------------------
+
+
+def test_image_clusters_incremental_agrees_with_full_rebuild(
+    spark, sf_dir
+):
+    """The collapsed-graph fold must produce EXACTLY the clusters a
+    full rebuild over the joint pair set (base-internal ∪ probe↔base)
+    produces — including merges of two base clusters bridged by one
+    increment doc."""
+    from smile_spark.operators import multimodal as M
+    from smile_spark.tables import table
+
+    got = {
+        tuple(r)
+        for r in M.image_clusters_incremental(spark, sf_dir).collect()
+    }
+    base_pairs = M._dhash_pairs_from_hashes(
+        M.image_dhash_frame(
+            spark, sf_dir, F.col("doc_id") % M.DHASH_INC_MOD != 0
+        )
+    ).select("a", "b")
+    inc_pairs = M.image_dhash_incremental(spark, sf_dir).select("a", "b")
+    universe = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    want = {
+        tuple(r)
+        for r in M._perceptual_keep_list(
+            base_pairs.union(inc_pairs), universe
+        ).collect()
+    }
+    assert got == want
+
+
+def test_image_clusters_incremental_merges_base_clusters(spark, sf_dir):
+    """Sanity on the interesting event: at least one increment doc
+    must land in a cluster of size > 2 or bridge base docs — i.e. the
+    fold does more than append singleton pairs.  (If the fixture ever
+    degenerates, the agreement test above still pins correctness;
+    this guards test VALUE.)"""
+    from smile_spark.operators import multimodal as M
+
+    rows = M.image_clusters_incremental(spark, sf_dir).collect()
+    inc_in_cluster = [
+        r
+        for r in rows
+        if r.doc_id % M.DHASH_INC_MOD == 0 and r.cluster_size > 1
+    ]
+    assert inc_in_cluster, "no increment doc ever joined a cluster"
+
+
+def test_image_label_index_adoption(spark, sf_dir, monkeypatch):
+    """A fresh 'session' adopts the persisted base label table without
+    a rebuild; a stale sidecar forces one."""
+    import json
+
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources import bucketed as BK
+
+    tbl = M.image_label_index_build(spark, sf_dir)
+    M._IMG_LABEL_READY.clear()
+    jobs = []
+    monkeypatch.setattr(
+        BK, "write_bucketed", lambda *a, **k: jobs.append(a)
+    )
+    monkeypatch.setattr(
+        BK, "drop_bucketed_table", lambda *a, **k: jobs.append(a)
+    )
+    assert M.image_label_index_build(spark, sf_dir) == tbl
+    assert jobs == [], "label adoption ran a rebuild"
+    monkeypatch.undo()
+    # stale sidecar → rebuild
+    path = BK.sidecar_path(spark, tbl)
+    with open(path) as fh:
+        payload = json.load(fh)
+    payload["base_rows"] += 1
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+    M._IMG_LABEL_READY.clear()
+    writes = []
+    real_write = BK.write_bucketed
+    monkeypatch.setattr(
+        BK,
+        "write_bucketed",
+        lambda *a, **k: (writes.append(a), real_write(*a, **k)),
+    )
+    M.image_label_index_build(spark, sf_dir)
+    assert len(writes) == 1, "stale label sidecar must rebuild"
