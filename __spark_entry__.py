@@ -49,104 +49,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-13 window (exactly 50), per the r12
-    VERDICT's next-round #1: (1) the EIGHT r13 additions
-    (ann_pq_indexed, image_dhash_incremental,
-    crossmodal_image_video_dedup, audio_fingerprint_incremental,
-    dedup_minhash_incremental, crossmodal_dedup_clusters,
-    video_dhash_incremental, semantic_dedup_incremental); (2) the
-    EIGHT r08-verified entries that slipped the r12 window
-    (containment_topk, golden_part_records, shortest_path_route,
-    hashjoin_agg, bfs, simhash_pairs, ngram_jaccard_topk,
-    text_stats); (3) multimodal_decode_audio — its oracle changed
-    with the r12 square-tone WAV synthesis and this re-verification
-    clears the round's only carried debt; (4) the first 33 of the 50
-    r09-verified entries (nearest_centroid_eval .. price_histogram).
-    After this window completes, no registered entry's newest verdict
-    predates r09 and no changed-oracle debt remains.  The SEVENTEEN
-    r09-verified entries the additions displaced slip to r14:
-    null_semantics and set_ops_all (displaced by the second-wave
-    additions; they sit directly after the window), then
-    range_frame_sum, string_agg_priorities, window_first_last,
-    conditional_aggs, bitwise_functions, try_cast_handling,
-    date_parts, streaming_state_agreement, srp_lsh_topk,
-    sliding_distinct_users, bigram_lm_fluency, session_path_topk,
-    embedding_outliers, streaming_window_agreement,
-    setsim_join_prefix.
-    r14 NOTE: rotate (a) any r14 additions first, then (b) the
-    seventeen slipped r09 entries named above (they sit directly
-    after the window in insertion order), then (c) the r10-verified
-    block (semantic_dedup ..); the r11 and r12 blocks rotate last.
+    insertion order.  Round-14 window (exactly 50), per the r13
+    VERDICT's next-round #1: (1) the FOUR r14 additions
+    (setsim_rolled_probe, image_dhash_rolled_probe,
+    image_clusters_incremental, increment_ingest_manifest); (2) the
+    SEVENTEEN r09-verified entries that slipped the r13 window
+    (null_semantics .. setsim_join_prefix, in their declared slip
+    order); (3) the first 29 of the r10-verified block
+    (semantic_dedup .. funnel_latency).  4 + 17 + 29 = 50.  After
+    this window completes, no registered entry's newest verdict
+    predates r10.  The TWENTY r10-verified entries the additions
+    displaced (mad_outliers_approx .. degree_assortativity) sit
+    directly after the window and go first in r15.
+    r15 NOTE: rotate (a) any r15 additions first, then (b) the
+    twenty displaced r10 entries named above, then (c) the
+    r11-verified block (image_dhash_dedup ..); the r12 block and the
+    r13-window block (ann_pq_indexed .. price_histogram, now at the
+    end of the registry) rotate last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- (1) NEW in r13, never driver-verified ---
-        "ann_pq_indexed": S.ann_pq_indexed,
-        "image_dhash_incremental": M.image_dhash_incremental,
-        "crossmodal_image_video_dedup": M.crossmodal_image_video_dedup,
-        "audio_fingerprint_incremental": M.audio_fingerprint_incremental,
-        "dedup_minhash_incremental": D.dedup_minhash_incremental,
-        "crossmodal_dedup_clusters": M.crossmodal_dedup_clusters,
-        "video_dhash_incremental": M.video_dhash_incremental,
-        "semantic_dedup_incremental": D.semantic_dedup_incremental,
-        # --- (2) the EIGHT r08-verified entries that slipped the
-        # r12 window (VERDICT r12 next-round #1) ---
-        "containment_topk": D.containment_topk,
-        "golden_part_records": P.golden_part_records,
-        "shortest_path_route": G.shortest_path_route,
-        "hashjoin_agg": R.hashjoin_agg,
-        "bfs": G.bfs,
-        "simhash_pairs": D.simhash_pairs,
-        "ngram_jaccard_topk": D.ngram_jaccard_topk,
-        "text_stats": T.text_stats,
-        # --- (3) changed-oracle re-verify: its oracle was rewritten
-        # in r12 (square-tone WAV synthesis); this clears the round's
-        # only carried debt ---
-        "multimodal_decode_audio": M.multimodal_decode_audio,
-        # --- (4) the first 33 of the 50 r09-verified entries ---
-        "nearest_centroid_eval": S.nearest_centroid_eval,
-        "ann_recall_eval": S.ann_recall_eval,
-        "exact_ngram_dedup": D.exact_ngram_dedup,
-        "dup_span_cutlist": D.dup_span_cutlist,
-        "gap_interpolate_daily": B.gap_interpolate_daily,
-        "benford_screen": Q.benford_screen,
-        "hard_negative_mining": S.hard_negative_mining,
-        "group_split_no_leakage": P.group_split_no_leakage,
-        "token_count": T.token_count,
-        "lang_id": T.lang_id,
-        "fingerprint": T.fingerprint,
-        "kmv_distinct_tokens": K.kmv_distinct_tokens,
-        "ann_cosine_topk": S.ann_cosine_topk,
-        "ann_ivf_topk": S.ann_ivf_topk,
-        "embedding_norms": S.embedding_norms,
-        "window_tumbling": W.window_tumbling,
-        "hypertable_daily": W.hypertable_daily,
-        "window_sliding": W.window_sliding,
-        "window_session": W.window_session,
-        "corpus_quality_filter": P.corpus_quality_filter,
-        "corpus_curation_manifest": P.corpus_curation_manifest,
-        "pivot_wide": AN.pivot_wide,
-        "date_functions": AN.date_functions,
-        "window_rank": R.window_rank,
-        "window_ranking": AN.window_ranking,
-        "text_normalize": C.text_normalize,
-        "doc_chunks": C.doc_chunks,
-        "ngram_counts": C.ngram_counts,
-        "cdc_latest_state": C.cdc_latest_state,
-        "source_temperature_mix": C.source_temperature_mix,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "skew_salted_revenue": R.skew_salted_revenue,
-        "price_histogram": AN.price_histogram,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round (see the r14 NOTE in the docstring above for the next
-        # rotation).
-        # ------------------------------------------------------------------
-        # --- the TWO r09-verified entries the second-wave r13
-        # additions displaced (first among the r14 slips) ---
+        # --- (1) NEW in r14, never driver-verified ---
+        "setsim_rolled_probe": D.setsim_rolled_probe,
+        "image_dhash_rolled_probe": M.image_dhash_rolled_probe,
+        "image_clusters_incremental": M.image_clusters_incremental,
+        "increment_ingest_manifest": P.increment_ingest_manifest,
+        # --- (2) the SEVENTEEN r09-verified entries that slipped
+        # the r13 window (VERDICT r13 next-round #1) ---
         "null_semantics": AN.null_semantics,
         "set_ops_all": R.set_ops_all,
-        # --- the FIFTEEN r09-verified entries that slipped out of
-        # the r13 window (first into r14 after any r14 additions) ---
         "range_frame_sum": AN.range_frame_sum,
         "string_agg_priorities": R.string_agg_priorities,
         "window_first_last": AN.window_first_last,
@@ -162,9 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": S.embedding_outliers,
         "streaming_window_agreement": ST.streaming_window_agreement,
         "setsim_join_prefix": D.setsim_join_prefix,
-        # --- r10-verified entries (the r10 window minus
-        # multimodal_decode_audio, which moved into the r13 window;
-        # rotate after the slipped r09 block) ---
+        # --- (3) the first 29 of the r10-verified block ---
         "semantic_dedup": D.semantic_dedup,
         "setsim_hash_agreement": D.setsim_hash_agreement,
         "ngram_hash_agreement": D.ngram_hash_agreement,
@@ -194,6 +122,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_match_events": B.pattern_match_events,
         "inverted_index_stats": T.inverted_index_stats,
         "funnel_latency": B.funnel_latency,
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round (see the r15 NOTE in the docstring above for the next
+        # rotation).
+        # ------------------------------------------------------------------
+        # --- the TWENTY r10-verified entries the r14 additions
+        # displaced (first into r15 after any r15 additions) ---
         "mad_outliers_approx": Q.mad_outliers_approx,
         "dedup_eval": D.dedup_eval,
         "stratified_kfold": C.stratified_kfold,
@@ -316,6 +251,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_stats": M.multimodal_frame_stats,
         "winsorize_prices_approx": AN.winsorize_prices_approx,
         "ann_ivf_indexed": S.ann_ivf_indexed,
+        # --- r13-WINDOW entries (newest verdicts r13; rotate
+        # after the r12 block) ---
+        # --- (1) NEW in r13, never driver-verified ---
+        "ann_pq_indexed": S.ann_pq_indexed,
+        "image_dhash_incremental": M.image_dhash_incremental,
+        "crossmodal_image_video_dedup": M.crossmodal_image_video_dedup,
+        "audio_fingerprint_incremental": M.audio_fingerprint_incremental,
+        "dedup_minhash_incremental": D.dedup_minhash_incremental,
+        "crossmodal_dedup_clusters": M.crossmodal_dedup_clusters,
+        "video_dhash_incremental": M.video_dhash_incremental,
+        "semantic_dedup_incremental": D.semantic_dedup_incremental,
+        # --- (2) the EIGHT r08-verified entries that slipped the
+        # r12 window (VERDICT r12 next-round #1) ---
+        "containment_topk": D.containment_topk,
+        "golden_part_records": P.golden_part_records,
+        "shortest_path_route": G.shortest_path_route,
+        "hashjoin_agg": R.hashjoin_agg,
+        "bfs": G.bfs,
+        "simhash_pairs": D.simhash_pairs,
+        "ngram_jaccard_topk": D.ngram_jaccard_topk,
+        "text_stats": T.text_stats,
+        # --- (3) changed-oracle re-verify: its oracle was rewritten
+        # in r12 (square-tone WAV synthesis); this clears the round's
+        # only carried debt ---
+        "multimodal_decode_audio": M.multimodal_decode_audio,
+        # --- (4) the first 33 of the 50 r09-verified entries ---
+        "nearest_centroid_eval": S.nearest_centroid_eval,
+        "ann_recall_eval": S.ann_recall_eval,
+        "exact_ngram_dedup": D.exact_ngram_dedup,
+        "dup_span_cutlist": D.dup_span_cutlist,
+        "gap_interpolate_daily": B.gap_interpolate_daily,
+        "benford_screen": Q.benford_screen,
+        "hard_negative_mining": S.hard_negative_mining,
+        "group_split_no_leakage": P.group_split_no_leakage,
+        "token_count": T.token_count,
+        "lang_id": T.lang_id,
+        "fingerprint": T.fingerprint,
+        "kmv_distinct_tokens": K.kmv_distinct_tokens,
+        "ann_cosine_topk": S.ann_cosine_topk,
+        "ann_ivf_topk": S.ann_ivf_topk,
+        "embedding_norms": S.embedding_norms,
+        "window_tumbling": W.window_tumbling,
+        "hypertable_daily": W.hypertable_daily,
+        "window_sliding": W.window_sliding,
+        "window_session": W.window_session,
+        "corpus_quality_filter": P.corpus_quality_filter,
+        "corpus_curation_manifest": P.corpus_curation_manifest,
+        "pivot_wide": AN.pivot_wide,
+        "date_functions": AN.date_functions,
+        "window_rank": R.window_rank,
+        "window_ranking": AN.window_ranking,
+        "text_normalize": C.text_normalize,
+        "doc_chunks": C.doc_chunks,
+        "ngram_counts": C.ngram_counts,
+        "cdc_latest_state": C.cdc_latest_state,
+        "source_temperature_mix": C.source_temperature_mix,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "skew_salted_revenue": R.skew_salted_revenue,
+        "price_histogram": AN.price_histogram,
     }
     return q
 
@@ -323,6 +317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents, same column names."""
     return {
+        # --- r14 additions ---
+        "setsim_rolled_probe": D.SETSIM_ROLLED_PROBE_SQL,
+        "image_dhash_rolled_probe": M.IMAGE_DHASH_ROLLED_PROBE_SQL,
+        "image_clusters_incremental": M.IMAGE_CLUSTERS_INCREMENTAL_SQL,
+        "increment_ingest_manifest": P.increment_ingest_manifest_sql(),
         "scan": "SELECT * FROM lineitem",
         "scan_filter_count": (
             "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity > 25.0"

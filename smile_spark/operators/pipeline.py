@@ -359,6 +359,154 @@ def corpus_curation_manifest_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Increment-scoped keep/drop manifest (VERDICT r13 What's-missing #3)
+# ---------------------------------------------------------------------------
+
+# Drop-reason precedence when multiple rungs flag one document: exact
+# text Jaccard is the strongest evidence, MinHash next, the perceptual
+# rungs share one tier (a document has ONE modality, so tier-3 entries
+# never actually tie), semantic similarity is the weakest.  The
+# deterministic (prio, reason, dup) ordering makes the winning row
+# reproducible on any engine.
+_INC_MANIFEST_RUNGS = (
+    (1, "text_exact"),
+    (2, "text_minhash"),
+    (3, "image_dhash"),
+    (3, "audio_fp"),
+    (3, "video_dhash"),
+    (4, "semantic"),
+)
+
+
+def increment_ingest_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE verdict per increment document — the production deliverable
+    the incremental-dedup ladder exists for: a daily crawl operator
+    wants (doc_id, verdict, reason, duplicate_of), not six pair
+    tables.  Joins the outputs of every incremental rung (exact
+    set-similarity, MinHash-LSH, image/audio/video perceptual,
+    embedding SemDeDup — each an increment-linear probe over its
+    persisted nightly index) and resolves multi-rung flags by the
+    fixed precedence above; ``duplicate_of`` is the winning rung's
+    minimum-id base duplicate.
+
+    The fixture's embeddings table is per-document (vec_id ≡ doc_id,
+    same id range and the same %5 increment convention), so the
+    semantic rung joins directly; a production pipeline would route
+    through its explicit document↔vector mapping here.
+
+    Scale: every input is an increment-sized pair table read off a
+    warm bucketed index (no corpus-linear work in this operator at
+    all); the per-rung min-aggregations, the precedence window, and
+    the universe left join are all increment-keyed.  Emits one row
+    per increment doc: (doc_id, verdict, reason, duplicate_of).
+    """
+    from pyspark.sql.window import Window
+
+    from smile_spark.operators import multimodal as M
+
+    frames = {
+        "text_exact": D.setsim_incremental(spark, sf_dir),
+        "text_minhash": D.dedup_minhash_incremental(spark, sf_dir),
+        "image_dhash": M.image_dhash_incremental(spark, sf_dir),
+        "audio_fp": M.audio_fingerprint_incremental(spark, sf_dir),
+        "video_dhash": M.video_dhash_incremental(spark, sf_dir),
+        "semantic": D.semantic_dedup_incremental(spark, sf_dir),
+    }
+    flagged = None
+    for prio, reason in _INC_MANIFEST_RUNGS:
+        part = (
+            frames[reason]
+            .groupBy("a")
+            .agg(F.min("b").cast("bigint").alias("dup"))
+            .select(
+                "a",
+                F.lit(prio).alias("prio"),
+                F.lit(reason).alias("reason"),
+                "dup",
+            )
+        )
+        flagged = part if flagged is None else flagged.unionByName(part)
+    w = Window.partitionBy("a").orderBy(
+        F.asc("prio"), F.asc("reason"), F.asc("dup")
+    )
+    winner = (
+        flagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("a").alias("doc_id"), "reason", "dup")
+    )
+    universe = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % D.SETSIM_INC_MOD == 0)
+        .select("doc_id")
+    )
+    out = universe.join(F.broadcast(winner), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("reason").isNotNull(), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        F.coalesce("reason", F.lit("unique")).alias("reason"),
+        F.col("dup").alias("duplicate_of"),
+    )
+    # the text rungs tie their probe/candidate checkpoints to THEIR
+    # returned frames (release_checkpoints_on_gc) — the composed
+    # manifest must keep every rung frame alive or evaluation after
+    # this function returns hits lost-checkpoint-block errors
+    from smile_spark.session import keep_alive
+
+    return keep_alive(out, *frames.values())
+
+
+def increment_ingest_manifest_sql() -> str:
+    """Oracle: each rung's own closed-form oracle as a scoped
+    subquery (DuckDB CTE names are subquery-local, so the six WITH
+    chains compose without collision), then the identical precedence
+    window and universe left join."""
+    from smile_spark.operators.dedup import (
+        MINHASH_INCREMENTAL_SQL,
+        SETSIM_INC_MOD,
+        SETSIM_INCREMENTAL_SQL,
+        semantic_dedup_incremental_sql,
+    )
+    from smile_spark.operators.multimodal import (
+        AUDIO_FINGERPRINT_INCREMENTAL_SQL,
+        IMAGE_DHASH_INCREMENTAL_SQL,
+        VIDEO_DHASH_INCREMENTAL_SQL,
+    )
+
+    rung_sql = {
+        "text_exact": SETSIM_INCREMENTAL_SQL,
+        "text_minhash": MINHASH_INCREMENTAL_SQL,
+        "image_dhash": IMAGE_DHASH_INCREMENTAL_SQL,
+        "audio_fp": AUDIO_FINGERPRINT_INCREMENTAL_SQL,
+        "video_dhash": VIDEO_DHASH_INCREMENTAL_SQL,
+        "semantic": semantic_dedup_incremental_sql(),
+    }
+    flagged = " UNION ALL ".join(
+        f"SELECT a, {prio} AS prio, '{reason}' AS reason,"
+        f" MIN(b) AS dup FROM ({rung_sql[reason]}) t_{reason}"
+        " GROUP BY a"
+        for prio, reason in _INC_MANIFEST_RUNGS
+    )
+    return (
+        f"WITH flagged AS ({flagged}),"
+        " winner AS (SELECT a, reason, dup FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY a"
+        "   ORDER BY prio ASC, reason ASC, dup ASC) AS rn"
+        "  FROM flagged) WHERE rn = 1),"
+        " uni AS (SELECT doc_id FROM documents"
+        f"  WHERE doc_id % {SETSIM_INC_MOD} = 0)"
+        " SELECT u.doc_id,"
+        " CASE WHEN w.reason IS NULL THEN 'keep' ELSE 'drop' END"
+        "  AS verdict,"
+        " COALESCE(w.reason, 'unique') AS reason,"
+        " CAST(w.dup AS BIGINT) AS duplicate_of"
+        " FROM uni u LEFT JOIN winner w ON w.a = u.doc_id"
+    )
+
+
 GOLDEN_MAX_DIST = 3
 
 

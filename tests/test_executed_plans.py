@@ -97,6 +97,19 @@ MEASURED = {
     "semantic_dedup_incremental": 1,  # r13 measured cold AND warm
     #                       (map-side assign, broadcast probe over
     #                        bucketed assignment scan)
+    "setsim_rolled_probe": 3,  # r14 measured cold AND warm (the
+    #                       shared _setsim_probe_indexed plan over the
+    #                       rolled tables)
+    "image_dhash_rolled_probe": 1,  # r14 measured cold AND warm (the
+    #                       shared _band_probe plan over the rolled
+    #                       band table)
+    "image_clusters_incremental": 4,  # r14 measured cold AND warm
+    #                       (label join + collapsed-graph cc rounds +
+    #                        relabel/size joins)
+    "increment_ingest_manifest": 11,  # r14 measured cold AND warm
+    #                       (six increment-sized rung pipelines
+    #                        union + precedence window + universe
+    #                        join in ONE composed execution)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

@@ -173,6 +173,17 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # eager-build precedents — video frame bands, SemDeDup
         # assignment respectively)
         "video_dhash_incremental", "semantic_dedup_incremental",
+        # roll their persisted index forward (base rebuild + bucketed
+        # APPEND) on first call, then probe — the eager-build
+        # precedents plus the r14 fold step
+        "setsim_rolled_probe", "image_dhash_rolled_probe",
+        # builds/adopts the persisted base label table and runs
+        # cc_labels pointer-jumping over the collapsed fold graph at
+        # plan time
+        "image_clusters_incremental",
+        # composes all six incremental rungs (index builds + probe
+        # checkpoints) at plan time
+        "increment_ingest_manifest",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set

@@ -358,3 +358,55 @@ def test_image_label_index_adoption(spark, sf_dir, monkeypatch):
     )
     M.image_label_index_build(spark, sf_dir)
     assert len(writes) == 1, "stale label sidecar must rebuild"
+
+
+# ---------------------------------------------------------------------------
+# increment_ingest_manifest
+# ---------------------------------------------------------------------------
+
+
+def test_increment_manifest_consistency(spark, sf_dir):
+    """Every 'drop' row must be backed by its winning rung's pair
+    table (with duplicate_of = that rung's min base id), and every
+    'keep' row by the ABSENCE of the doc in all six rung outputs."""
+    from smile_spark.operators import dedup as D
+    from smile_spark.operators import multimodal as M
+    from smile_spark.operators import pipeline as P
+
+    rows = P.increment_ingest_manifest(spark, sf_dir).collect()
+    assert rows and len({r.doc_id for r in rows}) == len(rows)
+    rung_pairs = {
+        "text_exact": D.setsim_incremental(spark, sf_dir),
+        "text_minhash": D.dedup_minhash_incremental(spark, sf_dir),
+        "image_dhash": M.image_dhash_incremental(spark, sf_dir),
+        "audio_fp": M.audio_fingerprint_incremental(spark, sf_dir),
+        "video_dhash": M.video_dhash_incremental(spark, sf_dir),
+        "semantic": D.semantic_dedup_incremental(spark, sf_dir),
+    }
+    mins = {
+        name: {
+            r.a: r.mb
+            for r in df.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .collect()
+        }
+        for name, df in rung_pairs.items()
+    }
+    prio = {
+        "text_exact": 1, "text_minhash": 2, "image_dhash": 3,
+        "audio_fp": 3, "video_dhash": 3, "semantic": 4,
+    }
+    dropped = kept = 0
+    for r in rows:
+        flags = {n for n, m in mins.items() if r.doc_id in m}
+        if r.verdict == "drop":
+            dropped += 1
+            assert r.reason in flags, (r.doc_id, r.reason, flags)
+            best = min(prio[n] for n in flags)
+            assert prio[r.reason] == best, "precedence violated"
+            assert r.duplicate_of == mins[r.reason][r.doc_id]
+        else:
+            kept += 1
+            assert not flags and r.reason == "unique"
+            assert r.duplicate_of is None
+    assert dropped > 0 and kept > 0, "manifest degenerate"
