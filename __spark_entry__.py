@@ -50,19 +50,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
     insertion order.  Round-14 window (exactly 50), per the r13
-    VERDICT's next-round #1: (1) the FOUR r14 additions
+    VERDICT's next-round #1: (1) the SEVEN r14 additions
     (setsim_rolled_probe, image_dhash_rolled_probe,
-    image_clusters_incremental, increment_ingest_manifest); (2) the
-    SEVENTEEN r09-verified entries that slipped the r13 window
-    (null_semantics .. setsim_join_prefix, in their declared slip
-    order); (3) the first 29 of the r10-verified block
-    (semantic_dedup .. funnel_latency).  4 + 17 + 29 = 50.  After
-    this window completes, no registered entry's newest verdict
-    predates r10.  The TWENTY r10-verified entries the additions
-    displaced (mad_outliers_approx .. degree_assortativity) sit
-    directly after the window and go first in r15.
+    minhash_rolled_probe, semantic_rolled_probe,
+    image_clusters_incremental, audio_clusters_incremental,
+    increment_ingest_manifest); (2) the SEVENTEEN r09-verified
+    entries that slipped the r13 window (null_semantics ..
+    setsim_join_prefix, in their declared slip order); (3) the first
+    26 of the r10-verified block (semantic_dedup .. bitmap_distinct).
+    7 + 17 + 26 = 50.  After this window completes, no registered
+    entry's newest verdict predates r10.  The TWENTY-THREE
+    r10-verified entries the additions displaced
+    (pattern_match_events, inverted_index_stats, funnel_latency,
+    then mad_outliers_approx .. degree_assortativity) sit directly
+    after the window and go first in r15.
     r15 NOTE: rotate (a) any r15 additions first, then (b) the
-    twenty displaced r10 entries named above, then (c) the
+    twenty-three displaced r10 entries named above, then (c) the
     r11-verified block (image_dhash_dedup ..); the r12 block and the
     r13-window block (ann_pq_indexed .. price_histogram, now at the
     end of the registry) rotate last.
@@ -71,7 +74,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (1) NEW in r14, never driver-verified ---
         "setsim_rolled_probe": D.setsim_rolled_probe,
         "image_dhash_rolled_probe": M.image_dhash_rolled_probe,
+        "minhash_rolled_probe": D.minhash_rolled_probe,
+        "semantic_rolled_probe": D.semantic_rolled_probe,
         "image_clusters_incremental": M.image_clusters_incremental,
+        "audio_clusters_incremental": M.audio_clusters_incremental,
         "increment_ingest_manifest": P.increment_ingest_manifest,
         # --- (2) the SEVENTEEN r09-verified entries that slipped
         # the r13 window (VERDICT r13 next-round #1) ---
@@ -119,16 +125,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": G.clustering_coefficient,
         "bm25_topk": T.bm25_topk,
         "bitmap_distinct": K.bitmap_distinct,
-        "pattern_match_events": B.pattern_match_events,
-        "inverted_index_stats": T.inverted_index_stats,
-        "funnel_latency": B.funnel_latency,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round (see the r15 NOTE in the docstring above for the next
         # rotation).
         # ------------------------------------------------------------------
-        # --- the TWENTY r10-verified entries the r14 additions
+        # --- the TWENTY-THREE r10-verified entries the r14 additions
         # displaced (first into r15 after any r15 additions) ---
+        "pattern_match_events": B.pattern_match_events,
+        "inverted_index_stats": T.inverted_index_stats,
+        "funnel_latency": B.funnel_latency,
         "mad_outliers_approx": Q.mad_outliers_approx,
         "dedup_eval": D.dedup_eval,
         "stratified_kfold": C.stratified_kfold,
@@ -320,7 +326,10 @@ def oracle_sql() -> dict[str, str]:
         # --- r14 additions ---
         "setsim_rolled_probe": D.SETSIM_ROLLED_PROBE_SQL,
         "image_dhash_rolled_probe": M.IMAGE_DHASH_ROLLED_PROBE_SQL,
+        "minhash_rolled_probe": D.MINHASH_ROLLED_PROBE_SQL,
+        "semantic_rolled_probe": D.semantic_rolled_probe_sql(),
         "image_clusters_incremental": M.IMAGE_CLUSTERS_INCREMENTAL_SQL,
+        "audio_clusters_incremental": M.AUDIO_CLUSTERS_INCREMENTAL_SQL,
         "increment_ingest_manifest": P.increment_ingest_manifest_sql(),
         "scan": "SELECT * FROM lineitem",
         "scan_filter_count": (

@@ -472,25 +472,65 @@ def main() -> None:
             round(time.perf_counter() - t0, 4)
         )
 
-    # Cold build of the persisted base image cluster labels (VERDICT
-    # r13 #4): image_clusters_incremental folds daily pairs into this
-    # table — price the base pairs + cc + bucketed write here, leave
-    # the table warm so the registered entry times the fold alone.
-    for _ in range(
-        _build_passes if _build_wanted("image_label_build") else 0
+    # The MinHash and SemDeDup folds, same restore-then-time shape.
+    for bname, clear_fn, restore_fn, roll_fn in (
+        (
+            "minhash_rollforward",
+            _dedup.clear_minhash_roll_cache,
+            _dedup.minhash_roll_restore_base,
+            _dedup.minhash_index_rollforward,
+        ),
+        (
+            "semantic_rollforward",
+            _dedup.clear_semantic_roll_cache,
+            _dedup.semantic_roll_restore_base,
+            _dedup.semantic_index_rollforward,
+        ),
     ):
-        _mm.clear_image_label_cache()
-        t0 = time.perf_counter()
-        try:
-            _mm.image_label_index_build(spark, sf_dir)
-        except Exception as exc:  # noqa: BLE001 — harness must survive
-            errors["image_label_build"] = (
-                f"{type(exc).__name__}: {exc}"[:500]
+        for _ in range(_build_passes if _build_wanted(bname) else 0):
+            try:
+                clear_fn()
+                restore_fn(spark, sf_dir)
+            except Exception as exc:  # noqa: BLE001 — must survive
+                errors[bname] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            t0 = time.perf_counter()
+            try:
+                roll_fn(spark, sf_dir)
+            except Exception as exc:  # noqa: BLE001 — must survive
+                errors[bname] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            samples.setdefault(bname, []).append(
+                round(time.perf_counter() - t0, 4)
             )
-            break
-        samples.setdefault("image_label_build", []).append(
-            round(time.perf_counter() - t0, 4)
-        )
+
+    # Cold builds of the persisted base cluster labels (VERDICT r13
+    # #4): the *_clusters_incremental entries fold daily pairs into
+    # these tables — price the base pairs + cc + bucketed write here,
+    # leave the tables warm so the registered entries time the fold.
+    for bname, clear_fn, build_fn in (
+        (
+            "image_label_build",
+            _mm.clear_image_label_cache,
+            _mm.image_label_index_build,
+        ),
+        (
+            "audio_label_build",
+            _mm.clear_audio_label_cache,
+            _mm.audio_label_index_build,
+        ),
+    ):
+        for _ in range(_build_passes if _build_wanted(bname) else 0):
+            clear_fn()
+            t0 = time.perf_counter()
+            try:
+                build_fn(spark, sf_dir)
+            except Exception as exc:  # noqa: BLE001 — must survive
+                errors[bname] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            samples.setdefault(bname, []).append(
+                round(time.perf_counter() - t0, 4)
+            )
 
     # Two passes, min per query: the first pass doubles as per-query
     # warmup (code cache, shuffle-file reuse is disabled by noop's

@@ -788,6 +788,220 @@ MINHASH_INCREMENTAL_SQL = (
 )
 
 
+# --- MinHash band-index roll-forward (VERDICT r13 What's-missing #1,
+# the text twin of the setsim/band roll-forwards) ------------------------
+
+# Band rows are per-document (the signature depends only on the
+# document's own shingles), so the fold is a pure bucketed append and
+# the rolled table is row-identical to a full rebuild on the grown
+# base.  Fixture blocks follow the setsim convention: fold
+# doc_id % 10 == 0, post-roll probe doc_id % 10 == 5, rolled coverage
+# doc_id % 10 != 5.  Own table (mh_roll_bands): folding the probed
+# mh_idx_bands in place would let dedup_minhash_incremental find
+# folded copies of its own probe block.
+
+MINHASH_ROLL_MOD = 2 * SETSIM_INC_MOD
+_MH_ROLL_READY: set[tuple[str, str]] = set()
+_MH_ROLL_SIDECARS: set[str] = set()
+
+
+def _mh_roll_table(sf_dir: str) -> str:
+    from smile_spark.sources.bucketed import bucket_table_name
+
+    return bucket_table_name("mh_roll_bands", sf_dir)
+
+
+def _mh_roll_payloads(
+    spark: SparkSession, sf_dir: str, tbl: str
+) -> tuple[dict, dict]:
+    docs = table(spark, sf_dir, "documents")
+    base = {
+        "state": "base",
+        "base_rows": docs.filter(
+            F.col("doc_id") % SETSIM_INC_MOD != 0
+        ).count(),
+        "inc_mod": SETSIM_INC_MOD,
+        "roll_mod": MINHASH_ROLL_MOD,
+        "n_buckets": MINHASH_INDEX_BUCKETS,
+        "n_hashes": N_HASHES,
+        "n_bands": N_BANDS,
+        "shingle_k": SHINGLE_K,
+        "sf_dir": sf_dir,
+        "tables": [tbl],
+    }
+    rolled = dict(base)
+    rolled["state"] = "rolled"
+    rolled["fold_rows"] = docs.filter(
+        F.col("doc_id") % MINHASH_ROLL_MOD == 0
+    ).count()
+    return base, rolled
+
+
+def clear_minhash_roll_cache() -> None:
+    """Forget the roll memo AND drop this process' adoption sidecars
+    (built or adopted), restoring the cold base-rebuild + fold path."""
+    from smile_spark.sources.bucketed import remove_sidecar_file
+
+    _MH_ROLL_READY.clear()
+    for path in list(_MH_ROLL_SIDECARS):
+        remove_sidecar_file(path)
+        _MH_ROLL_SIDECARS.discard(path)
+
+
+def minhash_roll_restore_base(spark: SparkSession, sf_dir: str) -> None:
+    """Bench/test device: force the roll table back to the pre-fold
+    BASE state so the next roll-forward performs the fold alone."""
+    from smile_spark.sources.bucketed import (
+        drop_bucketed_table,
+        write_bucketed,
+        write_sidecar,
+    )
+
+    tbl = _mh_roll_table(sf_dir)
+    _MH_ROLL_READY.discard((spark.sparkContext.applicationId, sf_dir))
+    base = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_INC_MOD != 0
+    )
+    drop_bucketed_table(spark, tbl)
+    write_bucketed(
+        _lsh_bands_from_sig(_minhash_sig_from_docs(base)),
+        tbl,
+        "bkey",
+        n_buckets=MINHASH_INDEX_BUCKETS,
+    )
+    pb, _ = _mh_roll_payloads(spark, sf_dir, tbl)
+    _MH_ROLL_SIDECARS.add(write_sidecar(spark, tbl, pb))
+
+
+def minhash_index_rollforward(spark: SparkSession, sf_dir: str) -> str:
+    """Advance the persisted MinHash band index to cover base ∪ fold
+    by appending the fold block's signature band rows — the
+    setsim_index_rollforward three-state contract (adopt rolled →
+    fold over base → full rebuild then fold); a failed append drops
+    the table and sidecar so a half-appended index never adopts."""
+    from smile_spark.sources.bucketed import (
+        append_bucketed,
+        drop_bucketed_table,
+        remove_sidecar_file,
+        sidecar_adoptable,
+        sidecar_path,
+        write_bucketed,
+        write_sidecar,
+    )
+
+    tbl = _mh_roll_table(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MH_ROLL_READY:
+        return tbl
+    pb, pr = _mh_roll_payloads(spark, sf_dir, tbl)
+    if sidecar_adoptable(spark, tbl, pr, [tbl]):
+        _MH_ROLL_SIDECARS.add(sidecar_path(spark, tbl))
+        _MH_ROLL_READY.add(key)
+        return tbl
+    if not sidecar_adoptable(spark, tbl, pb, [tbl]):
+        base = table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % SETSIM_INC_MOD != 0
+        )
+        drop_bucketed_table(spark, tbl)
+        write_bucketed(
+            _lsh_bands_from_sig(_minhash_sig_from_docs(base)),
+            tbl,
+            "bkey",
+            n_buckets=MINHASH_INDEX_BUCKETS,
+        )
+        _MH_ROLL_SIDECARS.add(write_sidecar(spark, tbl, pb))
+    fold = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % MINHASH_ROLL_MOD == 0
+    )
+    try:
+        append_bucketed(
+            _lsh_bands_from_sig(_minhash_sig_from_docs(fold)),
+            tbl,
+            "bkey",
+            n_buckets=MINHASH_INDEX_BUCKETS,
+        )
+    except Exception:
+        drop_bucketed_table(spark, tbl)
+        scpath = sidecar_path(spark, tbl)
+        remove_sidecar_file(scpath)
+        _MH_ROLL_SIDECARS.discard(scpath)
+        raise
+    _MH_ROLL_SIDECARS.add(write_sidecar(spark, tbl, pr))
+    _MH_ROLL_READY.add(key)
+    return tbl
+
+
+def minhash_rolled_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Today's crawl (doc_id % 10 == 5) probing the ROLLED MinHash
+    band index — probe docs whose near-duplicates sit in the FOLD
+    block can only surface through the appended band rows.  The probe
+    plan is dedup_minhash_incremental's exactly: probe-only signature
+    + banding, probe bands broadcast over the bucketed index scan,
+    shared candidate-bounded exact-Jaccard verify.  Returns
+    (a, b, jaccard): a from the probe block, b from base ∪ fold."""
+    from smile_spark.session import release_checkpoints_on_gc
+    from smile_spark.sources.bucketed import read_bucketed
+
+    tbl = minhash_index_rollforward(spark, sf_dir)
+    probe = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % MINHASH_ROLL_MOD == SETSIM_INC_MOD
+    )
+    pb = _lsh_bands_from_sig(_minhash_sig_from_docs(probe)).select(
+        F.col("doc_id").alias("a"), "band", "bkey"
+    )
+    ix = read_bucketed(spark, tbl).select(
+        F.col("doc_id").alias("b"), "band", "bkey"
+    )
+    ckpts: list = []
+    cand = (
+        ix.join(F.broadcast(pb), ["band", "bkey"])
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    ckpts.append(cand)
+    out = _lsh_verify_pairs(spark, sf_dir, cand, ckpts)
+    release_checkpoints_on_gc(out, ckpts)
+    return out
+
+
+# oracle: probe and rolled-coverage signatures in closed SQL form,
+# candidates by the same band equi-join, exact Jaccard verify — the
+# MINHASH_INCREMENTAL_SQL composition with the roll-block predicates
+MINHASH_ROLLED_PROBE_SQL = (
+    "WITH "
+    + _minhash_sql_ctes(
+        "p_", f"doc_id % {MINHASH_ROLL_MOD} = {SETSIM_INC_MOD}"
+    )
+    + ", "
+    + _minhash_sql_ctes(
+        "b_", f"doc_id % {MINHASH_ROLL_MOD} <> {SETSIM_INC_MOD}"
+    )
+    + ", "
+    + _minhash_bands_sql("p_")
+    + ", "
+    + _minhash_bands_sql("b_")
+    + ","
+    " cand AS (SELECT DISTINCT pa.doc_id AS a, bb.doc_id AS b"
+    "  FROM p_bands pa JOIN b_bands bb ON pa.band = bb.band"
+    "   AND pa.bkey = bb.bkey),"
+    " psizes AS (SELECT doc_id, COUNT(*) AS n FROM p_toks"
+    "  GROUP BY doc_id),"
+    " bsizes AS (SELECT doc_id, COUNT(*) AS n FROM b_toks"
+    "  GROUP BY doc_id),"
+    " inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c"
+    "  JOIN p_toks ta ON ta.doc_id = c.a"
+    "  JOIN b_toks tb ON tb.doc_id = c.b AND ta.sh = tb.sh"
+    "  GROUP BY c.a, c.b)"
+    " SELECT i.a, i.b,"
+    "  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard"
+    " FROM inter i JOIN psizes sa ON sa.doc_id = i.a"
+    "  JOIN bsizes sb ON sb.doc_id = i.b"
+    f" WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)"
+    f"  >= {LSH_VERIFY_THRESHOLD}"
+)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------
@@ -1204,6 +1418,20 @@ def semantic_dedup_incremental(
     contract of every incremental rung); probe-internal duplicates
     are the next nightly rebuild's job.
     """
+    return _sem_probe(
+        spark,
+        sf_dir,
+        semantic_index_build(spark, sf_dir),
+        F.col("vec_id") % SEM_INC_MOD == 0,
+    )
+
+
+def _sem_probe(
+    spark: SparkSession, sf_dir: str, tbl: str, probe_pred
+) -> DataFrame:
+    """The broadcast-probe core of :func:`semantic_dedup_incremental`,
+    parametrized by the assignment table and probe predicate so the
+    roll-forward family reuses the identical probe plan."""
     from smile_spark.operators.similarity import (
         _assign,
         _dot,
@@ -1212,10 +1440,7 @@ def semantic_dedup_incremental(
     )
     from smile_spark.sources.bucketed import read_bucketed
 
-    tbl = semantic_index_build(spark, sf_dir)
-    probe = _vectors(spark, sf_dir).filter(
-        F.col("vec_id") % SEM_INC_MOD == 0
-    )
+    probe = _vectors(spark, sf_dir).filter(probe_pred)
     pa = _assign(probe, _sem_base_centroids(spark, sf_dir)).select(
         F.col("vec_id").alias("a"), F.col("v").alias("av"), "cid"
     )
@@ -1270,6 +1495,220 @@ def semantic_dedup_incremental_sql() -> str:
         " FROM asg x JOIN asg y ON x.cid = y.cid"
         f"  AND x.vec_id % {SEM_INC_MOD} = 0"
         f"  AND y.vec_id % {SEM_INC_MOD} <> 0"
+        f" WHERE ROUND({cos}, 6) >= {SEMDEDUP_TAU}"
+    )
+
+
+# --- SemDeDup assignment-index roll-forward ---------------------------------
+
+# Assignment rows are per-vector GIVEN the centroids, and the
+# centroids are the FROZEN nightly model (_sem_base_centroids — the
+# base-block subsample, by construction independent of fold and probe
+# vectors), so the fold is a pure bucketed append: assign only the
+# fold block under the frozen model, exactly the work the daily probe
+# already does.  A MODEL REFRESH is a parameter change by contract —
+# the centroid rule lives in the sidecar payload, so a refreshed rule
+# can never adopt a stale-model index and always forces the full
+# rebuild.  Fixture blocks: fold vec_id % 10 == 0, post-roll probe
+# vec_id % 10 == 5, rolled coverage vec_id % 10 != 5.
+
+SEM_ROLL_MOD = 2 * SEM_INC_MOD
+_SEM_ROLL_READY: set[tuple[str, str]] = set()
+_SEM_ROLL_SIDECARS: set[str] = set()
+
+
+def _sem_roll_table(sf_dir: str) -> str:
+    from smile_spark.sources.bucketed import bucket_table_name
+
+    return bucket_table_name("sem_roll_assign", sf_dir)
+
+
+def _sem_roll_payloads(
+    spark: SparkSession, sf_dir: str, tbl: str
+) -> tuple[dict, dict]:
+    from smile_spark.operators.similarity import CENTROID_MOD, _vectors
+
+    vecs = _vectors(spark, sf_dir)
+    base = {
+        "state": "base",
+        "base_rows": vecs.filter(
+            F.col("vec_id") % SEM_INC_MOD != 0
+        ).count(),
+        "op": "semantic",
+        "centroid_rule": "base-block-subsample",
+        "centroid_mod": CENTROID_MOD,
+        "inc_mod": SEM_INC_MOD,
+        "roll_mod": SEM_ROLL_MOD,
+        "n_buckets": SEM_INDEX_BUCKETS,
+        "sf_dir": sf_dir,
+        "tables": [tbl],
+    }
+    rolled = dict(base)
+    rolled["state"] = "rolled"
+    rolled["fold_rows"] = vecs.filter(
+        F.col("vec_id") % SEM_ROLL_MOD == 0
+    ).count()
+    return base, rolled
+
+
+def _sem_assign_block(
+    spark: SparkSession, sf_dir: str, pred
+) -> DataFrame:
+    """Assignment rows (cid, vec_id, v, d2) for one vector block under
+    the FROZEN nightly centroids."""
+    from smile_spark.operators.similarity import _assign, _vectors
+
+    return _assign(
+        _vectors(spark, sf_dir).filter(pred),
+        _sem_base_centroids(spark, sf_dir),
+    ).select("cid", "vec_id", "v", "d2")
+
+
+def clear_semantic_roll_cache() -> None:
+    """Forget the roll memo AND drop this process' adoption sidecars
+    (built or adopted), restoring the cold base-rebuild + fold path."""
+    from smile_spark.sources.bucketed import remove_sidecar_file
+
+    _SEM_ROLL_READY.clear()
+    for path in list(_SEM_ROLL_SIDECARS):
+        remove_sidecar_file(path)
+        _SEM_ROLL_SIDECARS.discard(path)
+
+
+def semantic_roll_restore_base(spark: SparkSession, sf_dir: str) -> None:
+    """Bench/test device: force the roll table back to the pre-fold
+    BASE state so the next roll-forward performs the fold alone."""
+    from smile_spark.sources.bucketed import (
+        drop_bucketed_table,
+        write_bucketed,
+        write_sidecar,
+    )
+
+    tbl = _sem_roll_table(sf_dir)
+    _SEM_ROLL_READY.discard((spark.sparkContext.applicationId, sf_dir))
+    drop_bucketed_table(spark, tbl)
+    write_bucketed(
+        _sem_assign_block(
+            spark, sf_dir, F.col("vec_id") % SEM_INC_MOD != 0
+        ),
+        tbl,
+        "cid",
+        n_buckets=SEM_INDEX_BUCKETS,
+    )
+    pb, _ = _sem_roll_payloads(spark, sf_dir, tbl)
+    _SEM_ROLL_SIDECARS.add(write_sidecar(spark, tbl, pb))
+
+
+def semantic_index_rollforward(spark: SparkSession, sf_dir: str) -> str:
+    """Advance the persisted SemDeDup assignment index to cover
+    base ∪ fold by appending the fold block's frozen-model assignment
+    rows — the setsim_index_rollforward three-state contract; a
+    failed append drops the table and sidecar so a half-appended
+    index never adopts."""
+    from smile_spark.sources.bucketed import (
+        append_bucketed,
+        drop_bucketed_table,
+        remove_sidecar_file,
+        sidecar_adoptable,
+        sidecar_path,
+        write_bucketed,
+        write_sidecar,
+    )
+
+    tbl = _sem_roll_table(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SEM_ROLL_READY:
+        return tbl
+    pb, pr = _sem_roll_payloads(spark, sf_dir, tbl)
+    if sidecar_adoptable(spark, tbl, pr, [tbl]):
+        _SEM_ROLL_SIDECARS.add(sidecar_path(spark, tbl))
+        _SEM_ROLL_READY.add(key)
+        return tbl
+    if not sidecar_adoptable(spark, tbl, pb, [tbl]):
+        drop_bucketed_table(spark, tbl)
+        write_bucketed(
+            _sem_assign_block(
+                spark, sf_dir, F.col("vec_id") % SEM_INC_MOD != 0
+            ),
+            tbl,
+            "cid",
+            n_buckets=SEM_INDEX_BUCKETS,
+        )
+        _SEM_ROLL_SIDECARS.add(write_sidecar(spark, tbl, pb))
+    try:
+        append_bucketed(
+            _sem_assign_block(
+                spark, sf_dir, F.col("vec_id") % SEM_ROLL_MOD == 0
+            ),
+            tbl,
+            "cid",
+            n_buckets=SEM_INDEX_BUCKETS,
+        )
+    except Exception:
+        drop_bucketed_table(spark, tbl)
+        scpath = sidecar_path(spark, tbl)
+        remove_sidecar_file(scpath)
+        _SEM_ROLL_SIDECARS.discard(scpath)
+        raise
+    _SEM_ROLL_SIDECARS.add(write_sidecar(spark, tbl, pr))
+    _SEM_ROLL_READY.add(key)
+    return tbl
+
+
+def semantic_rolled_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Today's embedding batch (vec_id % 10 == 5) probing the ROLLED
+    assignment index — probe vectors whose semantic duplicates sit in
+    the FOLD block can only surface through the appended assignment
+    rows.  The probe plan is semantic_dedup_incremental's exactly
+    (the shared :func:`_sem_probe` core, frozen nightly centroids).
+    Returns (a, b, cid, cos_r): a from the probe block, b from
+    base ∪ fold."""
+    tbl = semantic_index_rollforward(spark, sf_dir)
+    return _sem_probe(
+        spark,
+        sf_dir,
+        tbl,
+        F.col("vec_id") % SEM_ROLL_MOD == SEM_INC_MOD,
+    )
+
+
+def semantic_rolled_probe_sql() -> str:
+    """Exact oracle: FROZEN base-block centroids (the nightly model —
+    unchanged by fold and probe), fold-exact argmin assignment of the
+    probe block and the rolled coverage, fold-exact cosine rounded to
+    6 before the tau compare."""
+    from smile_spark.operators.similarity import CENTROID_MOD
+
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),"
+        " (x, y) -> x + y)"
+    )
+    cos = (
+        "list_reduce(list_transform(generate_series(1, len(x.v)),"
+        " i -> x.v[i] * y.v[i]), (a, b) -> a + b)"
+        " / (sqrt(list_reduce(list_transform(x.v, t -> t * t),"
+        " (a, b) -> a + b))"
+        " * sqrt(list_reduce(list_transform(y.v, t -> t * t),"
+        " (a, b) -> a + b)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, t -> CAST(t AS DOUBLE)) AS v"
+        " FROM embeddings),"
+        f" c AS (SELECT vec_id AS cid, v AS cv FROM e"
+        f"  WHERE vec_id % {CENTROID_MOD} = 0"
+        f"   AND vec_id % {SEM_INC_MOD} <> 0),"
+        f" s AS (SELECT e.vec_id, e.v, c.cid, {d2} AS d2 FROM e, c),"
+        " asg AS (SELECT vec_id, v, cid FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        "   ORDER BY d2 ASC, cid ASC) AS rn FROM s) WHERE rn = 1)"
+        " SELECT x.vec_id AS a, y.vec_id AS b,"
+        " CAST(x.cid AS BIGINT) AS cid,"
+        f" ROUND({cos}, 6) AS cos_r"
+        " FROM asg x JOIN asg y ON x.cid = y.cid"
+        f"  AND x.vec_id % {SEM_ROLL_MOD} = {SEM_INC_MOD}"
+        f"  AND y.vec_id % {SEM_ROLL_MOD} <> {SEM_INC_MOD}"
         f" WHERE ROUND({cos}, 6) >= {SEMDEDUP_TAU}"
     )
 

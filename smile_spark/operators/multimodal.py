@@ -2289,39 +2289,56 @@ def image_dhash_rolled_probe(
 # label IS the min doc_id of its base component, so the min over a
 # merged component of {increment ids, base labels} is the global min.
 
-IMAGE_LABEL_BUCKETS = 16
-_IMG_LABEL_READY: set[tuple[str, str]] = set()
-_IMG_LABEL_SIDECARS: set[str] = set()
+LABEL_INDEX_BUCKETS = 16
+# modality -> (memo of ready keys, sidecar paths, table base name)
+_LABEL_READY: set[tuple[str, str, str]] = set()
+_LABEL_SIDECARS: dict[str, set[str]] = {"image": set(), "audio": set()}
+_LABEL_TABLE_BASE = {"image": "dhash_labels", "audio": "audio_labels"}
 
 
-def _img_label_table(sf_dir: str) -> str:
+def _label_table(sf_dir: str, modality: str) -> str:
     from smile_spark.sources.bucketed import bucket_table_name
 
-    return bucket_table_name("dhash_labels", sf_dir)
+    return bucket_table_name(_LABEL_TABLE_BASE[modality], sf_dir)
+
+
+def _clear_label_cache(modality: str) -> None:
+    from smile_spark.sources.bucketed import remove_sidecar_file
+
+    for key in [k for k in _LABEL_READY if k[2] == modality]:
+        _LABEL_READY.discard(key)
+    sidecars = _LABEL_SIDECARS[modality]
+    for path in list(sidecars):
+        remove_sidecar_file(path)
+        sidecars.discard(path)
 
 
 def clear_image_label_cache() -> None:
-    """Forget the base-label memo AND drop this process' adoption
-    sidecars (built or adopted), so the next call reruns the full
-    base-pairs + cc + write path (bench cold pricing,
+    """Forget the IMAGE base-label memo AND drop this process'
+    adoption sidecars (built or adopted), so the next call reruns the
+    full base-pairs + cc + write path (bench cold pricing,
     ``image_label_build``)."""
-    from smile_spark.sources.bucketed import remove_sidecar_file
-
-    _IMG_LABEL_READY.clear()
-    for path in list(_IMG_LABEL_SIDECARS):
-        remove_sidecar_file(path)
-        _IMG_LABEL_SIDECARS.discard(path)
+    _clear_label_cache("image")
 
 
-def image_label_index_build(spark: SparkSession, sf_dir: str) -> str:
-    """Persist the BASE image block's connected-component labels
+def clear_audio_label_cache() -> None:
+    """The AUDIO twin of :func:`clear_image_label_cache` (bench cold
+    entry ``audio_label_build``)."""
+    _clear_label_cache("audio")
+
+
+def _label_index_build(
+    spark: SparkSession, sf_dir: str, modality: str
+) -> str:
+    """Persist one modality's BASE-block connected-component labels
     (id, component) bucketed by id — the nightly clustering job the
     incremental fold reads.  Only PAIRED docs appear (singletons
     label themselves implicitly, the `_perceptual_keep_list`
     convention).  Standard sidecar-adoption contract; the base pair
     set is computed from base-filtered fingerprints (decode restricted
     BEFORE the hash pass), banded + salted + verified through the
-    shared `_dhash_pairs_from_hashes` core."""
+    shared `_dhash_pairs_from_hashes` core (the audio rung shares the
+    image rung's banded core, so one build serves both)."""
     from smile_spark.operators.graph import cc_labels
     from smile_spark.session import unpersist_checkpoint
     from smile_spark.sources.bucketed import (
@@ -2333,31 +2350,35 @@ def image_label_index_build(spark: SparkSession, sf_dir: str) -> str:
     )
     from smile_spark.tables import table as _table
 
-    tbl = _img_label_table(sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _IMG_LABEL_READY:
+    sub_mod, sub_res, _ = _BAND_MODALITY[modality]
+    tbl = _label_table(sf_dir, modality)
+    key = (spark.sparkContext.applicationId, sf_dir, modality)
+    if key in _LABEL_READY:
         return tbl
     base_pred = F.col("doc_id") % DHASH_INC_MOD != 0
     n_base = (
         _table(spark, sf_dir, "documents")
-        .filter((F.col("doc_id") % 3 == 0) & base_pred)
+        .filter((F.col("doc_id") % sub_mod == sub_res) & base_pred)
         .count()
     )
+    grids = {"image": [DHASH_GW, DHASH_GH], "audio": [AUD_FP_GRID]}
     expected = {
         "base_rows": n_base,
-        "op": "image_labels",
+        "op": f"{modality}_labels",
         "inc_mod": DHASH_INC_MOD,
         "max_distance": DHASH_MAX_DISTANCE,
-        "grid": [DHASH_GW, DHASH_GH],
-        "n_buckets": IMAGE_LABEL_BUCKETS,
+        "grid": grids[modality],
+        "n_buckets": LABEL_INDEX_BUCKETS,
         "sf_dir": sf_dir,
         "tables": [tbl],
     }
     if sidecar_adoptable(spark, tbl, expected, [tbl]):
-        _IMG_LABEL_SIDECARS.add(sidecar_path(spark, tbl))
-        _IMG_LABEL_READY.add(key)
+        _LABEL_SIDECARS[modality].add(sidecar_path(spark, tbl))
+        _LABEL_READY.add(key)
         return tbl
-    hashes = image_dhash_frame(spark, sf_dir, base_pred).localCheckpoint()
+    hashes = _band_frame(
+        spark, sf_dir, modality, base_pred
+    ).localCheckpoint()
     try:
         pairs = _dhash_pairs_from_hashes(hashes).localCheckpoint()
     finally:
@@ -2372,21 +2393,33 @@ def image_label_index_build(spark: SparkSession, sf_dir: str) -> str:
         nodes = und.select(F.col("src").alias("id")).distinct()
         labels = cc_labels(nodes, und)
         drop_bucketed_table(spark, tbl)
-        write_bucketed(labels, tbl, "id", n_buckets=IMAGE_LABEL_BUCKETS)
-        _IMG_LABEL_SIDECARS.add(write_sidecar(spark, tbl, expected))
+        write_bucketed(labels, tbl, "id", n_buckets=LABEL_INDEX_BUCKETS)
+        _LABEL_SIDECARS[modality].add(write_sidecar(spark, tbl, expected))
     finally:
         unpersist_checkpoint(pairs)
-    _IMG_LABEL_READY.add(key)
+    _LABEL_READY.add(key)
     return tbl
 
 
-def image_clusters_incremental(
-    spark: SparkSession, sf_dir: str
+def image_label_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """The IMAGE base label table (see :func:`_label_index_build`);
+    cold-priced by the bench as ``image_label_build``."""
+    return _label_index_build(spark, sf_dir, "image")
+
+
+def audio_label_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """The AUDIO base label table (see :func:`_label_index_build`);
+    cold-priced by the bench as ``audio_label_build``."""
+    return _label_index_build(spark, sf_dir, "audio")
+
+
+def _clusters_incremental(
+    spark: SparkSession, sf_dir: str, modality: str
 ) -> DataFrame:
-    """Fold the incremental image pair output into the PERSISTED base
-    cluster labels — updated clusters and keep list for the whole
-    image modality without re-clustering the corpus (VERDICT r13
-    next-round #4).
+    """Shared incremental cluster-maintenance fold (VERDICT r13
+    next-round #4): fold one modality's incremental pair output into
+    its PERSISTED base cluster labels — updated clusters and keep
+    list for the whole modality without re-clustering the corpus.
 
     Plan: (1) collapse each incremental pair's base endpoint to its
     stored label (unpaired base docs label themselves) — one id-keyed
@@ -2397,9 +2430,9 @@ def image_clusters_incremental(
     merged label where touched, else unchanged; (4) sizes + min-id
     survivorship over the final labels.
 
-    Emits (doc_id, cluster_size, keep) for EVERY image doc — the
-    same schema and semantics as :func:`image_dhash_clusters`, pinned
-    by an agreement test against the full rebuild over the joint
+    Emits (doc_id, cluster_size, keep) for EVERY modality doc — the
+    `_perceptual_keep_list` schema and semantics, pinned by an
+    agreement test against the full rebuild over the joint
     (base ∪ probe↔base) pair set and by the recursive
     min-reachability oracle over the identical closed-form pairs.
     """
@@ -2408,9 +2441,10 @@ def image_clusters_incremental(
     from smile_spark.sources.bucketed import read_bucketed
     from smile_spark.tables import table as _table
 
-    tbl = image_label_index_build(spark, sf_dir)
+    sub_mod, sub_res, _ = _BAND_MODALITY[modality]
+    tbl = _label_index_build(spark, sf_dir, modality)
     labels = read_bucketed(spark, tbl)
-    inc = image_dhash_incremental(spark, sf_dir)
+    inc = _band_incremental(spark, sf_dir, modality)
     # collapse: (increment doc, base endpoint's stored label); the
     # checkpoint stops the probe decode from re-running every cc round
     e = (
@@ -2438,7 +2472,7 @@ def image_clusters_incremental(
     )
     universe = (
         _table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 3 == 0)
+        .filter(F.col("doc_id") % sub_mod == sub_res)
         .select("doc_id")
     )
     lbl0 = universe.join(
@@ -2462,6 +2496,23 @@ def image_clusters_incremental(
     )
     release_checkpoints_on_gc(out, [e])
     return out
+
+
+def image_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IMAGE instance of the shared incremental cluster fold
+    (see :func:`_clusters_incremental`)."""
+    return _clusters_incremental(spark, sf_dir, "image")
+
+
+def audio_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The AUDIO instance of the shared incremental cluster fold —
+    the audio_fingerprint_clusters keep list maintained
+    increment-linearly (see :func:`_clusters_incremental`)."""
+    return _clusters_incremental(spark, sf_dir, "audio")
 
 
 def _img_hash_ctes(p: str, where: str) -> str:
@@ -2888,6 +2939,33 @@ AUDIO_FINGERPRINT_INCREMENTAL_SQL = (
     f" {_DUCK_HAMMING} AS hamming"
     " FROM p_hashes x JOIN b_hashes y ON TRUE"
     f" WHERE {_DUCK_HAMMING} <= {DHASH_MAX_DISTANCE}"
+)
+
+
+# the audio twin of _IMG_JOINT_PAIRS_SQL: base-internal ∪ probe↔base
+# audio pairs in un-banded closed form, feeding the same recursive
+# min-reachability clustering oracle
+_AUD_JOINT_PAIRS_SQL = (
+    "WITH "
+    + _aud_hash_ctes(
+        "jp_", f"doc_id % 3 = 1 AND doc_id % {DHASH_INC_MOD} = 0"
+    )
+    + ", "
+    + _aud_hash_ctes(
+        "jb_", f"doc_id % 3 = 1 AND doc_id % {DHASH_INC_MOD} <> 0"
+    )
+    + " SELECT x.doc_id AS a, y.doc_id AS b"
+    " FROM jb_hashes x JOIN jb_hashes y ON x.doc_id < y.doc_id"
+    f" WHERE {_DUCK_HAMMING} <= {DHASH_MAX_DISTANCE}"
+    " UNION ALL"
+    " SELECT x.doc_id AS a, y.doc_id AS b"
+    " FROM jp_hashes x JOIN jb_hashes y ON TRUE"
+    f" WHERE {_DUCK_HAMMING} <= {DHASH_MAX_DISTANCE}"
+)
+
+AUDIO_CLUSTERS_INCREMENTAL_SQL = _keep_list_sql(
+    _AUD_JOINT_PAIRS_SQL,
+    "SELECT doc_id FROM documents WHERE doc_id % 3 = 1",
 )
 
 

@@ -110,6 +110,14 @@ MEASURED = {
     #                       (six increment-sized rung pipelines
     #                        union + precedence window + universe
     #                        join in ONE composed execution)
+    "minhash_rolled_probe": 3,  # r14 measured (probe signature agg +
+    #                       cand distinct + candidate-bounded verify)
+    "semantic_rolled_probe": 1,  # r14 measured cold AND warm
+    #                       (map-side assign, broadcast probe over
+    #                        the rolled bucketed assignment scan)
+    "audio_clusters_incremental": 4,  # r14 measured (shared fold
+    #                       core: label join + collapsed-graph cc +
+    #                        relabel/size joins)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

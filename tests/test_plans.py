@@ -177,10 +177,11 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # APPEND) on first call, then probe — the eager-build
         # precedents plus the r14 fold step
         "setsim_rolled_probe", "image_dhash_rolled_probe",
-        # builds/adopts the persisted base label table and runs
+        "minhash_rolled_probe", "semantic_rolled_probe",
+        # build/adopt the persisted base label table and run
         # cc_labels pointer-jumping over the collapsed fold graph at
-        # plan time
-        "image_clusters_incremental",
+        # plan time (one shared core, image + audio instances)
+        "image_clusters_incremental", "audio_clusters_incremental",
         # composes all six incremental rungs (index builds + probe
         # checkpoints) at plan time
         "increment_ingest_manifest",

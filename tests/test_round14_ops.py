@@ -330,7 +330,7 @@ def test_image_label_index_adoption(spark, sf_dir, monkeypatch):
     from smile_spark.sources import bucketed as BK
 
     tbl = M.image_label_index_build(spark, sf_dir)
-    M._IMG_LABEL_READY.clear()
+    M._LABEL_READY.clear()
     jobs = []
     monkeypatch.setattr(
         BK, "write_bucketed", lambda *a, **k: jobs.append(a)
@@ -348,7 +348,7 @@ def test_image_label_index_adoption(spark, sf_dir, monkeypatch):
     payload["base_rows"] += 1
     with open(path, "w") as fh:
         json.dump(payload, fh)
-    M._IMG_LABEL_READY.clear()
+    M._LABEL_READY.clear()
     writes = []
     real_write = BK.write_bucketed
     monkeypatch.setattr(
@@ -410,3 +410,72 @@ def test_increment_manifest_consistency(spark, sf_dir):
             assert not flags and r.reason == "unique"
             assert r.duplicate_of is None
     assert dropped > 0 and kept > 0, "manifest degenerate"
+
+
+# ---------------------------------------------------------------------------
+# minhash / semantic roll-forward (per-row folds)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_rollforward_content_agreement(spark, sf_dir):
+    """MinHash band rows are per-document, so the rolled table must be
+    row-identical to a full rebuild over the grown base (and must
+    actually contain FOLD-block rows)."""
+    from smile_spark.operators import dedup as D
+    from smile_spark.sources.bucketed import read_bucketed
+    from smile_spark.tables import table
+
+    tbl = D.minhash_index_rollforward(spark, sf_dir)
+    got = {tuple(r) for r in read_bucketed(spark, tbl).collect()}
+    grown = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % D.MINHASH_ROLL_MOD != D.SETSIM_INC_MOD
+    )
+    want = {
+        tuple(r)
+        for r in D._lsh_bands_from_sig(
+            D._minhash_sig_from_docs(grown)
+        ).collect()
+    }
+    assert got == want
+    assert any(r[0] % D.MINHASH_ROLL_MOD == 0 for r in got)
+
+
+def test_semantic_rollforward_content_agreement(spark, sf_dir):
+    """SemDeDup assignment rows are per-vector under the FROZEN
+    nightly centroids, so the rolled table must be row-identical to a
+    frozen-model rebuild over the grown base."""
+    from smile_spark.operators import dedup as D
+    from smile_spark.sources.bucketed import read_bucketed
+
+    tbl = D.semantic_index_rollforward(spark, sf_dir)
+    got = {
+        (r.cid, r.vec_id, tuple(r.v), r.d2)
+        for r in read_bucketed(spark, tbl).collect()
+    }
+    want = {
+        (r.cid, r.vec_id, tuple(r.v), r.d2)
+        for r in D._sem_assign_block(
+            spark,
+            sf_dir,
+            F.col("vec_id") % D.SEM_ROLL_MOD != D.SEM_INC_MOD,
+        ).collect()
+    }
+    assert got == want
+    assert any(r[1] % D.SEM_ROLL_MOD == 0 for r in got)
+
+
+def test_minhash_semantic_rolled_adoption(spark, sf_dir, monkeypatch):
+    """Fresh 'sessions' adopt both rolled states without any job."""
+    from smile_spark.operators import dedup as D
+    from smile_spark.sources import bucketed as BK
+
+    D.minhash_index_rollforward(spark, sf_dir)
+    D.semantic_index_rollforward(spark, sf_dir)
+    D._MH_ROLL_READY.clear()
+    D._SEM_ROLL_READY.clear()
+    jobs = []
+    for fn in ("write_bucketed", "append_bucketed", "drop_bucketed_table"):
+        monkeypatch.setattr(BK, fn, lambda *a, **k: jobs.append(a))
+    D.minhash_index_rollforward(spark, sf_dir)
+    D.semantic_index_rollforward(spark, sf_dir)
+    assert jobs == [], "rolled adoption ran a rebuild/fold job"
