@@ -50,22 +50,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
     insertion order.  Round-14 window (exactly 50), per the r13
-    VERDICT's next-round #1: (1) the SEVEN r14 additions
+    VERDICT's next-round #1: (1) the NINE r14 additions
     (setsim_rolled_probe, image_dhash_rolled_probe,
     minhash_rolled_probe, semantic_rolled_probe,
     image_clusters_incremental, audio_clusters_incremental,
-    increment_ingest_manifest); (2) the SEVENTEEN r09-verified
+    increment_ingest_manifest, image_labels_rolled,
+    audio_labels_rolled); (2) the SEVENTEEN r09-verified
     entries that slipped the r13 window (null_semantics ..
     setsim_join_prefix, in their declared slip order); (3) the first
-    26 of the r10-verified block (semantic_dedup .. bitmap_distinct).
-    7 + 17 + 26 = 50.  After this window completes, no registered
-    entry's newest verdict predates r10.  The TWENTY-THREE
-    r10-verified entries the additions displaced
-    (pattern_match_events, inverted_index_stats, funnel_latency,
-    then mad_outliers_approx .. degree_assortativity) sit directly
-    after the window and go first in r15.
+    24 of the r10-verified block (semantic_dedup ..
+    clustering_coefficient).  9 + 17 + 24 = 50.  After this window
+    completes, no registered entry's newest verdict predates r10.
+    The TWENTY-FIVE r10-verified entries the additions displaced
+    (bm25_topk, bitmap_distinct, pattern_match_events,
+    inverted_index_stats, funnel_latency, then mad_outliers_approx
+    .. degree_assortativity) sit directly after the window and go
+    first in r15.
     r15 NOTE: rotate (a) any r15 additions first, then (b) the
-    twenty-three displaced r10 entries named above, then (c) the
+    twenty-five displaced r10 entries named above, then (c) the
     r11-verified block (image_dhash_dedup ..); the r12 block and the
     r13-window block (ann_pq_indexed .. price_histogram, now at the
     end of the registry) rotate last.
@@ -79,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_clusters_incremental": M.image_clusters_incremental,
         "audio_clusters_incremental": M.audio_clusters_incremental,
         "increment_ingest_manifest": P.increment_ingest_manifest,
+        "image_labels_rolled": M.image_labels_rolled,
+        "audio_labels_rolled": M.audio_labels_rolled,
         # --- (2) the SEVENTEEN r09-verified entries that slipped
         # the r13 window (VERDICT r13 next-round #1) ---
         "null_semantics": AN.null_semantics,
@@ -98,7 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": S.embedding_outliers,
         "streaming_window_agreement": ST.streaming_window_agreement,
         "setsim_join_prefix": D.setsim_join_prefix,
-        # --- (3) the first 29 of the r10-verified block ---
+        # --- (3) the first 24 of the r10-verified block ---
         "semantic_dedup": D.semantic_dedup,
         "setsim_hash_agreement": D.setsim_hash_agreement,
         "ngram_hash_agreement": D.ngram_hash_agreement,
@@ -123,15 +127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_grid_join": SP.spatial_grid_join,
         "join_size_estimate": K.join_size_estimate,
         "clustering_coefficient": G.clustering_coefficient,
-        "bm25_topk": T.bm25_topk,
-        "bitmap_distinct": K.bitmap_distinct,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round (see the r15 NOTE in the docstring above for the next
         # rotation).
         # ------------------------------------------------------------------
-        # --- the TWENTY-THREE r10-verified entries the r14 additions
+        # --- the TWENTY-FIVE r10-verified entries the r14 additions
         # displaced (first into r15 after any r15 additions) ---
+        "bm25_topk": T.bm25_topk,
+        "bitmap_distinct": K.bitmap_distinct,
         "pattern_match_events": B.pattern_match_events,
         "inverted_index_stats": T.inverted_index_stats,
         "funnel_latency": B.funnel_latency,
@@ -331,6 +335,8 @@ def oracle_sql() -> dict[str, str]:
         "image_clusters_incremental": M.IMAGE_CLUSTERS_INCREMENTAL_SQL,
         "audio_clusters_incremental": M.AUDIO_CLUSTERS_INCREMENTAL_SQL,
         "increment_ingest_manifest": P.increment_ingest_manifest_sql(),
+        "image_labels_rolled": M.IMAGE_LABELS_ROLLED_SQL,
+        "audio_labels_rolled": M.AUDIO_LABELS_ROLLED_SQL,
         "scan": "SELECT * FROM lineitem",
         "scan_filter_count": (
             "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity > 25.0"

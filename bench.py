@@ -532,6 +532,31 @@ def main() -> None:
                 round(time.perf_counter() - t0, 4)
             )
 
+    # The LABEL-table folds (delta-log update pattern): restore the
+    # base label state untimed, then time the collapse + cc + delta
+    # append — the increment-linear nightly cluster maintenance the
+    # *_labels_rolled entries read.
+    for bname, clear_fn, modality in (
+        ("image_labelroll", _mm.clear_image_labelroll_cache, "image"),
+        ("audio_labelroll", _mm.clear_audio_labelroll_cache, "audio"),
+    ):
+        for _ in range(_build_passes if _build_wanted(bname) else 0):
+            try:
+                clear_fn()
+                _mm.labelroll_restore_base(spark, sf_dir, modality)
+            except Exception as exc:  # noqa: BLE001 — must survive
+                errors[bname] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            t0 = time.perf_counter()
+            try:
+                _mm.label_rollforward(spark, sf_dir, modality)
+            except Exception as exc:  # noqa: BLE001 — must survive
+                errors[bname] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            samples.setdefault(bname, []).append(
+                round(time.perf_counter() - t0, 4)
+            )
+
     # Two passes, min per query: the first pass doubles as per-query
     # warmup (code cache, shuffle-file reuse is disabled by noop's
     # overwrite, OS pagecache), the min filters GC/scheduler noise so

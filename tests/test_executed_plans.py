@@ -118,6 +118,11 @@ MEASURED = {
     "audio_clusters_incremental": 4,  # r14 measured (shared fold
     #                       core: label join + collapsed-graph cc +
     #                        relabel/size joins)
+    "image_labels_rolled": 4,  # r14 measured cold AND warm (warm
+    #                       reader: bucketed base scan + broadcast
+    #                        delta remap + keep-list size joins)
+    "audio_labels_rolled": 4,  # r14 measured cold AND warm (same
+    #                       shared rolled-reader core as image)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

@@ -185,6 +185,9 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # composes all six incremental rungs (index builds + probe
         # checkpoints) at plan time
         "increment_ingest_manifest",
+        # roll the persisted LABEL state forward on first call (base
+        # cc rebuild + delta append) before the reader's remap plan
+        "image_labels_rolled", "audio_labels_rolled",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set

@@ -1,0 +1,209 @@
+"""Round-14b: LABEL-TABLE roll-forward — the delta-log update
+pattern that makes the nightly cluster-label state itself
+increment-linear (closing the 'Future: label-table roll-forward'
+note SCALING.md r14 recorded): the base label table stays immutable,
+the fold appends an increment-sized delta, readers apply the delta
+as a broadcast remap, and a periodic compaction folds the delta back
+into a fresh base."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("modality", ["image", "audio"])
+def test_labels_rolled_agrees_with_incremental(spark, sf_dir, modality):
+    """The keep list served from the persisted base + delta must be
+    row-identical to the live fold (`*_clusters_incremental`) — both
+    are views of the same joint clustering, through different
+    physical state.  The delta must also be increment-sized: the
+    whole point is that the nightly append never touches a base
+    row."""
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources.bucketed import read_bucketed
+
+    rolled = {
+        tuple(r) for r in M._labels_rolled(spark, sf_dir, modality).collect()
+    }
+    live = {
+        tuple(r)
+        for r in M._clusters_incremental(spark, sf_dir, modality).collect()
+    }
+    assert rolled == live
+    tables = M._labelroll_tables(sf_dir, modality)
+    n_delta = read_bucketed(spark, tables["delta"]).count()
+    n_base = read_bucketed(spark, tables["labels"]).count()
+    sub_mod, sub_res, _ = M._BAND_MODALITY[modality]
+    from smile_spark.tables import table
+
+    n_inc = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % sub_mod == sub_res)
+            & (F.col("doc_id") % M.DHASH_INC_MOD == 0)
+        )
+        .count()
+    )
+    # delta nodes = increment docs in pairs + touched supernodes; each
+    # increment doc touches at most one supernode per pair partner —
+    # bounded by the pair count, never by the corpus
+    n_pairs = M._band_incremental(spark, sf_dir, modality).count()
+    assert 0 < n_delta <= n_inc + n_pairs, (n_delta, n_inc, n_pairs)
+    assert n_base > 0
+
+
+@pytest.mark.parametrize("modality", ["image", "audio"])
+def test_labels_rolled_matches_oracle_two_sfs(spark, modality, sf_dir):
+    from smile_spark.operators import multimodal as M
+    from smile_spark.testing import assert_matches_oracle
+
+    fn = {
+        "image": M.image_labels_rolled,
+        "audio": M.audio_labels_rolled,
+    }[modality]
+    sql = {
+        "image": M.IMAGE_LABELS_ROLLED_SQL,
+        "audio": M.AUDIO_LABELS_ROLLED_SQL,
+    }[modality]
+    for d in [sf_dir, SF001]:
+        assert_matches_oracle(spark, fn, sql, d)
+
+
+def test_labelroll_rolled_adoption(spark, sf_dir, monkeypatch):
+    """A fresh 'session' (memo cleared, warehouse intact) must adopt
+    the ROLLED label state without any drop/write/append job, and the
+    reader must still serve from the adopted tables."""
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources import bucketed as BK
+
+    M.label_rollforward(spark, sf_dir, "image")
+    for key in [k for k in M._LROLL_READY if k[2] == "image"]:
+        M._LROLL_READY.discard(key)
+    jobs = []
+    monkeypatch.setattr(
+        BK, "write_bucketed", lambda *a, **k: jobs.append(a)
+    )
+    monkeypatch.setattr(
+        BK, "append_bucketed", lambda *a, **k: jobs.append(a)
+    )
+    monkeypatch.setattr(
+        BK, "drop_bucketed_table", lambda *a, **k: jobs.append(a)
+    )
+    M.label_rollforward(spark, sf_dir, "image")
+    assert jobs == [], "rolled adoption ran a rebuild/fold job"
+    assert M.image_labels_rolled(spark, sf_dir).count() > 0
+
+
+def test_labelroll_stale_params_full_rebuild(spark, sf_dir, monkeypatch):
+    """A sidecar whose parameters no longer match (here: a dHash grid
+    change — re-banding shifts every cluster boundary) must force the
+    FULL base rebuild (2 writes: labels + empty delta) before folding
+    (1 append) — never adopt, never fold over unknown state."""
+    import json
+
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources import bucketed as BK
+
+    M.label_rollforward(spark, sf_dir, "image")
+    path = BK.sidecar_path(
+        spark, M._labelroll_sidecar_name(sf_dir, "image")
+    )
+    with open(path) as fh:
+        payload = json.load(fh)
+    payload["grid"] = [7, 6]  # a PARAMETER changed, not the snapshot
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+    for key in [k for k in M._LROLL_READY if k[2] == "image"]:
+        M._LROLL_READY.discard(key)
+    writes, appends = [], []
+    real_write = BK.write_bucketed
+    real_append = BK.append_bucketed
+    monkeypatch.setattr(
+        BK,
+        "write_bucketed",
+        lambda *a, **k: (writes.append(a), real_write(*a, **k)),
+    )
+    monkeypatch.setattr(
+        BK,
+        "append_bucketed",
+        lambda *a, **k: (appends.append(a), real_append(*a, **k)),
+    )
+    M.label_rollforward(spark, sf_dir, "image")
+    assert len(writes) == 2, "stale sidecar must trigger a full rebuild"
+    assert len(appends) == 1, "the rebuild must still fold the increment"
+    with open(path) as fh:
+        assert json.load(fh)["state"] == "rolled"
+
+
+def test_labelroll_fold_failure_never_adoptable(
+    spark, sf_dir, monkeypatch
+):
+    """A crash mid-fold must leave NO adoptable state: tables dropped,
+    sidecar removed — so the next session rebuilds from scratch
+    instead of folding over (or reading) a half-appended delta."""
+    import os
+
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources import bucketed as BK
+
+    M.labelroll_restore_base(spark, sf_dir, "image")
+    path = BK.sidecar_path(
+        spark, M._labelroll_sidecar_name(sf_dir, "image")
+    )
+    real_append = BK.append_bucketed
+
+    def dying_append(*a, **k):
+        raise RuntimeError("simulated executor loss mid-fold")
+
+    monkeypatch.setattr(BK, "append_bucketed", dying_append)
+    with pytest.raises(RuntimeError, match="mid-fold"):
+        M.label_rollforward(spark, sf_dir, "image")
+    assert not os.path.exists(path), (
+        "a failed fold left an adoptable sidecar behind"
+    )
+    tables = M._labelroll_tables(sf_dir, "image")
+    assert not any(
+        spark.catalog.tableExists(t) for t in tables.values()
+    ), "a failed fold left half-appended tables behind"
+    monkeypatch.setattr(BK, "append_bucketed", real_append)
+    # recovery: the next call runs the full rebuild + fold and serves
+    for key in [k for k in M._LROLL_READY if k[2] == "image"]:
+        M._LROLL_READY.discard(key)
+    rolled = {
+        tuple(r) for r in M.image_labels_rolled(spark, sf_dir).collect()
+    }
+    live = {
+        tuple(r)
+        for r in M.image_clusters_incremental(spark, sf_dir).collect()
+    }
+    assert rolled == live
+
+
+@pytest.mark.parametrize("modality", ["image", "audio"])
+def test_label_compact_preserves_state(spark, sf_dir, modality):
+    """Compaction must be invisible to readers (identical keep list),
+    empty the delta, keep the rolled sidecar adoptable — and a fresh
+    'session' must ADOPT the compacted state without any job."""
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources.bucketed import read_bucketed
+
+    before = {
+        tuple(r) for r in M._labels_rolled(spark, sf_dir, modality).collect()
+    }
+    tables = M.label_compact(spark, sf_dir, modality)
+    after = {
+        tuple(r) for r in M._labels_rolled(spark, sf_dir, modality).collect()
+    }
+    assert before == after, "compaction changed the visible state"
+    assert read_bucketed(spark, tables["delta"]).count() == 0
+    # a fresh session adopts the compacted (rolled) state
+    for key in [k for k in M._LROLL_READY if k[2] == modality]:
+        M._LROLL_READY.discard(key)
+    got = M.label_rollforward(spark, sf_dir, modality)
+    assert got == tables
+    post = {
+        tuple(r) for r in M._labels_rolled(spark, sf_dir, modality).collect()
+    }
+    assert post == before
