@@ -50,24 +50,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
     insertion order.  Round-14 window (exactly 50), per the r13
-    VERDICT's next-round #1: (1) the NINE r14 additions
+    VERDICT's next-round #1: (1) the TWELVE r14 additions
     (setsim_rolled_probe, image_dhash_rolled_probe,
     minhash_rolled_probe, semantic_rolled_probe,
     image_clusters_incremental, audio_clusters_incremental,
     increment_ingest_manifest, image_labels_rolled,
-    audio_labels_rolled); (2) the SEVENTEEN r09-verified
-    entries that slipped the r13 window (null_semantics ..
-    setsim_join_prefix, in their declared slip order); (3) the first
-    24 of the r10-verified block (semantic_dedup ..
-    clustering_coefficient).  9 + 17 + 24 = 50.  After this window
-    completes, no registered entry's newest verdict predates r10.
-    The TWENTY-FIVE r10-verified entries the additions displaced
-    (bm25_topk, bitmap_distinct, pattern_match_events,
-    inverted_index_stats, funnel_latency, then mad_outliers_approx
-    .. degree_assortativity) sit directly after the window and go
-    first in r15.
+    audio_labels_rolled, video_dhash_clusters,
+    video_clusters_incremental, video_labels_rolled); (2) the
+    SEVENTEEN r09-verified entries that slipped the r13 window
+    (null_semantics .. setsim_join_prefix, in their declared slip
+    order); (3) the first 21 of the r10-verified block
+    (semantic_dedup .. ann_sq8_topk).  12 + 17 + 21 = 50.  After
+    this window completes, no registered entry's newest verdict
+    predates r10.  The TWENTY-EIGHT r10-verified entries the
+    additions displaced (spatial_grid_join, join_size_estimate,
+    clustering_coefficient, bm25_topk, bitmap_distinct,
+    pattern_match_events, inverted_index_stats, funnel_latency, then
+    mad_outliers_approx .. degree_assortativity) sit directly after
+    the window and go first in r15.
     r15 NOTE: rotate (a) any r15 additions first, then (b) the
-    twenty-five displaced r10 entries named above, then (c) the
+    twenty-eight displaced r10 entries named above, then (c) the
     r11-verified block (image_dhash_dedup ..); the r12 block and the
     r13-window block (ann_pq_indexed .. price_histogram, now at the
     end of the registry) rotate last.
@@ -83,6 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "increment_ingest_manifest": P.increment_ingest_manifest,
         "image_labels_rolled": M.image_labels_rolled,
         "audio_labels_rolled": M.audio_labels_rolled,
+        "video_dhash_clusters": M.video_dhash_clusters,
+        "video_clusters_incremental": M.video_clusters_incremental,
+        "video_labels_rolled": M.video_labels_rolled,
         # --- (2) the SEVENTEEN r09-verified entries that slipped
         # the r13 window (VERDICT r13 next-round #1) ---
         "null_semantics": AN.null_semantics,
@@ -102,7 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": S.embedding_outliers,
         "streaming_window_agreement": ST.streaming_window_agreement,
         "setsim_join_prefix": D.setsim_join_prefix,
-        # --- (3) the first 24 of the r10-verified block ---
+        # --- (3) the first 21 of the r10-verified block ---
         "semantic_dedup": D.semantic_dedup,
         "setsim_hash_agreement": D.setsim_hash_agreement,
         "ngram_hash_agreement": D.ngram_hash_agreement,
@@ -124,16 +129,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel": G.kcore_peel,
         "ewma_anomaly": B.ewma_anomaly,
         "ann_sq8_topk": S.ann_sq8_topk,
-        "spatial_grid_join": SP.spatial_grid_join,
-        "join_size_estimate": K.join_size_estimate,
-        "clustering_coefficient": G.clustering_coefficient,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window this
         # round (see the r15 NOTE in the docstring above for the next
         # rotation).
         # ------------------------------------------------------------------
-        # --- the TWENTY-FIVE r10-verified entries the r14 additions
+        # --- the TWENTY-EIGHT r10-verified entries the r14 additions
         # displaced (first into r15 after any r15 additions) ---
+        "spatial_grid_join": SP.spatial_grid_join,
+        "join_size_estimate": K.join_size_estimate,
+        "clustering_coefficient": G.clustering_coefficient,
         "bm25_topk": T.bm25_topk,
         "bitmap_distinct": K.bitmap_distinct,
         "pattern_match_events": B.pattern_match_events,
@@ -337,6 +342,9 @@ def oracle_sql() -> dict[str, str]:
         "increment_ingest_manifest": P.increment_ingest_manifest_sql(),
         "image_labels_rolled": M.IMAGE_LABELS_ROLLED_SQL,
         "audio_labels_rolled": M.AUDIO_LABELS_ROLLED_SQL,
+        "video_dhash_clusters": M.VIDEO_DHASH_CLUSTERS_SQL,
+        "video_clusters_incremental": M.VIDEO_CLUSTERS_INCREMENTAL_SQL,
+        "video_labels_rolled": M.VIDEO_LABELS_ROLLED_SQL,
         "scan": "SELECT * FROM lineitem",
         "scan_filter_count": (
             "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity > 25.0"

@@ -519,6 +519,11 @@ def main() -> None:
             _mm.clear_audio_label_cache,
             _mm.audio_label_index_build,
         ),
+        (
+            "video_label_build",
+            _mm.clear_video_label_cache,
+            _mm.video_label_index_build,
+        ),
     ):
         for _ in range(_build_passes if _build_wanted(bname) else 0):
             clear_fn()
@@ -539,6 +544,7 @@ def main() -> None:
     for bname, clear_fn, modality in (
         ("image_labelroll", _mm.clear_image_labelroll_cache, "image"),
         ("audio_labelroll", _mm.clear_audio_labelroll_cache, "audio"),
+        ("video_labelroll", _mm.clear_video_labelroll_cache, "video"),
     ):
         for _ in range(_build_passes if _build_wanted(bname) else 0):
             try:

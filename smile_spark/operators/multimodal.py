@@ -2292,8 +2292,42 @@ def image_dhash_rolled_probe(
 LABEL_INDEX_BUCKETS = 16
 # modality -> (memo of ready keys, sidecar paths, table base name)
 _LABEL_READY: set[tuple[str, str, str]] = set()
-_LABEL_SIDECARS: dict[str, set[str]] = {"image": set(), "audio": set()}
-_LABEL_TABLE_BASE = {"image": "dhash_labels", "audio": "audio_labels"}
+_LABEL_SIDECARS: dict[str, set[str]] = {
+    "image": set(),
+    "audio": set(),
+    "video": set(),
+}
+_LABEL_TABLE_BASE = {
+    "image": "dhash_labels",
+    "audio": "audio_labels",
+    "video": "video_labels",
+}
+# label grids: the banding parameters that invalidate a label table
+_LABEL_GRIDS = {
+    "image": [DHASH_GW, DHASH_GH],
+    "audio": [AUD_FP_GRID],
+    "video": [DHASH_GW, DHASH_GH, VID_FRAMES],
+}
+
+
+def _doc_pair_edges(pairs: DataFrame, modality: str) -> DataFrame:
+    """Collapse a banded pair frame to DOCUMENT-level (a, b) edges.
+    Image/audio pairs already carry doc ids; video pairs carry
+    composite frame ids (doc_id * 16 + frame_idx — the
+    video_dhash_tolerant device), so the video rung integer-divides
+    back to video ids, drops intra-video frame pairs, and dedups (the
+    cluster graph wants one edge per video pair, not one per close
+    frame pair)."""
+    if modality != "video":
+        return pairs.select("a", "b")
+    return (
+        pairs.select(
+            F.expr(f"a div {_HIRES_FRAME_KEY}").alias("a"),
+            F.expr(f"b div {_HIRES_FRAME_KEY}").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
 
 
 def _label_table(sf_dir: str, modality: str) -> str:
@@ -2325,6 +2359,12 @@ def clear_audio_label_cache() -> None:
     """The AUDIO twin of :func:`clear_image_label_cache` (bench cold
     entry ``audio_label_build``)."""
     _clear_label_cache("audio")
+
+
+def clear_video_label_cache() -> None:
+    """The VIDEO twin of :func:`clear_image_label_cache` (bench cold
+    entry ``video_label_build``)."""
+    _clear_label_cache("video")
 
 
 def _label_index_build(
@@ -2359,7 +2399,7 @@ def _label_index_build(
         .filter((F.col("doc_id") % sub_mod == sub_res) & base_pred)
         .count()
     )
-    grids = {"image": [DHASH_GW, DHASH_GH], "audio": [AUD_FP_GRID]}
+    grids = _LABEL_GRIDS
     expected = {
         "base_rows": n_base,
         "op": f"{modality}_labels",
@@ -2402,7 +2442,9 @@ def _with_base_labels(
         spark, sf_dir, modality, base_pred
     ).localCheckpoint()
     try:
-        pairs = _dhash_pairs_from_hashes(hashes).localCheckpoint()
+        pairs = _doc_pair_edges(
+            _dhash_pairs_from_hashes(hashes), modality
+        ).localCheckpoint()
     finally:
         unpersist_checkpoint(hashes)
     try:
@@ -2428,6 +2470,14 @@ def audio_label_index_build(spark: SparkSession, sf_dir: str) -> str:
     """The AUDIO base label table (see :func:`_label_index_build`);
     cold-priced by the bench as ``audio_label_build``."""
     return _label_index_build(spark, sf_dir, "audio")
+
+
+def video_label_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """The VIDEO base label table — cluster labels over VIDEO-level
+    pair edges (per-frame banded pairs collapsed by
+    :func:`_doc_pair_edges`, the video_dhash_tolerant device);
+    cold-priced by the bench as ``video_label_build``."""
+    return _label_index_build(spark, sf_dir, "video")
 
 
 def _clusters_incremental(
@@ -2461,7 +2511,9 @@ def _clusters_incremental(
     sub_mod, sub_res, _ = _BAND_MODALITY[modality]
     tbl = _label_index_build(spark, sf_dir, modality)
     labels = read_bucketed(spark, tbl)
-    inc = _band_incremental(spark, sf_dir, modality)
+    inc = _doc_pair_edges(
+        _band_incremental(spark, sf_dir, modality), modality
+    )
     # collapse: (increment doc, base endpoint's stored label); the
     # checkpoint stops the probe decode from re-running every cc round
     e = (
@@ -2532,6 +2584,41 @@ def audio_clusters_incremental(
     return _clusters_incremental(spark, sf_dir, "audio")
 
 
+def video_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-VIDEO dedup DECISION over the keyframe-tolerant near-dup
+    graph: connected components of the :func:`video_dhash_tolerant`
+    pair set, cluster sizes, and min-doc_id survivorship — the
+    pairs -> clusters -> keep completion for the video rung, closing
+    the modality matrix (image and audio have had cluster artifacts
+    since r11/r12; video only had pairs).
+
+    Emits (doc_id, cluster_size, keep) for EVERY hi-res video doc.
+    Scale: see :func:`_perceptual_keep_list`; the pair table is the
+    banded frame join collapsed per video pair — never a frame-pair
+    enumeration downstream of the verify."""
+    from smile_spark.session import keep_alive
+    from smile_spark.tables import table as _table
+
+    base = video_dhash_tolerant(spark, sf_dir)
+    vids = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % HIRES_MOD == 2)
+        .select("doc_id")
+    )
+    out = _perceptual_keep_list(base.select("a", "b"), vids)
+    return keep_alive(out, base)
+
+
+def video_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The VIDEO instance of the shared incremental cluster fold —
+    the :func:`video_dhash_clusters` keep list maintained
+    increment-linearly over VIDEO-level pair edges (see
+    :func:`_clusters_incremental` and :func:`_doc_pair_edges`)."""
+    return _clusters_incremental(spark, sf_dir, "video")
+
+
 # ---------------------------------------------------------------------------
 # Label-table roll-forward (the delta-log update pattern)
 # ---------------------------------------------------------------------------
@@ -2552,8 +2639,16 @@ def audio_clusters_incremental(
 # the reader must emit it, not just remap it).
 
 _LROLL_READY: set[tuple[str, str, str]] = set()
-_LROLL_SIDECARS: dict[str, set[str]] = {"image": set(), "audio": set()}
-_LROLL_TABLE_BASE = {"image": "dhash_labelroll", "audio": "audio_labelroll"}
+_LROLL_SIDECARS: dict[str, set[str]] = {
+    "image": set(),
+    "audio": set(),
+    "video": set(),
+}
+_LROLL_TABLE_BASE = {
+    "image": "dhash_labelroll",
+    "audio": "audio_labelroll",
+    "video": "video_labelroll",
+}
 
 
 def _labelroll_tables(sf_dir: str, modality: str) -> dict[str, str]:
@@ -2585,7 +2680,7 @@ def _labelroll_payloads(
     docs = _table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % sub_mod == sub_res
     )
-    grids = {"image": [DHASH_GW, DHASH_GH], "audio": [AUD_FP_GRID]}
+    grids = _LABEL_GRIDS
     base = {
         "state": "base",
         "base_rows": docs.filter(
@@ -2628,6 +2723,11 @@ def clear_image_labelroll_cache() -> None:
 def clear_audio_labelroll_cache() -> None:
     """The AUDIO twin of :func:`clear_image_labelroll_cache`."""
     _clear_labelroll("audio")
+
+
+def clear_video_labelroll_cache() -> None:
+    """The VIDEO twin of :func:`clear_image_labelroll_cache`."""
+    _clear_labelroll("video")
 
 
 def _labelroll_base_write(
@@ -2701,7 +2801,9 @@ def _labelroll_fold(
         sidecar_path,
     )
 
-    inc = _band_incremental(spark, sf_dir, modality)
+    inc = _doc_pair_edges(
+        _band_incremental(spark, sf_dir, modality), modality
+    )
     labels = read_bucketed(spark, tables["labels"])
     # (a, s, unp): s = base endpoint's stored label, or the endpoint
     # itself when it was unpaired in the base state (unp marks that —
@@ -2874,6 +2976,12 @@ def image_labels_rolled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_labels_rolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AUDIO twin of :func:`image_labels_rolled`."""
     return _labels_rolled(spark, sf_dir, "audio")
+
+
+def video_labels_rolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO twin of :func:`image_labels_rolled` — the rolled
+    delta-log label state over VIDEO-level pair edges."""
+    return _labels_rolled(spark, sf_dir, "video")
 
 
 def label_compact(
@@ -3100,6 +3208,56 @@ VIDEO_DHASH_INCREMENTAL_SQL = (
     f" WHERE hamming <= {DHASH_MAX_DISTANCE}"
     " GROUP BY a, b"
 )
+
+
+# video cluster oracles: per-frame hashes in closed form, frame pairs
+# verified un-banded, collapsed DISTINCT per video pair, then the
+# shared recursive min-reachability keep-list device
+
+_VID_ALL_PAIRS_SQL = (
+    "WITH "
+    + _hires_vid_hash_ctes("t_", f"doc_id % {HIRES_MOD} = 2")
+    + " SELECT DISTINCT x.doc_id AS a, y.doc_id AS b"
+    " FROM t_hashes x JOIN t_hashes y ON x.doc_id < y.doc_id"
+    f" WHERE {_DUCK_HAMMING} <= {DHASH_MAX_DISTANCE}"
+)
+
+VIDEO_DHASH_CLUSTERS_SQL = _keep_list_sql(
+    _VID_ALL_PAIRS_SQL,
+    f"SELECT doc_id FROM documents WHERE doc_id % {HIRES_MOD} = 2",
+)
+
+# joint pair set for the incremental/rolled video oracles:
+# base-internal video pairs UNION probe↔base video pairs — the fold
+# contract (increment-internal pairs are the next nightly's input)
+_VID_JOINT_PAIRS_SQL = (
+    "WITH "
+    + _hires_vid_hash_ctes(
+        "jp_",
+        f"doc_id % {HIRES_MOD} = 2 AND doc_id % {DHASH_INC_MOD} = 0",
+    )
+    + ", "
+    + _hires_vid_hash_ctes(
+        "jb_",
+        f"doc_id % {HIRES_MOD} = 2 AND doc_id % {DHASH_INC_MOD} <> 0",
+    )
+    + " SELECT DISTINCT x.doc_id AS a, y.doc_id AS b"
+    " FROM jb_hashes x JOIN jb_hashes y ON x.doc_id < y.doc_id"
+    f" WHERE {_DUCK_HAMMING} <= {DHASH_MAX_DISTANCE}"
+    " UNION"
+    " SELECT DISTINCT x.doc_id AS a, y.doc_id AS b"
+    " FROM jp_hashes x JOIN jb_hashes y ON TRUE"
+    f" WHERE {_DUCK_HAMMING} <= {DHASH_MAX_DISTANCE}"
+)
+
+VIDEO_CLUSTERS_INCREMENTAL_SQL = _keep_list_sql(
+    _VID_JOINT_PAIRS_SQL,
+    f"SELECT doc_id FROM documents WHERE doc_id % {HIRES_MOD} = 2",
+)
+
+# video_labels_rolled serves the identical joint clustering from the
+# persisted base + delta (see IMAGE_LABELS_ROLLED_SQL)
+VIDEO_LABELS_ROLLED_SQL = VIDEO_CLUSTERS_INCREMENTAL_SQL
 
 
 # --- cross-modal near-dup: video frames <-> images --------------------------

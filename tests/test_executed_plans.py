@@ -123,6 +123,13 @@ MEASURED = {
     #                        delta remap + keep-list size joins)
     "audio_labels_rolled": 4,  # r14 measured cold AND warm (same
     #                       shared rolled-reader core as image)
+    "video_dhash_clusters": 4,  # r14 measured cold AND warm (banded
+    #                       frame join collapsed per video pair + cc
+    #                        rounds + keep-list size joins)
+    "video_clusters_incremental": 4,  # r14 measured cold AND warm
+    #                       (shared fold core over video-level edges)
+    "video_labels_rolled": 4,  # r14 measured cold AND warm (shared
+    #                       rolled-reader core over the video labels)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

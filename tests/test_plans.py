@@ -188,6 +188,13 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # roll the persisted LABEL state forward on first call (base
         # cc rebuild + delta append) before the reader's remap plan
         "image_labels_rolled", "audio_labels_rolled",
+        "video_labels_rolled",
+        # localCheckpoints the frame-hash table (video_dhash_tolerant)
+        # and runs cc_labels pointer-jumping at plan time
+        "video_dhash_clusters",
+        # builds/adopts the persisted VIDEO label table and runs the
+        # collapsed-graph cc fold at plan time (the image/audio twin)
+        "video_clusters_incremental",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set

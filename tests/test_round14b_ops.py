@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 SF001 = "/root/testdata/sf0.01"
 
 
-@pytest.mark.parametrize("modality", ["image", "audio"])
+@pytest.mark.parametrize("modality", ["image", "audio", "video"])
 def test_labels_rolled_agrees_with_incremental(spark, sf_dir, modality):
     """The keep list served from the persisted base + delta must be
     row-identical to the live fold (`*_clusters_incremental`) — both
@@ -49,12 +49,17 @@ def test_labels_rolled_agrees_with_incremental(spark, sf_dir, modality):
     # delta nodes = increment docs in pairs + touched supernodes; each
     # increment doc touches at most one supernode per pair partner —
     # bounded by the pair count, never by the corpus
-    n_pairs = M._band_incremental(spark, sf_dir, modality).count()
-    assert 0 < n_delta <= n_inc + n_pairs, (n_delta, n_inc, n_pairs)
+    n_pairs = M._doc_pair_edges(
+        M._band_incremental(spark, sf_dir, modality), modality
+    ).count()
+    assert n_delta <= n_inc + n_pairs, (n_delta, n_inc, n_pairs)
+    if modality != "video":  # video's tiny hi-res increment block can
+        #                      be pair-free at the fixture floor
+        assert n_delta > 0
     assert n_base > 0
 
 
-@pytest.mark.parametrize("modality", ["image", "audio"])
+@pytest.mark.parametrize("modality", ["image", "audio", "video"])
 def test_labels_rolled_matches_oracle_two_sfs(spark, modality, sf_dir):
     from smile_spark.operators import multimodal as M
     from smile_spark.testing import assert_matches_oracle
@@ -62,13 +67,68 @@ def test_labels_rolled_matches_oracle_two_sfs(spark, modality, sf_dir):
     fn = {
         "image": M.image_labels_rolled,
         "audio": M.audio_labels_rolled,
+        "video": M.video_labels_rolled,
     }[modality]
     sql = {
         "image": M.IMAGE_LABELS_ROLLED_SQL,
         "audio": M.AUDIO_LABELS_ROLLED_SQL,
+        "video": M.VIDEO_LABELS_ROLLED_SQL,
     }[modality]
     for d in [sf_dir, SF001]:
         assert_matches_oracle(spark, fn, sql, d)
+
+
+def test_video_dhash_clusters_matches_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators import multimodal as M
+    from smile_spark.testing import assert_matches_oracle
+
+    for d in [sf_dir, SF001]:
+        assert_matches_oracle(
+            spark,
+            M.video_dhash_clusters,
+            M.VIDEO_DHASH_CLUSTERS_SQL,
+            d,
+        )
+
+
+def test_video_clusters_incremental_agrees_with_full_rebuild(
+    spark, sf_dir
+):
+    """The collapsed-graph fold over VIDEO-level edges must produce
+    exactly the clusters a full rebuild over the joint pair set
+    (base-internal ∪ probe↔base video pairs) produces — the image
+    agreement test's video twin, through the _doc_pair_edges
+    collapse."""
+    from smile_spark.operators import multimodal as M
+    from smile_spark.tables import table
+
+    got = {
+        tuple(r)
+        for r in M.video_clusters_incremental(spark, sf_dir).collect()
+    }
+    base_pairs = M._doc_pair_edges(
+        M._dhash_pairs_from_hashes(
+            M.hires_frame_hashes(
+                spark, sf_dir, F.col("doc_id") % M.DHASH_INC_MOD != 0
+            )
+        ),
+        "video",
+    )
+    inc_pairs = M._doc_pair_edges(
+        M._band_incremental(spark, sf_dir, "video"), "video"
+    )
+    universe = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M.HIRES_MOD == 2)
+        .select("doc_id")
+    )
+    want = {
+        tuple(r)
+        for r in M._perceptual_keep_list(
+            base_pairs.union(inc_pairs), universe
+        ).collect()
+    }
+    assert got == want
 
 
 def test_labelroll_rolled_adoption(spark, sf_dir, monkeypatch):
@@ -181,7 +241,7 @@ def test_labelroll_fold_failure_never_adoptable(
     assert rolled == live
 
 
-@pytest.mark.parametrize("modality", ["image", "audio"])
+@pytest.mark.parametrize("modality", ["image", "audio", "video"])
 def test_label_compact_preserves_state(spark, sf_dir, modality):
     """Compaction must be invisible to readers (identical keep list),
     empty the delta, keep the rolled sidecar adoptable — and a fresh
