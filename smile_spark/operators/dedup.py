@@ -910,6 +910,13 @@ def minhash_index_rollforward(spark: SparkSession, sf_dir: str) -> str:
             n_buckets=MINHASH_INDEX_BUCKETS,
         )
         _MH_ROLL_SIDECARS.add(write_sidecar(spark, tbl, pb))
+    # crash contract (ADVICE r14): remove the sidecar BEFORE the
+    # append so a crash between the append and the rolled write can
+    # never leave a BASE sidecar adoptable over a folded table (a
+    # second fold would silently duplicate band rows)
+    scpath = sidecar_path(spark, tbl)
+    remove_sidecar_file(scpath)
+    _MH_ROLL_SIDECARS.discard(scpath)
     fold = table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % MINHASH_ROLL_MOD == 0
     )
@@ -1635,6 +1642,11 @@ def semantic_index_rollforward(spark: SparkSession, sf_dir: str) -> str:
             n_buckets=SEM_INDEX_BUCKETS,
         )
         _SEM_ROLL_SIDECARS.add(write_sidecar(spark, tbl, pb))
+    # crash contract (ADVICE r14): no adoptable sidecar while the
+    # fold append runs — remove first, write the rolled state last
+    scpath = sidecar_path(spark, tbl)
+    remove_sidecar_file(scpath)
+    _SEM_ROLL_SIDECARS.discard(scpath)
     try:
         append_bucketed(
             _sem_assign_block(
@@ -3481,6 +3493,7 @@ def setsim_index_rollforward(
     this).  The single-writer assumption of the setsim index family
     applies unchanged."""
     from smile_spark.sources.bucketed import (
+        remove_sidecar_file,
         sidecar_adoptable,
         sidecar_path,
         write_sidecar,
@@ -3503,6 +3516,17 @@ def setsim_index_rollforward(
         )
         _setsim_index_write(spark, base_docs, tables, hash_tokens)
         _SETSIM_ROLL_SIDECARS.add(write_sidecar(spark, name, pb))
+    # Crash contract (ADVICE r14): no adoptable sidecar may exist while
+    # fold appends run — a hard crash between an append and the rolled
+    # write would otherwise leave the BASE sidecar adoptable over
+    # already-folded tables, and the next session would fold AGAIN
+    # (silent prefix/reps/members duplication).  Remove the sidecar
+    # BEFORE the first append (the label_compact remove-first/
+    # rewrite-last ordering), so any crash inside the fold lands in the
+    # full-rebuild arm.
+    scpath = sidecar_path(spark, name)
+    remove_sidecar_file(scpath)
+    _SETSIM_ROLL_SIDECARS.discard(scpath)
     _setsim_fold_append(spark, sf_dir, hash_tokens, tables)
     _SETSIM_ROLL_SIDECARS.add(write_sidecar(spark, name, pr))
     _SETSIM_ROLL_READY.add(key)
@@ -4247,3 +4271,259 @@ DUPLICATE_SET_GROUPS_SQL = (
     " CAST(SUM(g * (g - 1) // 2) AS BIGINT) AS intra_pairs"
     " FROM groups"
 )
+
+
+# ---------------------------------------------------------------------------
+# Text-rung persisted cluster labels (VERDICT r14 next-round #2)
+# ---------------------------------------------------------------------------
+
+# The text near-dup cluster graph is the UNION of the two text rungs'
+# verified pair sets — exact token-set similarity (setsim, tau = 0.9)
+# and MinHash-LSH shingle similarity (verify >= 0.5) — the same two
+# rungs increment_ingest_manifest composes as text_exact/text_minhash.
+# Through the generic label core (operators/labels.py) the rung gets
+# the full lifecycle the perceptual rungs earned in r14: a persisted
+# nightly base-cluster table, an increment-linear live fold
+# (text_clusters_incremental), the LSM delta-log roll
+# (text_labels_rolled), and compaction — so a daily crawl's text
+# duplicate_of can come from persisted cluster state instead of a
+# corpus-linear rebuild (dedup_canonical's remaining gap).
+#
+# Block conventions follow the text family: increment doc_id % 5 == 0,
+# base the other four fifths; joint graph = base↔base ∪ increment↔base
+# (increment-internal pairs are the next nightly rebuild's input — the
+# image/audio/video fold contract).
+
+
+def _text_base_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASE↔BASE text pairs: the prefix-filtered exact-Jaccard join
+    UNION the banded+verified MinHash pairs, both restricted to the
+    base block BEFORE any tokenize/signature work.  Corpus-linear by
+    nature — runs only inside the nightly label build (bench cold
+    entry ``text_label_build``)."""
+    from smile_spark.session import keep_alive, release_checkpoints_on_gc
+
+    base = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_INC_MOD != 0
+    )
+    sp = setsim_join_frame(base)
+    ckpts: list = []
+    bands = _lsh_bands_from_sig(_minhash_sig_from_docs(base)).localCheckpoint()
+    ckpts.append(bands)
+    ba = bands.select(F.col("doc_id").alias("a"), "band", "bkey")
+    bb = bands.select(F.col("doc_id").alias("b"), "band", "bkey")
+    cand = (
+        ba.join(bb, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    ckpts.append(cand)
+    mh = _lsh_verify_pairs(spark, sf_dir, cand, ckpts)
+    out = sp.select("a", "b").union(mh.select("a", "b"))
+    release_checkpoints_on_gc(out, ckpts)
+    return keep_alive(out, sp)
+
+
+def _text_inc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment↔base text pairs: the two warm persisted-index probes
+    (setsim bucketed prefix index, MinHash bucketed band index) —
+    increment-linear at any corpus size."""
+    from smile_spark.session import keep_alive
+
+    sp = setsim_incremental_indexed(spark, sf_dir)
+    mh = dedup_minhash_incremental(spark, sf_dir)
+    out = sp.select("a", "b").union(mh.select("a", "b"))
+    return keep_alive(out, sp, mh)
+
+
+def _text_rung() -> "object":
+    from smile_spark.operators.labels import LabelRung
+
+    def universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return table(spark, sf_dir, "documents").select("doc_id")
+
+    def params(spark: SparkSession, sf_dir: str) -> dict:
+        # token hashing is deliberately absent: the setsim pair SET is
+        # identical under either token representation (any total token
+        # order works for the lossless prefix filter — certified by
+        # setsim_hash_agreement), so flipping the conf must not
+        # invalidate persisted cluster state
+        return {
+            "pair_rungs": ["setsim", "minhash"],
+            "inc_mod": SETSIM_INC_MOD,
+            "tau": [SETSIM_TAU_NUM, SETSIM_TAU_DEN],
+            "verify_threshold": LSH_VERIFY_THRESHOLD,
+            "shingle_k": SHINGLE_K,
+            "n_hashes": N_HASHES,
+            "n_bands": N_BANDS,
+        }
+
+    def base_count(spark: SparkSession, sf_dir: str) -> int:
+        return (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % SETSIM_INC_MOD != 0)
+            .count()
+        )
+
+    def fold_count(spark: SparkSession, sf_dir: str) -> int:
+        return (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % SETSIM_INC_MOD == 0)
+            .count()
+        )
+
+    return LabelRung(
+        name="text",
+        table_base="text_labelroll",
+        universe=universe,
+        base_pairs=_text_base_pairs,
+        inc_pairs=_text_inc_pairs,
+        is_increment=lambda c: c % SETSIM_INC_MOD == 0,
+        params=params,
+        base_count=base_count,
+        fold_count=fold_count,
+    )
+
+
+TEXT_LABEL_RUNG = None  # built lazily (labels.py import stays off the hot path)
+
+
+def _text_label_rung():
+    global TEXT_LABEL_RUNG
+    if TEXT_LABEL_RUNG is None:
+        TEXT_LABEL_RUNG = _text_rung()
+    return TEXT_LABEL_RUNG
+
+
+def clear_text_label_cache() -> None:
+    """Forget the text label-state memos AND drop this process'
+    adoption sidecars, restoring the cold build/fold paths (bench
+    entries ``text_label_build`` / ``text_labelroll``)."""
+    from smile_spark.operators import labels as L
+
+    L.clear_label_state(_text_label_rung())
+
+
+def text_label_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """The text read-only base label table (bench cold entry
+    ``text_label_build``)."""
+    from smile_spark.operators import labels as L
+
+    return L.label_index_build(spark, sf_dir, _text_label_rung())
+
+
+def text_labelroll_restore_base(
+    spark: SparkSession, sf_dir: str
+) -> None:
+    """Bench/test device: roll tables back to the pre-fold BASE state
+    so the next roll-forward performs the fold alone."""
+    from smile_spark.operators import labels as L
+
+    L.roll_restore_base(spark, sf_dir, _text_label_rung())
+
+
+def text_label_rollforward(spark: SparkSession, sf_dir: str) -> dict:
+    """The text label-table roll-forward (bench fold entry
+    ``text_labelroll``)."""
+    from smile_spark.operators import labels as L
+
+    return L.label_rollforward(spark, sf_dir, _text_label_rung())
+
+
+def text_label_compact(spark: SparkSession, sf_dir: str) -> dict:
+    """LSM compaction of the text label roll (bench cold entry
+    ``text_compact``)."""
+    from smile_spark.operators import labels as L
+
+    return L.label_compact(spark, sf_dir, _text_label_rung())
+
+
+def text_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental TEXT cluster maintenance: today's increment↔base
+    setsim + MinHash pairs folded through the persisted base cluster
+    labels — updated duplicate clusters and keep list for the whole
+    corpus without re-clustering it (the image/audio/video r14 fold,
+    completed for the text rungs; VERDICT r14 next-round #2).  Emits
+    (doc_id, cluster_size, keep) for EVERY document.
+
+    Scale: the base label table is built once per snapshot
+    (corpus-linear, priced as ``text_label_build``); the fold's
+    collapse/cc/relabel stages are increment-sized; the pair inputs
+    are the two warm bucketed-index probes (increment-linear).  The
+    oracle replays the identical joint clustering as a recursive
+    min-reachability CTE over the closed-form base ∪ increment pair
+    union."""
+    from smile_spark.operators import labels as L
+
+    return L.clusters_incremental(spark, sf_dir, _text_label_rung())
+
+
+def text_labels_rolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text keep list served from the ROLLED delta-log label state
+    (base + broadcast delta remap) — byte-identical to
+    :func:`text_clusters_incremental` by construction; a divergence
+    means the persisted state is unfaithful.  Shares that entry's
+    oracle (the ann_ivf_indexed shared-oracle contract)."""
+    from smile_spark.operators import labels as L
+
+    return L.labels_rolled(spark, sf_dir, _text_label_rung())
+
+
+def _minhash_block_pairs_sql(where: str) -> str:
+    """Closed-form MinHash-LSH pairs WITHIN one document block: block
+    signatures + banding, candidate self-join (a < b), exact shingle
+    Jaccard verify — the dedup_minhash_lsh_sql arithmetic restricted
+    by ``where``."""
+    return (
+        "WITH "
+        + _minhash_sql_ctes("b_", where)
+        + ", "
+        + _minhash_bands_sql("b_")
+        + ","
+        " cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b"
+        "  FROM b_bands ba JOIN b_bands bb ON ba.band = bb.band"
+        "   AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id),"
+        " sizes AS (SELECT doc_id, COUNT(*) AS n FROM b_toks"
+        "  GROUP BY doc_id),"
+        " inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c"
+        "  JOIN b_toks ta ON ta.doc_id = c.a"
+        "  JOIN b_toks tb ON tb.doc_id = c.b AND ta.sh = tb.sh"
+        "  GROUP BY c.a, c.b)"
+        " SELECT i.a, i.b FROM inter i"
+        " JOIN sizes sa ON sa.doc_id = i.a"
+        " JOIN sizes sb ON sb.doc_id = i.b"
+        f" WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)"
+        f"  >= {LSH_VERIFY_THRESHOLD}"
+    )
+
+
+def _text_joint_pairs_sql() -> str:
+    """The joint text pair union in closed form: base↔base setsim
+    (all-pairs exact Jaccard — the prefix filter is lossless, so no
+    prefix logic is needed) ∪ base↔base MinHash ∪ increment↔base
+    setsim ∪ increment↔base MinHash.  Plain UNION dedups pairs the
+    two rungs both find."""
+    base_where = f"WHERE doc_id % {SETSIM_INC_MOD} <> 0"
+    return (
+        f"SELECT a, b FROM ({_setsim_sql(base_where)}) tsb"
+        " UNION "
+        f"SELECT a, b FROM ("
+        f"{_minhash_block_pairs_sql(f'doc_id % {SETSIM_INC_MOD} <> 0')}"
+        ") tmb"
+        " UNION "
+        f"SELECT a, b FROM ({SETSIM_INCREMENTAL_SQL}) tsi"
+        " UNION "
+        f"SELECT a, b FROM ({MINHASH_INCREMENTAL_SQL}) tmi"
+    )
+
+
+def text_clusters_incremental_sql() -> str:
+    from smile_spark.operators.labels import keep_list_sql
+
+    return keep_list_sql(
+        _text_joint_pairs_sql(), "SELECT doc_id FROM documents"
+    )

@@ -2227,6 +2227,13 @@ def band_index_rollforward(
             n_buckets=DHASH_INDEX_BUCKETS,
         )
         _BAND_ROLL_SIDECARS[modality].add(write_sidecar(spark, tbl, pb))
+    # crash contract (ADVICE r14): remove the sidecar BEFORE the
+    # append so a crash between the append and the rolled write can
+    # never leave a BASE sidecar adoptable over a folded table (a
+    # second fold would silently duplicate band rows)
+    scpath = sidecar_path(spark, tbl)
+    remove_sidecar_file(scpath)
+    _BAND_ROLL_SIDECARS[modality].discard(scpath)
     fold_hashes = _band_frame(
         spark, sf_dir, modality, F.col("doc_id") % BAND_ROLL_MOD == 0
     )
@@ -2877,6 +2884,7 @@ def label_rollforward(
     every parameter lives in both sidecar payloads, so parameter
     changes always land in the rebuild arm."""
     from smile_spark.sources.bucketed import (
+        remove_sidecar_file,
         sidecar_adoptable,
         sidecar_path,
         write_sidecar,
@@ -2895,6 +2903,15 @@ def label_rollforward(
     if not sidecar_adoptable(spark, name, pb, list(tables.values())):
         _labelroll_base_write(spark, sf_dir, modality, tables)
         _LROLL_SIDECARS[modality].add(write_sidecar(spark, name, pb))
+    # crash contract (ADVICE r14): no adoptable sidecar while the
+    # delta append runs — a crash between the append and the rolled
+    # write would otherwise leave the BASE sidecar adoptable over
+    # already-appended delta rows, and the next session would fold
+    # AGAIN (doubled delta rows through the broadcast remap).  Remove
+    # first, write the rolled state last.
+    scpath = sidecar_path(spark, name)
+    remove_sidecar_file(scpath)
+    _LROLL_SIDECARS[modality].discard(scpath)
     _labelroll_fold(spark, sf_dir, modality, tables)
     _LROLL_SIDECARS[modality].add(write_sidecar(spark, name, pr))
     _LROLL_READY.add(key)

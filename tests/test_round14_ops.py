@@ -171,6 +171,59 @@ def test_setsim_fold_failure_never_adoptable(spark, sf_dir, monkeypatch):
     assert out.count() > 0
 
 
+def test_setsim_crash_after_appends_never_adopts_base(
+    spark, sf_dir, monkeypatch
+):
+    """The ADVICE r14 crash window: a hard crash AFTER the fold
+    appends succeed but BEFORE the rolled sidecar lands must leave no
+    adoptable BASE sidecar — otherwise the next session would adopt
+    base state over already-folded tables and fold AGAIN, silently
+    duplicating prefix/reps/members rows.  The fix removes the sidecar
+    before the first append, so this crash point has no sidecar at
+    all and the next call takes the full-rebuild arm."""
+    import os
+
+    from smile_spark.operators import dedup as D
+    from smile_spark.sources import bucketed as BK
+
+    D.setsim_roll_restore_base(spark, sf_dir)
+    hash_tokens = D._setsim_hash_conf(spark)
+    path = BK.sidecar_path(
+        spark, D._setsim_roll_sidecar_name(sf_dir, hash_tokens)
+    )
+    assert os.path.exists(path)  # the base sidecar restore_base wrote
+    real_write_sidecar = BK.write_sidecar
+
+    def dying_write_sidecar(spark_, name, payload):
+        if payload.get("state") == "rolled":
+            raise RuntimeError("simulated process death pre-sidecar")
+        return real_write_sidecar(spark_, name, payload)
+
+    monkeypatch.setattr(BK, "write_sidecar", dying_write_sidecar)
+    with pytest.raises(RuntimeError, match="pre-sidecar"):
+        D.setsim_index_rollforward(spark, sf_dir)
+    assert not os.path.exists(path), (
+        "a crash between the appends and the rolled-sidecar write"
+        " left an adoptable sidecar behind"
+    )
+    monkeypatch.setattr(BK, "write_sidecar", real_write_sidecar)
+    # recovery: with no sidecar the next call lands in the FULL
+    # rebuild arm (4 table writes) — never a second fold over the
+    # already-folded tables
+    D._SETSIM_ROLL_READY.clear()
+    writes = []
+    real_write = BK.write_bucketed
+    monkeypatch.setattr(
+        BK,
+        "write_bucketed",
+        lambda *a, **k: (writes.append(a), real_write(*a, **k)),
+    )
+    D.setsim_index_rollforward(spark, sf_dir)
+    assert len(writes) == 4, "recovery must take the full-rebuild arm"
+    out = D.setsim_rolled_probe(spark, sf_dir)
+    assert out.count() > 0
+
+
 # ---------------------------------------------------------------------------
 # band_index_rollforward (image / audio / video via the shared core)
 # ---------------------------------------------------------------------------
@@ -262,7 +315,12 @@ def test_band_rollforward_rolled_adoption(spark, sf_dir, monkeypatch):
     )
     M.band_index_rollforward(spark, sf_dir, "image")
     assert jobs == [], "rolled adoption ran a rebuild/fold job"
-    assert M.image_dhash_rolled_probe(spark, sf_dir).count() >= 0
+    # the probe must serve REAL pairs off the adopted table (the image
+    # probe block is non-degenerate at every fixture SF: 14 pairs at
+    # sf0.001) and its evaluation must itself run no rebuild/fold job
+    # while the writers are still stubbed (ADVICE r14 #2)
+    assert M.image_dhash_rolled_probe(spark, sf_dir).count() > 0
+    assert jobs == [], "the probe evaluation ran a rebuild/fold job"
 
 
 # ---------------------------------------------------------------------------

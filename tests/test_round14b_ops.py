@@ -241,6 +241,63 @@ def test_labelroll_fold_failure_never_adoptable(
     assert rolled == live
 
 
+def test_labelroll_crash_after_append_never_adopts_base(
+    spark, sf_dir, monkeypatch
+):
+    """The ADVICE r14 crash window: a hard crash AFTER the delta
+    append succeeds but BEFORE the rolled sidecar lands must leave no
+    adoptable BASE sidecar — a second fold over the already-appended
+    delta would double every delta row (and double cluster sizes
+    through the broadcast remap).  The fix removes the sidecar before
+    the append, so this crash point has no sidecar and the next call
+    takes the full-rebuild arm."""
+    import os
+
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources import bucketed as BK
+
+    M.labelroll_restore_base(spark, sf_dir, "image")
+    path = BK.sidecar_path(
+        spark, M._labelroll_sidecar_name(sf_dir, "image")
+    )
+    assert os.path.exists(path)
+    real_write_sidecar = BK.write_sidecar
+
+    def dying_write_sidecar(spark_, name, payload):
+        if payload.get("state") == "rolled":
+            raise RuntimeError("simulated process death pre-sidecar")
+        return real_write_sidecar(spark_, name, payload)
+
+    monkeypatch.setattr(BK, "write_sidecar", dying_write_sidecar)
+    with pytest.raises(RuntimeError, match="pre-sidecar"):
+        M.label_rollforward(spark, sf_dir, "image")
+    assert not os.path.exists(path), (
+        "a crash between the delta append and the rolled-sidecar"
+        " write left an adoptable sidecar behind"
+    )
+    monkeypatch.setattr(BK, "write_sidecar", real_write_sidecar)
+    # recovery takes the full-rebuild arm (labels + empty delta = 2
+    # writes) and the rolled state still equals the live fold
+    for key in [k for k in M._LROLL_READY if k[2] == "image"]:
+        M._LROLL_READY.discard(key)
+    writes = []
+    real_write = BK.write_bucketed
+    monkeypatch.setattr(
+        BK,
+        "write_bucketed",
+        lambda *a, **k: (writes.append(a), real_write(*a, **k)),
+    )
+    rolled = {
+        tuple(r) for r in M.image_labels_rolled(spark, sf_dir).collect()
+    }
+    assert len(writes) == 2, "recovery must take the full-rebuild arm"
+    live = {
+        tuple(r)
+        for r in M.image_clusters_incremental(spark, sf_dir).collect()
+    }
+    assert rolled == live
+
+
 @pytest.mark.parametrize("modality", ["image", "audio", "video"])
 def test_label_compact_preserves_state(spark, sf_dir, modality):
     """Compaction must be invisible to readers (identical keep list),
