@@ -1,0 +1,212 @@
+"""Round-15: the generic label-state core (operators/labels.py) and
+its first consumers — the TEXT rung (setsim ∪ MinHash pair graphs)
+gets the full r14 lifecycle: persisted base cluster labels, the
+increment-linear live fold, the LSM delta-log roll, compaction, and
+the compaction POLICY (delta-growth trigger)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_text_clusters_incremental_agrees_with_full_rebuild(
+    spark, sf_dir
+):
+    """The collapsed-graph fold over the persisted text base labels
+    must produce exactly the clusters a full rebuild over the joint
+    pair set (base↔base ∪ increment↔base, setsim ∪ MinHash) produces
+    — the image agreement contract, applied to the text rung."""
+    from smile_spark.operators import dedup as D
+    from smile_spark.operators.multimodal import _perceptual_keep_list
+    from smile_spark.tables import table
+
+    got = {
+        tuple(r)
+        for r in D.text_clusters_incremental(spark, sf_dir).collect()
+    }
+    base_pairs = D._text_base_pairs(spark, sf_dir)
+    inc_pairs = D._text_inc_pairs(spark, sf_dir)
+    universe = table(spark, sf_dir, "documents").select("doc_id")
+    want = {
+        tuple(r)
+        for r in _perceptual_keep_list(
+            base_pairs.union(inc_pairs), universe
+        ).collect()
+    }
+    assert got == want
+    # non-degenerate at the fixture: the text corpus carries genuine
+    # template duplication, so clusters exist and drops happen
+    assert any(not r[2] for r in got), "no document was ever dropped"
+
+
+def test_text_labels_rolled_agrees_with_live(spark, sf_dir):
+    """The keep list served from the persisted base + delta must be
+    row-identical to the live fold, and the delta must be
+    increment-sized (never corpus-sized)."""
+    from smile_spark.operators import dedup as D
+    from smile_spark.operators import labels as L
+    from smile_spark.sources.bucketed import read_bucketed
+    from smile_spark.tables import table
+
+    rolled = {
+        tuple(r) for r in D.text_labels_rolled(spark, sf_dir).collect()
+    }
+    live = {
+        tuple(r)
+        for r in D.text_clusters_incremental(spark, sf_dir).collect()
+    }
+    assert rolled == live
+    rung = D._text_label_rung()
+    tables = L.roll_tables(rung, sf_dir)
+    n_delta = read_bucketed(spark, tables["delta"]).count()
+    n_base = read_bucketed(spark, tables["labels"]).count()
+    n_inc = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % D.SETSIM_INC_MOD == 0)
+        .count()
+    )
+    # hold the checkpoint-owning frame while counting (derived frames
+    # do not keep their parent alive — the session gc contract)
+    ip = D._text_inc_pairs(spark, sf_dir)
+    n_pairs = ip.distinct().count()
+    assert n_delta <= n_inc + n_pairs, (n_delta, n_inc, n_pairs)
+    assert n_delta > 0
+    assert n_base > 0
+
+
+def test_text_entries_match_oracle_two_sfs(spark, sf_dir):
+    from smile_spark.operators import dedup as D
+    from smile_spark.testing import assert_matches_oracle
+
+    sql = D.text_clusters_incremental_sql()
+    for d in [sf_dir, SF001]:
+        assert_matches_oracle(spark, D.text_clusters_incremental, sql, d)
+        assert_matches_oracle(spark, D.text_labels_rolled, sql, d)
+
+
+def test_text_labelroll_rolled_adoption(spark, sf_dir, monkeypatch):
+    """A fresh 'session' adopts the rolled text label state without
+    any rebuild/fold job, and the reader still serves real rows while
+    the writers are stubbed."""
+    from smile_spark.operators import dedup as D
+    from smile_spark.operators import labels as L
+    from smile_spark.sources import bucketed as BK
+
+    D.text_label_rollforward(spark, sf_dir)
+    rung = D._text_label_rung()
+    for key in [k for k in L._ROLL_READY if k[2] == rung.name]:
+        L._ROLL_READY.discard(key)
+    jobs = []
+    monkeypatch.setattr(
+        BK, "write_bucketed", lambda *a, **k: jobs.append(a)
+    )
+    monkeypatch.setattr(
+        BK, "append_bucketed", lambda *a, **k: jobs.append(a)
+    )
+    monkeypatch.setattr(
+        BK, "drop_bucketed_table", lambda *a, **k: jobs.append(a)
+    )
+    D.text_label_rollforward(spark, sf_dir)
+    assert jobs == [], "rolled adoption ran a rebuild/fold job"
+    assert D.text_labels_rolled(spark, sf_dir).count() > 0
+    assert jobs == [], "the rolled reader ran a rebuild/fold job"
+
+
+def test_text_labelroll_crash_never_adopts_base(
+    spark, sf_dir, monkeypatch
+):
+    """The ADVICE-r14 crash ordering, pinned on the GENERIC core: a
+    crash after the delta append but before the rolled sidecar leaves
+    no adoptable state; recovery takes the full-rebuild arm."""
+    import os
+
+    from smile_spark.operators import dedup as D
+    from smile_spark.operators import labels as L
+    from smile_spark.sources import bucketed as BK
+
+    rung = D._text_label_rung()
+    D.text_labelroll_restore_base(spark, sf_dir)
+    path = BK.sidecar_path(spark, L._roll_sidecar_name(rung, sf_dir))
+    assert os.path.exists(path)
+    real_write_sidecar = BK.write_sidecar
+
+    def dying_write_sidecar(spark_, name, payload):
+        if payload.get("state") == "rolled":
+            raise RuntimeError("simulated process death pre-sidecar")
+        return real_write_sidecar(spark_, name, payload)
+
+    monkeypatch.setattr(BK, "write_sidecar", dying_write_sidecar)
+    with pytest.raises(RuntimeError, match="pre-sidecar"):
+        D.text_label_rollforward(spark, sf_dir)
+    assert not os.path.exists(path), (
+        "a crash between the delta append and the rolled-sidecar"
+        " write left an adoptable sidecar behind"
+    )
+    monkeypatch.setattr(BK, "write_sidecar", real_write_sidecar)
+    for key in [k for k in L._ROLL_READY if k[2] == rung.name]:
+        L._ROLL_READY.discard(key)
+    writes = []
+    real_write = BK.write_bucketed
+    monkeypatch.setattr(
+        BK,
+        "write_bucketed",
+        lambda *a, **k: (writes.append(a), real_write(*a, **k)),
+    )
+    rolled = {
+        tuple(r) for r in D.text_labels_rolled(spark, sf_dir).collect()
+    }
+    assert len(writes) == 2, "recovery must take the full-rebuild arm"
+    live = {
+        tuple(r)
+        for r in D.text_clusters_incremental(spark, sf_dir).collect()
+    }
+    assert rolled == live
+
+
+def test_text_label_compact_and_policy(spark, sf_dir):
+    """Compaction must be invisible (identical keep list, empty delta,
+    rolled sidecar still adoptable), and the POLICY must trigger on
+    the delta-growth threshold: an infinite threshold never compacts,
+    a zero threshold always does (when any delta rows exist)."""
+    from smile_spark.operators import dedup as D
+    from smile_spark.operators import labels as L
+    from smile_spark.sources.bucketed import read_bucketed
+
+    rung = D._text_label_rung()
+    # restore a freshly-folded state so the delta is non-empty and the
+    # policy decision is observable
+    D.text_labelroll_restore_base(spark, sf_dir)
+    for key in [k for k in L._ROLL_READY if k[2] == rung.name]:
+        L._ROLL_READY.discard(key)
+    tables = D.text_label_rollforward(spark, sf_dir)
+    assert read_bucketed(spark, tables["delta"]).count() > 0
+    before = {
+        tuple(r) for r in D.text_labels_rolled(spark, sf_dir).collect()
+    }
+    # infinite threshold: no compaction, delta untouched
+    assert (
+        L.compact_if_needed(spark, sf_dir, rung, max_delta_frac=1e18)
+        is False
+    )
+    assert read_bucketed(spark, tables["delta"]).count() > 0
+    # zero threshold: compaction runs, delta empties, state unchanged
+    assert (
+        L.compact_if_needed(spark, sf_dir, rung, max_delta_frac=0.0)
+        is True
+    )
+    assert read_bucketed(spark, tables["delta"]).count() == 0
+    after = {
+        tuple(r) for r in D.text_labels_rolled(spark, sf_dir).collect()
+    }
+    assert before == after, "compaction changed the visible state"
+    # a fresh session adopts the compacted (rolled) state
+    for key in [k for k in L._ROLL_READY if k[2] == rung.name]:
+        L._ROLL_READY.discard(key)
+    got = D.text_label_rollforward(spark, sf_dir)
+    assert got == tables
+    post = {
+        tuple(r) for r in D.text_labels_rolled(spark, sf_dir).collect()
+    }
+    assert post == before
