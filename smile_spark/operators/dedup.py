@@ -1182,14 +1182,25 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smile_spark.operators.similarity import (
         _assign,
         _cells,
-        _dot,
-        _norm,
         _vectors,
     )
 
     emb = _vectors(spark, sf_dir)
     cents = _cells(spark, sf_dir)
     assigned = _assign(emb, cents)
+    return _semdedup_verdicts(assigned)
+
+
+def _semdedup_verdicts(assigned: DataFrame) -> DataFrame:
+    """The SemDeDup dominator pass over an ASSIGNED frame (vec_id, v,
+    cid, d2): within each cluster, a vector is dropped iff some
+    cluster-mate that outranks it (d2 DESC, vec_id ASC — the paper's
+    keep-far-from-centroid retention) has cosine >= SEMDEDUP_TAU.
+    Factored from :func:`semantic_dedup` so the rolled label state
+    (``semantic_labels_rolled``) reuses the identical arithmetic over
+    the persisted base assignment."""
+    from smile_spark.operators.similarity import _dot, _norm
+
     x = assigned.select(
         F.col("vec_id").alias("xid"),
         F.col("v").alias("xv"),
@@ -4526,4 +4537,304 @@ def text_clusters_incremental_sql() -> str:
 
     return keep_list_sql(
         _text_joint_pairs_sql(), "SELECT doc_id FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic-rung rolled keep/drop labels (VERDICT r14 next-round #3)
+# ---------------------------------------------------------------------------
+
+# SemDeDup's per-vector verdict is not a cc clustering — keep/drop
+# comes from the dominator rule within a frozen-centroid cluster — so
+# the rung's persisted label state is an APPEND-ONLY verdict table
+# rather than the delta-log roll: base verdicts are computed once per
+# snapshot under the FROZEN nightly model (the base-block centroid
+# subsample semantic_index_rollforward's sidecar already pins) and
+# never change; the daily fold appends one verdict row per increment
+# vector, judged against BASE cluster-mates only (increment-internal
+# duplicates are the next nightly rebuild's input — the family
+# convention).  Three-state sidecar contract + the ADVICE-r14 crash
+# ordering (remove before append, write rolled last) as everywhere.
+
+_SEM_LABEL_READY: set[tuple[str, str]] = set()
+_SEM_LABEL_SIDECARS: set[str] = set()
+
+
+def _sem_label_table(sf_dir: str) -> str:
+    from smile_spark.sources.bucketed import bucket_table_name
+
+    return bucket_table_name("sem_labelroll", sf_dir)
+
+
+def _sem_label_payloads(
+    spark: SparkSession, sf_dir: str, tbl: str
+) -> tuple[dict, dict]:
+    from smile_spark.operators.similarity import CENTROID_MOD, _vectors
+
+    vecs = _vectors(spark, sf_dir)
+    base = {
+        "state": "base",
+        "base_rows": vecs.filter(
+            F.col("vec_id") % SEM_INC_MOD != 0
+        ).count(),
+        "op": "semantic_labels",
+        "centroid_rule": "base-block-subsample",
+        "centroid_mod": CENTROID_MOD,
+        "inc_mod": SEM_INC_MOD,
+        "tau": SEMDEDUP_TAU,
+        "n_buckets": SEM_INDEX_BUCKETS,
+        "sf_dir": sf_dir,
+        "tables": [tbl],
+    }
+    rolled = dict(base)
+    rolled["state"] = "rolled"
+    rolled["fold_rows"] = vecs.filter(
+        F.col("vec_id") % SEM_INC_MOD == 0
+    ).count()
+    return base, rolled
+
+
+def clear_semantic_label_cache() -> None:
+    """Forget the semantic label-state memo AND drop this process'
+    adoption sidecars, restoring the cold build/fold paths (bench
+    entry ``semantic_labelroll``)."""
+    from smile_spark.sources.bucketed import remove_sidecar_file
+
+    _SEM_LABEL_READY.clear()
+    for path in list(_SEM_LABEL_SIDECARS):
+        remove_sidecar_file(path)
+        _SEM_LABEL_SIDECARS.discard(path)
+
+
+def _sem_base_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-block SemDeDup verdicts under the frozen nightly model —
+    the dominator pass over the PERSISTED base assignment table, so
+    the nightly label build reuses the assignment the index build
+    already paid for."""
+    from smile_spark.sources.bucketed import read_bucketed
+
+    ix = read_bucketed(
+        spark, semantic_index_build(spark, sf_dir)
+    ).select("vec_id", "v", "cid", "d2")
+    return _semdedup_verdicts(ix)
+
+
+def _sem_fold_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment verdicts: assign the increment block under the FROZEN
+    base centroids (map-side broadcast assign), then judge each
+    increment vector against its BASE cluster-mates with the exact
+    SemDeDup dominator rule — (yd2 > xd2, tie vec_id ASC) outranking,
+    cosine rounded to 6 against tau, first dominator by (yd2 DESC,
+    yid ASC).  The increment side broadcasts over the bucketed base
+    assignment (the _sem_probe shape): zero corpus-side exchange."""
+    from pyspark.sql.window import Window
+
+    from smile_spark.operators.similarity import _dot, _norm
+    from smile_spark.sources.bucketed import read_bucketed
+
+    pa = _sem_assign_block(
+        spark, sf_dir, F.col("vec_id") % SEM_INC_MOD == 0
+    )
+    x = pa.select(
+        F.col("vec_id").alias("xid"),
+        F.col("v").alias("xv"),
+        "cid",
+        F.col("d2").alias("xd2"),
+    )
+    ix = read_bucketed(spark, semantic_index_build(spark, sf_dir))
+    y = ix.select(
+        F.col("vec_id").alias("yid"),
+        F.col("v").alias("yv"),
+        "cid",
+        F.col("d2").alias("yd2"),
+    )
+    doms = (
+        y.join(F.broadcast(x), "cid")
+        .filter(
+            (F.col("yd2") > F.col("xd2"))
+            | (
+                (F.col("yd2") == F.col("xd2"))
+                & (F.col("yid") < F.col("xid"))
+            )
+        )
+        .withColumn(
+            "cos_r",
+            F.round(_dot("xv", "yv") / (_norm("xv") * _norm("yv")), 6),
+        )
+        .filter(F.col("cos_r") >= SEMDEDUP_TAU)
+    )
+    w = Window.partitionBy("xid").orderBy(F.desc("yd2"), F.asc("yid"))
+    first_dom = (
+        doms.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("xid", F.col("yid").alias("dup_of"))
+    )
+    return (
+        pa.select("vec_id", "cid")
+        .join(first_dom, pa["vec_id"] == first_dom["xid"], "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("xid").isNull().alias("keep"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+        )
+    )
+
+
+def semantic_label_restore_base(
+    spark: SparkSession, sf_dir: str
+) -> None:
+    """Bench/test device: force the verdict table back to the pre-fold
+    BASE state so the next roll-forward performs the fold alone."""
+    from smile_spark.sources.bucketed import (
+        drop_bucketed_table,
+        write_bucketed,
+        write_sidecar,
+    )
+
+    tbl = _sem_label_table(sf_dir)
+    _SEM_LABEL_READY.discard(
+        (spark.sparkContext.applicationId, sf_dir)
+    )
+    drop_bucketed_table(spark, tbl)
+    write_bucketed(
+        _sem_base_verdicts(spark, sf_dir),
+        tbl,
+        "vec_id",
+        n_buckets=SEM_INDEX_BUCKETS,
+    )
+    pb, _ = _sem_label_payloads(spark, sf_dir, tbl)
+    _SEM_LABEL_SIDECARS.add(write_sidecar(spark, tbl, pb))
+
+
+def semantic_label_rollforward(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Advance the persisted SemDeDup verdict state from covering the
+    BASE block to base ∪ increment by appending the increment's
+    frozen-model verdicts — the nightly keep/drop maintenance in
+    increment-linear form (the three-state contract; crash ordering:
+    sidecar removed before the append, rolled written last)."""
+    from smile_spark.sources.bucketed import (
+        append_bucketed,
+        drop_bucketed_table,
+        remove_sidecar_file,
+        sidecar_adoptable,
+        sidecar_path,
+        write_bucketed,
+        write_sidecar,
+    )
+
+    tbl = _sem_label_table(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SEM_LABEL_READY:
+        return tbl
+    pb, pr = _sem_label_payloads(spark, sf_dir, tbl)
+    if sidecar_adoptable(spark, tbl, pr, [tbl]):
+        _SEM_LABEL_SIDECARS.add(sidecar_path(spark, tbl))
+        _SEM_LABEL_READY.add(key)
+        return tbl
+    if not sidecar_adoptable(spark, tbl, pb, [tbl]):
+        drop_bucketed_table(spark, tbl)
+        write_bucketed(
+            _sem_base_verdicts(spark, sf_dir),
+            tbl,
+            "vec_id",
+            n_buckets=SEM_INDEX_BUCKETS,
+        )
+    scpath = sidecar_path(spark, tbl)
+    remove_sidecar_file(scpath)
+    _SEM_LABEL_SIDECARS.discard(scpath)
+    try:
+        append_bucketed(
+            _sem_fold_verdicts(spark, sf_dir),
+            tbl,
+            "vec_id",
+            n_buckets=SEM_INDEX_BUCKETS,
+        )
+    except Exception:
+        drop_bucketed_table(spark, tbl)
+        raise
+    _SEM_LABEL_SIDECARS.add(write_sidecar(spark, tbl, pr))
+    _SEM_LABEL_READY.add(key)
+    return tbl
+
+
+def semantic_labels_rolled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup keep/drop state for EVERY vector (base ∪ increment)
+    served from the persisted verdict table — the semantic rung's
+    daily-ingest deliverable (VERDICT r14 next-round #3): base
+    verdicts are the frozen nightly SemDeDup pass, increment verdicts
+    are frozen-model dominator checks against base cluster-mates.
+    Emits (vec_id, cid, keep, dup_of); the closed-form oracle replays
+    both blocks' arithmetic exactly (fold-exact d2/cosine, argmin and
+    dominator tie-breaks — the SEMANTIC_DEDUP_SQL devices)."""
+    from smile_spark.sources.bucketed import read_bucketed
+
+    tbl = semantic_label_rollforward(spark, sf_dir)
+    return read_bucketed(spark, tbl).select(
+        "vec_id", "cid", "keep", "dup_of"
+    )
+
+
+def semantic_labels_rolled_sql() -> str:
+    """Exact oracle: frozen base-block centroids, fold-exact argmin
+    assignment of every vector, base-block SemDeDup dominators among
+    base mates, increment dominators among base mates only."""
+    from smile_spark.operators.similarity import CENTROID_MOD
+
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),"
+        " (x, y) -> x + y)"
+    )
+    cos = (
+        "list_reduce(list_transform(generate_series(1, len(x.v)),"
+        " i -> x.v[i] * y.v[i]), (a, b) -> a + b)"
+        " / (sqrt(list_reduce(list_transform(x.v, t -> t * t),"
+        " (a, b) -> a + b))"
+        " * sqrt(list_reduce(list_transform(y.v, t -> t * t),"
+        " (a, b) -> a + b)))"
+    )
+    outrank = (
+        "(y.d2 > x.d2 OR (y.d2 = x.d2 AND y.vec_id < x.vec_id))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, t -> CAST(t AS DOUBLE)) AS v"
+        " FROM embeddings),"
+        f" c AS (SELECT vec_id AS cid, v AS cv FROM e"
+        f"  WHERE vec_id % {CENTROID_MOD} = 0"
+        f"   AND vec_id % {SEM_INC_MOD} <> 0),"
+        f" s AS (SELECT e.vec_id, e.v, c.cid, {d2} AS d2 FROM e, c),"
+        " asg AS (SELECT vec_id, v, cid, d2 FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        "   ORDER BY d2 ASC, cid ASC) AS rn FROM s) WHERE rn = 1),"
+        f" b AS (SELECT * FROM asg WHERE vec_id % {SEM_INC_MOD} <> 0),"
+        f" p AS (SELECT * FROM asg WHERE vec_id % {SEM_INC_MOD} = 0),"
+        " bdoms AS (SELECT x.vec_id AS xid, y.vec_id AS yid,"
+        "  y.d2 AS yd2 FROM b x JOIN b y ON x.cid = y.cid"
+        f"  AND x.vec_id <> y.vec_id AND {outrank}"
+        f"  WHERE ROUND({cos}, 6) >= {SEMDEDUP_TAU}),"
+        " bfd AS (SELECT xid, yid AS dup_of FROM ("
+        "  SELECT xid, yid, ROW_NUMBER() OVER (PARTITION BY xid"
+        "   ORDER BY yd2 DESC, yid ASC) AS rn FROM bdoms)"
+        "  WHERE rn = 1),"
+        " pdoms AS (SELECT x.vec_id AS xid, y.vec_id AS yid,"
+        "  y.d2 AS yd2 FROM p x JOIN b y ON x.cid = y.cid"
+        f"  AND {outrank}"
+        f"  WHERE ROUND({cos}, 6) >= {SEMDEDUP_TAU}),"
+        " pfd AS (SELECT xid, yid AS dup_of FROM ("
+        "  SELECT xid, yid, ROW_NUMBER() OVER (PARTITION BY xid"
+        "   ORDER BY yd2 DESC, yid ASC) AS rn FROM pdoms)"
+        "  WHERE rn = 1)"
+        " SELECT b.vec_id, CAST(b.cid AS BIGINT) AS cid,"
+        " bfd.xid IS NULL AS keep, CAST(bfd.dup_of AS BIGINT) AS dup_of"
+        " FROM b LEFT JOIN bfd ON bfd.xid = b.vec_id"
+        " UNION ALL"
+        " SELECT p.vec_id, CAST(p.cid AS BIGINT) AS cid,"
+        " pfd.xid IS NULL AS keep, CAST(pfd.dup_of AS BIGINT) AS dup_of"
+        " FROM p LEFT JOIN pfd ON pfd.xid = p.vec_id"
     )

@@ -3620,3 +3620,206 @@ CROSSMODAL_DEDUP_CLUSTERS_SQL = _keep_list_sql(
     "SELECT doc_id FROM documents"
     " WHERE doc_id % 3 = 0 OR doc_id % 3 = 2",
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal persisted cluster labels (VERDICT r14 next-round #4)
+# ---------------------------------------------------------------------------
+
+# crossmodal_dedup_clusters re-ran cc over the full joint pair union
+# (image ∪ video ∪ image↔video) on every call — the one cluster
+# artifact still corpus-linear per run after r14.  Through the generic
+# label core (operators/labels.py) the JOINT universe gets the same
+# lifecycle as each modality alone: persisted base labels over the
+# base-block slice of the joint graph, an increment-linear fold over
+# the increment-INCIDENT slice, the delta-log roll, and compaction.
+# Because the incident slice here includes increment↔increment edges
+# (both endpoints classified independently by the generic core's
+# increment predicate), the folded clustering equals the FULL joint
+# clustering exactly — so crossmodal_clusters_incremental and
+# crossmodal_labels_rolled share crossmodal_dedup_clusters' oracle
+# verbatim (the ann_ivf_indexed shared-oracle contract), and the
+# agreement test pins all three views to identical rows.
+#
+# Scale note (the honest trade): the three pair tables are the
+# session's memoized decode artifacts — each already cold-priced by
+# the bench (dhash_pairs_build, video_hashes_build,
+# crossmodal_pairs_build) and standing in for the pair tables a
+# production dedup run persists.  The base slice is consumed only
+# inside the nightly label build; the daily fold consumes the
+# increment-incident slice, and the fold itself (collapse + cc +
+# delta append) is increment-sized at any corpus size.  At 100 TB the
+# incident slice would come from the per-modality incremental probes
+# (image_dhash_incremental and friends) instead of filtering a full
+# pair table; the label machinery is identical either way.
+
+
+def _crossmodal_joint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joint (a, b) pair union crossmodal_dedup_clusters clusters:
+    image near-dups ∪ exact-frame video near-dups ∪ cross-modal
+    image↔video pairs.  All three come from per-application memos."""
+    from smile_spark.session import keep_alive
+
+    ip = image_dhash_dedup(spark, sf_dir)
+    vp = video_frame_dedup(spark, sf_dir)
+    cp = crossmodal_image_video_dedup(spark, sf_dir)
+    out = (
+        ip.select("a", "b")
+        .union(vp.select("a", "b"))
+        .union(cp.select("a", "b"))
+    )
+    return keep_alive(out, ip, vp, cp)
+
+
+def _crossmodal_rung_build() -> "object":
+    from smile_spark.operators.labels import LabelRung
+    from smile_spark.session import keep_alive
+    from smile_spark.tables import table as _table
+
+    def universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return (
+            _table(spark, sf_dir, "documents")
+            .filter(
+                (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 3 == 2)
+            )
+            .select("doc_id")
+        )
+
+    def base_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        jp = _crossmodal_joint_pairs(spark, sf_dir)
+        out = jp.filter(
+            (F.col("a") % DHASH_INC_MOD != 0)
+            & (F.col("b") % DHASH_INC_MOD != 0)
+        )
+        return keep_alive(out, jp)
+
+    def inc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        jp = _crossmodal_joint_pairs(spark, sf_dir)
+        out = jp.filter(
+            (F.col("a") % DHASH_INC_MOD == 0)
+            | (F.col("b") % DHASH_INC_MOD == 0)
+        )
+        return keep_alive(out, jp)
+
+    def params(spark: SparkSession, sf_dir: str) -> dict:
+        return {
+            "pair_rungs": ["image_dhash", "video_frame", "crossmodal"],
+            "inc_mod": DHASH_INC_MOD,
+            "max_distance": DHASH_MAX_DISTANCE,
+            "grid": [DHASH_GW, DHASH_GH, VID_FRAMES],
+        }
+
+    def base_count(spark: SparkSession, sf_dir: str) -> int:
+        return (
+            universe(spark, sf_dir)
+            .filter(F.col("doc_id") % DHASH_INC_MOD != 0)
+            .count()
+        )
+
+    def fold_count(spark: SparkSession, sf_dir: str) -> int:
+        return (
+            universe(spark, sf_dir)
+            .filter(F.col("doc_id") % DHASH_INC_MOD == 0)
+            .count()
+        )
+
+    return LabelRung(
+        name="crossmodal",
+        table_base="crossmodal_labelroll",
+        universe=universe,
+        base_pairs=base_pairs,
+        inc_pairs=inc_pairs,
+        is_increment=lambda c: c % DHASH_INC_MOD == 0,
+        params=params,
+        base_count=base_count,
+        fold_count=fold_count,
+    )
+
+
+CROSSMODAL_LABEL_RUNG = None
+
+
+def _crossmodal_rung():
+    global CROSSMODAL_LABEL_RUNG
+    if CROSSMODAL_LABEL_RUNG is None:
+        CROSSMODAL_LABEL_RUNG = _crossmodal_rung_build()
+    return CROSSMODAL_LABEL_RUNG
+
+
+def clear_crossmodal_label_cache() -> None:
+    """Forget the cross-modal label-state memos AND drop this process'
+    adoption sidecars (bench entries ``crossmodal_label_build`` /
+    ``crossmodal_labelroll``)."""
+    from smile_spark.operators import labels as L
+
+    L.clear_label_state(_crossmodal_rung())
+
+
+def crossmodal_label_index_build(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """The cross-modal read-only base label table (bench cold entry
+    ``crossmodal_label_build``)."""
+    from smile_spark.operators import labels as L
+
+    return L.label_index_build(spark, sf_dir, _crossmodal_rung())
+
+
+def crossmodal_labelroll_restore_base(
+    spark: SparkSession, sf_dir: str
+) -> None:
+    """Bench/test device: roll tables back to the pre-fold BASE state
+    so the next roll-forward performs the fold alone."""
+    from smile_spark.operators import labels as L
+
+    L.roll_restore_base(spark, sf_dir, _crossmodal_rung())
+
+
+def crossmodal_label_rollforward(
+    spark: SparkSession, sf_dir: str
+) -> dict:
+    """The cross-modal label-table roll-forward (bench fold entry
+    ``crossmodal_labelroll``)."""
+    from smile_spark.operators import labels as L
+
+    return L.label_rollforward(spark, sf_dir, _crossmodal_rung())
+
+
+def crossmodal_label_compact(spark: SparkSession, sf_dir: str) -> dict:
+    """LSM compaction of the cross-modal label roll (bench cold entry
+    ``crossmodal_compact``)."""
+    from smile_spark.operators import labels as L
+
+    return L.label_compact(spark, sf_dir, _crossmodal_rung())
+
+
+def crossmodal_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental JOINT cluster maintenance across the visual
+    modalities: the increment-incident slice of the image ∪ video ∪
+    cross-modal pair union folded through persisted base labels over
+    the joint graph (VERDICT r14 next-round #4).  Because the incident
+    slice includes increment-internal edges, the result equals the
+    FULL joint clustering — row-identical to
+    :func:`crossmodal_dedup_clusters` (agreement-tested) and sharing
+    its recursive min-reachability oracle.  Emits (doc_id,
+    cluster_size, keep) for every image- and video-modality doc."""
+    from smile_spark.operators import labels as L
+
+    return L.clusters_incremental(spark, sf_dir, _crossmodal_rung())
+
+
+def crossmodal_labels_rolled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The joint visual keep list served from the ROLLED delta-log
+    label state — the persisted-state twin of
+    :func:`crossmodal_clusters_incremental`, same shared oracle."""
+    from smile_spark.operators import labels as L
+
+    return L.labels_rolled(spark, sf_dir, _crossmodal_rung())
+
+
+CROSSMODAL_CLUSTERS_INCREMENTAL_SQL = CROSSMODAL_DEDUP_CLUSTERS_SQL
+CROSSMODAL_LABELS_ROLLED_SQL = CROSSMODAL_DEDUP_CLUSTERS_SQL

@@ -210,3 +210,175 @@ def test_text_label_compact_and_policy(spark, sf_dir):
         tuple(r) for r in D.text_labels_rolled(spark, sf_dir).collect()
     }
     assert post == before
+
+
+def test_semantic_labels_rolled_agrees_with_live(spark, sf_dir):
+    """The persisted verdict table must equal base verdicts ∪ live
+    increment verdicts, and every vector appears exactly once."""
+    from smile_spark.operators import dedup as D
+    from smile_spark.operators.similarity import _vectors
+
+    rolled = {
+        tuple(r)
+        for r in D.semantic_labels_rolled(spark, sf_dir).collect()
+    }
+    live = {
+        tuple(r) for r in D._sem_base_verdicts(spark, sf_dir).collect()
+    } | {
+        tuple(r) for r in D._sem_fold_verdicts(spark, sf_dir).collect()
+    }
+    assert rolled == live
+    n_vecs = _vectors(spark, sf_dir).count()
+    assert len({r[0] for r in rolled}) == n_vecs
+    assert len(rolled) == n_vecs
+
+
+def test_semantic_labels_rolled_adoption(spark, sf_dir, monkeypatch):
+    """A fresh 'session' adopts the rolled verdict table without any
+    rebuild/fold job; the reader still serves."""
+    from smile_spark.operators import dedup as D
+    from smile_spark.sources import bucketed as BK
+
+    D.semantic_label_rollforward(spark, sf_dir)
+    D._SEM_LABEL_READY.clear()
+    jobs = []
+    monkeypatch.setattr(
+        BK, "write_bucketed", lambda *a, **k: jobs.append(a)
+    )
+    monkeypatch.setattr(
+        BK, "append_bucketed", lambda *a, **k: jobs.append(a)
+    )
+    monkeypatch.setattr(
+        BK, "drop_bucketed_table", lambda *a, **k: jobs.append(a)
+    )
+    D.semantic_label_rollforward(spark, sf_dir)
+    assert jobs == [], "rolled adoption ran a rebuild/fold job"
+    assert D.semantic_labels_rolled(spark, sf_dir).count() > 0
+    assert jobs == [], "the rolled reader ran a rebuild/fold job"
+
+
+def test_semantic_labelroll_crash_never_adopts_base(
+    spark, sf_dir, monkeypatch
+):
+    """The ADVICE-r14 crash ordering on the semantic verdict roll: a
+    crash after the append, before the rolled sidecar, leaves no
+    adoptable state; recovery rebuilds."""
+    import os
+
+    from smile_spark.operators import dedup as D
+    from smile_spark.sources import bucketed as BK
+
+    D.semantic_label_restore_base(spark, sf_dir)
+    path = BK.sidecar_path(spark, D._sem_label_table(sf_dir))
+    assert os.path.exists(path)
+    real_write_sidecar = BK.write_sidecar
+
+    def dying_write_sidecar(spark_, name, payload):
+        if payload.get("state") == "rolled":
+            raise RuntimeError("simulated process death pre-sidecar")
+        return real_write_sidecar(spark_, name, payload)
+
+    monkeypatch.setattr(BK, "write_sidecar", dying_write_sidecar)
+    with pytest.raises(RuntimeError, match="pre-sidecar"):
+        D.semantic_label_rollforward(spark, sf_dir)
+    assert not os.path.exists(path)
+    monkeypatch.setattr(BK, "write_sidecar", real_write_sidecar)
+    D._SEM_LABEL_READY.clear()
+    writes = []
+    real_write = BK.write_bucketed
+    monkeypatch.setattr(
+        BK,
+        "write_bucketed",
+        lambda *a, **k: (writes.append(a), real_write(*a, **k)),
+    )
+    rolled = {
+        tuple(r)
+        for r in D.semantic_labels_rolled(spark, sf_dir).collect()
+    }
+    assert len(writes) == 1, "recovery must take the full-rebuild arm"
+    live = {
+        tuple(r) for r in D._sem_base_verdicts(spark, sf_dir).collect()
+    } | {
+        tuple(r) for r in D._sem_fold_verdicts(spark, sf_dir).collect()
+    }
+    assert rolled == live
+
+
+def test_crossmodal_clusters_incremental_agrees_with_full(
+    spark, sf_dir
+):
+    """The folded joint clustering must be row-identical to the full
+    crossmodal_dedup_clusters rebuild — exact, because the incident
+    slice keeps increment-internal edges and the collapse proof holds
+    per-endpoint (the generic core's predicate classification)."""
+    from smile_spark.operators import multimodal as M
+
+    got = {
+        tuple(r)
+        for r in M.crossmodal_clusters_incremental(
+            spark, sf_dir
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in M.crossmodal_dedup_clusters(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(not r[2] for r in got)
+
+
+def test_crossmodal_labels_rolled_agrees_with_live(spark, sf_dir):
+    """Rolled state == live fold == full rebuild, and the delta stays
+    increment-sized."""
+    from smile_spark.operators import labels as L
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources.bucketed import read_bucketed
+
+    rolled = {
+        tuple(r)
+        for r in M.crossmodal_labels_rolled(spark, sf_dir).collect()
+    }
+    live = {
+        tuple(r)
+        for r in M.crossmodal_clusters_incremental(
+            spark, sf_dir
+        ).collect()
+    }
+    assert rolled == live
+    rung = M._crossmodal_rung()
+    tables = L.roll_tables(rung, sf_dir)
+    n_delta = read_bucketed(spark, tables["delta"]).count()
+    n_inc = rung.fold_count(spark, sf_dir)
+    ip = rung.inc_pairs(spark, sf_dir)
+    n_pairs = ip.distinct().count()
+    assert n_delta <= n_inc + n_pairs, (n_delta, n_inc, n_pairs)
+    assert n_delta > 0
+
+
+def test_crossmodal_labelroll_rolled_adoption(
+    spark, sf_dir, monkeypatch
+):
+    """A fresh 'session' adopts the rolled cross-modal label state
+    without any rebuild/fold job."""
+    from smile_spark.operators import labels as L
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources import bucketed as BK
+
+    M.crossmodal_label_rollforward(spark, sf_dir)
+    rung = M._crossmodal_rung()
+    for key in [k for k in L._ROLL_READY if k[2] == rung.name]:
+        L._ROLL_READY.discard(key)
+    jobs = []
+    monkeypatch.setattr(
+        BK, "write_bucketed", lambda *a, **k: jobs.append(a)
+    )
+    monkeypatch.setattr(
+        BK, "append_bucketed", lambda *a, **k: jobs.append(a)
+    )
+    monkeypatch.setattr(
+        BK, "drop_bucketed_table", lambda *a, **k: jobs.append(a)
+    )
+    M.crossmodal_label_rollforward(spark, sf_dir)
+    assert jobs == [], "rolled adoption ran a rebuild/fold job"
+    assert M.crossmodal_labels_rolled(spark, sf_dir).count() > 0
+    assert jobs == [], "the rolled reader ran a rebuild/fold job"
