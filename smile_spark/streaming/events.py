@@ -926,3 +926,152 @@ STREAMING_JOIN_AGREEMENT_SQL = (
     " SELECT COUNT(*) AS n_stream, COUNT(*) AS n_batch,"
     " CAST(0 AS BIGINT) AS n_mismatch FROM pairs"
 )
+
+
+def streaming_manifest_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE-ROW certificate that the increment ingest manifest also
+    exists as a STREAMING surface (VERDICT r14 next-round #7): the
+    increment documents arrive as a parquet file-source stream (one
+    file per trigger — the daily landing-directory shape), and a
+    ``foreachBatch`` sink runs the SAME six-rung precedence
+    composition (pipeline._manifest_verdicts) over each micro-batch,
+    restricted to the batch's doc ids.  The drained per-batch
+    verdicts must equal the batch operator's manifest row-for-row.
+
+    Emits (n_stream, n_batch, n_mismatch): a mismatch is a doc_id
+    whose (verdict, reason, duplicate_of) differs between the two
+    surfaces, appears on only one side, or is emitted more than once
+    by the stream.  The oracle pins n_stream = n_batch = the
+    increment count and n_mismatch = 0.
+
+    Correctness argument for batch-independence: every rung judges an
+    increment doc against the BASE corpus only (the incremental-rung
+    contract — increment-internal duplicates are the next nightly
+    rebuild's input), so a doc's verdict depends on nothing else in
+    its micro-batch and the composition commutes with any batch
+    split.  This certificate is exactly the check of that claim.
+
+    Scale: the six rung pair frames are built ONCE (warm bucketed-
+    index probes, increment-linear) and pinned with a local
+    checkpoint; each micro-batch's work is then a batch-id semi-join
+    over the pinned pair tables plus the increment-sized precedence
+    window.  A production deployment would let each arriving file
+    probe the indexes directly — the identical plan with the arriving
+    frame in place of the pinned probe block."""
+    import threading as _th
+    import uuid
+
+    from smile_spark.operators import dedup as D
+    from smile_spark.operators import pipeline as P
+    from smile_spark.session import scratch_dir, unpersist_checkpoint
+    from smile_spark.tables import table as _table
+
+    inc_docs = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % D.SETSIM_INC_MOD == 0)
+        .select("doc_id")
+    )
+    # stage the increment as TWO parquet files so maxFilesPerTrigger=1
+    # yields two genuine micro-batches (a single-batch run would make
+    # the split-commutativity claim vacuous)
+    stage = scratch_dir("smile_manifest_stream_")
+    inc_docs.repartition(2).write.mode("overwrite").parquet(stage)
+    # build the rung pair frames once and pin them: per-batch filters
+    # then scan materialized pair tables instead of re-probing
+    frames = P._manifest_frames(spark, sf_dir)
+    pinned = {k: v.localCheckpoint() for k, v in frames.items()}
+    del frames  # rung-internal checkpoints may release on gc
+    rows: list = []
+    batches: list = []
+    lock = _th.Lock()
+
+    def handle(batch_df, batch_id) -> None:
+        ids = batch_df.select("doc_id")
+        bframes = {
+            k: v.join(
+                F.broadcast(ids.withColumnRenamed("doc_id", "a")),
+                "a",
+                "semi",
+            )
+            for k, v in pinned.items()
+        }
+        out = P._manifest_verdicts(bframes, ids)
+        with lock:
+            rows.extend(out.collect())
+            batches.append(batch_id)
+
+    try:
+        with _DRAIN_LOCK:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            n_state = spark.conf.get(
+                "spark.smile.streaming.statePartitions", "8"
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", n_state)
+            try:
+                query = (
+                    spark.readStream.schema("doc_id bigint")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(stage)
+                    .writeStream.foreachBatch(handle)
+                    .queryName(f"sma_{uuid.uuid4().hex[:10]}")
+                    .start()
+                )
+                try:
+                    query.processAllAvailable()
+                finally:
+                    query.stop()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally:
+        for df in pinned.values():
+            unpersist_checkpoint(df)
+    stream = spark.createDataFrame(
+        rows,
+        "doc_id bigint, verdict string, reason string,"
+        " duplicate_of bigint",
+    )
+    batch = P.increment_ingest_manifest(spark, sf_dir)
+    # NULL duplicate_of (every "keep" row) would never match itself
+    # in the outer join — compare through a sentinel
+    dup_key = F.coalesce("duplicate_of", F.lit(-1)).alias("dup_key")
+    s = stream.select("doc_id", "verdict", "reason", dup_key).groupBy(
+        "doc_id", "verdict", "reason", "dup_key"
+    ).agg(F.count(F.lit(1)).alias("cnt_s"))
+    b = batch.select(
+        "doc_id", "verdict", "reason", dup_key
+    ).withColumn("bflag", F.lit(1))
+    j = s.join(b, ["doc_id", "verdict", "reason", "dup_key"], "full")
+    mismatch = (
+        F.col("cnt_s").isNull()
+        | F.col("bflag").isNull()
+        | (F.col("cnt_s") != 1)
+    )
+    out = j.agg(
+        F.sum(F.coalesce("cnt_s", F.lit(0)))
+        .cast("bigint")
+        .alias("n_stream"),
+        F.count("bflag").alias("n_batch"),
+        F.sum(F.when(mismatch, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatch"),
+    )
+    # the batch manifest owns the six rung frames' checkpoints
+    # (keep_alive inside increment_ingest_manifest) — the certificate
+    # must hold it until the aggregate itself is consumed
+    from smile_spark.session import keep_alive
+
+    return keep_alive(out, batch)
+
+
+def streaming_manifest_agreement_sql() -> str:
+    from smile_spark.operators.dedup import SETSIM_INC_MOD
+
+    return (
+        "WITH uni AS (SELECT doc_id FROM documents"
+        f" WHERE doc_id % {SETSIM_INC_MOD} = 0)"
+        " SELECT CAST(COUNT(*) AS BIGINT) AS n_stream,"
+        " CAST(COUNT(*) AS BIGINT) AS n_batch,"
+        " CAST(0 AS BIGINT) AS n_mismatch FROM uni"
+    )

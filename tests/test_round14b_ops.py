@@ -324,3 +324,45 @@ def test_label_compact_preserves_state(spark, sf_dir, modality):
         tuple(r) for r in M._labels_rolled(spark, sf_dir, modality).collect()
     }
     assert post == before
+
+
+@pytest.mark.parametrize("modality", ["image", "audio", "video"])
+def test_label_compact_policy(spark, sf_dir, modality):
+    """The delta-growth trigger (VERDICT r14 next-round #5): an
+    infinite threshold never compacts and leaves the delta untouched;
+    a zero threshold compacts any non-empty delta; the visible state
+    is identical throughout (the invisibility contract, extended to
+    the policy path)."""
+    from smile_spark.operators import multimodal as M
+    from smile_spark.sources.bucketed import read_bucketed
+
+    # restore a freshly-folded state so the policy decision observes
+    # a real (possibly empty, for video's tiny increment) delta
+    M.labelroll_restore_base(spark, sf_dir, modality)
+    for key in [k for k in M._LROLL_READY if k[2] == modality]:
+        M._LROLL_READY.discard(key)
+    tables = M.label_rollforward(spark, sf_dir, modality)
+    n_delta = read_bucketed(spark, tables["delta"]).count()
+    before = {
+        tuple(r)
+        for r in M._labels_rolled(spark, sf_dir, modality).collect()
+    }
+    assert (
+        M.label_compact_if_needed(
+            spark, sf_dir, modality, max_delta_frac=1e18
+        )
+        is False
+    )
+    assert read_bucketed(spark, tables["delta"]).count() == n_delta
+    compacted = M.label_compact_if_needed(
+        spark, sf_dir, modality, max_delta_frac=0.0
+    )
+    # zero threshold compacts iff any delta rows exist
+    assert compacted is (n_delta > 0)
+    if compacted:
+        assert read_bucketed(spark, tables["delta"]).count() == 0
+    after = {
+        tuple(r)
+        for r in M._labels_rolled(spark, sf_dir, modality).collect()
+    }
+    assert before == after, "the policy path changed the visible state"

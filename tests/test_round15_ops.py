@@ -382,3 +382,33 @@ def test_crossmodal_labelroll_rolled_adoption(
     assert jobs == [], "rolled adoption ran a rebuild/fold job"
     assert M.crossmodal_labels_rolled(spark, sf_dir).count() > 0
     assert jobs == [], "the rolled reader ran a rebuild/fold job"
+
+
+def test_streaming_manifest_agreement(spark, sf_dir, monkeypatch):
+    """The foreachBatch manifest must drain in MULTIPLE micro-batches
+    (the split-commutativity claim is vacuous on one batch) and agree
+    with the batch operator row-for-row."""
+    from smile_spark.operators import pipeline as P
+    from smile_spark.streaming import events as ST
+    from smile_spark.tables import table
+    from smile_spark.operators.dedup import SETSIM_INC_MOD
+
+    calls = []
+    real = P._manifest_verdicts
+
+    def counting(frames, universe):
+        calls.append(1)
+        return real(frames, universe)
+
+    monkeypatch.setattr(P, "_manifest_verdicts", counting)
+    row = ST.streaming_manifest_agreement(spark, sf_dir).collect()[0]
+    n_inc = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % SETSIM_INC_MOD == 0)
+        .count()
+    )
+    # one call per micro-batch plus one inside the batch-side manifest
+    assert len(calls) >= 3, "the stream drained in fewer than 2 batches"
+    assert row.n_stream == n_inc
+    assert row.n_batch == n_inc
+    assert row.n_mismatch == 0
