@@ -938,7 +938,11 @@ def streaming_manifest_agreement(
     ``foreachBatch`` sink runs the SAME six-rung precedence
     composition (pipeline._manifest_verdicts) over each micro-batch,
     restricted to the batch's doc ids.  The drained per-batch
-    verdicts must equal the batch operator's manifest row-for-row.
+    verdicts must equal the UNSPLIT batch composition over the same
+    pinned pair frames row-for-row (the batch operator's manifest is
+    the identical composition — increment_ingest_manifest shares
+    `_manifest_verdicts` — so re-probing the indexes for the batch
+    side would only double the rung work on a deterministic input).
 
     Emits (n_stream, n_batch, n_mismatch): a mismatch is a doc_id
     whose (verdict, reason, duplicate_of) differs between the two
@@ -1024,15 +1028,21 @@ def streaming_manifest_agreement(
                     query.stop()
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
-    finally:
+    except Exception:
         for df in pinned.values():
             unpersist_checkpoint(df)
+        raise
     stream = spark.createDataFrame(
         rows,
         "doc_id bigint, verdict string, reason string,"
         " duplicate_of bigint",
     )
-    batch = P.increment_ingest_manifest(spark, sf_dir)
+    # batch side: the SAME precedence composition over the SAME pinned
+    # pair frames, unsplit — re-probing the six indexes through
+    # increment_ingest_manifest would double the rung work for an
+    # identical (deterministic) pair input, and what this certificate
+    # tests is the COMPOSITION's batch-split commutativity
+    batch = P._manifest_verdicts(pinned, inc_docs)
     # NULL duplicate_of (every "keep" row) would never match itself
     # in the outer join — compare through a sentinel
     dup_key = F.coalesce("duplicate_of", F.lit(-1)).alias("dup_key")
@@ -1057,12 +1067,12 @@ def streaming_manifest_agreement(
         .cast("bigint")
         .alias("n_mismatch"),
     )
-    # the batch manifest owns the six rung frames' checkpoints
-    # (keep_alive inside increment_ingest_manifest) — the certificate
-    # must hold it until the aggregate itself is consumed
-    from smile_spark.session import keep_alive
+    # the pinned probe checkpoints back the batch side's lazy plan —
+    # release them only when the certificate itself is collected
+    from smile_spark.session import release_checkpoints_on_gc
 
-    return keep_alive(out, batch)
+    release_checkpoints_on_gc(out, list(pinned.values()))
+    return out
 
 
 def streaming_manifest_agreement_sql() -> str:

@@ -130,6 +130,26 @@ MEASURED = {
     #                       (shared fold core over video-level edges)
     "video_labels_rolled": 4,  # r14 measured cold AND warm (shared
     #                       rolled-reader core over the video labels)
+    "text_clusters_incremental": 8,  # r15 measured cold AND warm (the
+    #                       setsim+minhash increment probe pipelines
+    #                        compose into one execution: tokenize/
+    #                        distinct, doc grouping, frozen-df prefix
+    #                        window, candidate join, bounded verify —
+    #                        a linear chain, not an explosion)
+    "text_labels_rolled": 8,  # r15 measured cold 8 / warm 3 (warm
+    #                       reader: bucketed base scan + broadcast
+    #                        delta remap + keep-list size joins)
+    "semantic_labels_rolled": 3,  # r15 measured cold 3 / warm 0
+    #                       (warm reader: one bucketed verdict scan)
+    "crossmodal_clusters_incremental": 6,  # r15 measured cold AND
+    #                       warm (joint pair memos + collapsed-graph
+    #                        cc + relabel/size joins)
+    "crossmodal_labels_rolled": 6,  # r15 measured cold 6 / warm 3
+    #                       (shared rolled-reader core)
+    "streaming_manifest_agreement": 9,  # r15 measured cold AND warm
+    #                       (per-micro-batch six-rung precedence
+    #                        window over pinned probe frames + the
+    #                        certificate's full-outer diff)
 }
 # headroom: AQE coalescing and shuffle-partition settings move the
 # count by a stage or two between SFs/sessions — the audit exists to

@@ -195,6 +195,18 @@ def test_no_cartesian_in_any_lazy_query(spark, sf_dir):
         # builds/adopts the persisted VIDEO label table and runs the
         # collapsed-graph cc fold at plan time (the image/audio twin)
         "video_clusters_incremental",
+        # r15: build/adopt the generic-core base label tables (text =
+        # setsim ∪ MinHash base pairs + cc; crossmodal = the joint
+        # visual pair union's base slice + cc) and run the collapsed
+        # fold / delta-log roll at call time
+        "text_clusters_incremental", "text_labels_rolled",
+        "crossmodal_clusters_incremental", "crossmodal_labels_rolled",
+        # builds/adopts the persisted SemDeDup verdict table (base
+        # dominator pass + increment append) at call time
+        "semantic_labels_rolled",
+        # runs a real foreachBatch Structured Streaming drain at call
+        # time; batch/stream agreement is the certificate itself
+        "streaming_manifest_agreement",
     }
     bnlj_ok = {
         # broadcast-crossJoin against a tiny query/centroid set
