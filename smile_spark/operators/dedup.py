@@ -1081,16 +1081,31 @@ def dedup_embedding_cosine(
         F.when(F.element_at("v", j + 1) >= 0, F.lit(2**j)).otherwise(F.lit(0))
         for j in range(quant_bits)
     )
-    b = emb.select("vec_id", "v", bucket.alias("bucket"))
-    ba = b.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
-    bb = b.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
+    # per-vector norm computed once per row before the bucket
+    # self-join (r16): the per-pair form re-ran two interpreted array
+    # folds per candidate; cos_r is bit-identical
+    b = emb.select(
+        "vec_id", "v", bucket.alias("bucket"), _norm("v").alias("nv")
+    )
+    ba = b.select(
+        F.col("vec_id").alias("a"),
+        F.col("v").alias("va"),
+        "bucket",
+        F.col("nv").alias("na"),
+    )
+    bb = b.select(
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"),
+        "bucket",
+        F.col("nv").alias("nb"),
+    )
     pairs = ba.join(bb, "bucket").filter(F.col("a") < F.col("b"))
     return (
         pairs.select(
             "a",
             "b",
             F.round(
-                _dot("va", "vb") / (_norm("va") * _norm("vb")), 6
+                _dot("va", "vb") / (F.col("na") * F.col("nb")), 6
             ).alias("cos_r"),
         )
         .filter(F.col("cos_r") >= NEARDUP_COS_THRESHOLD)
@@ -1201,17 +1216,25 @@ def _semdedup_verdicts(assigned: DataFrame) -> DataFrame:
     the persisted base assignment."""
     from smile_spark.operators.similarity import _dot, _norm
 
+    # Per-VECTOR norms are computed once per row BEFORE the
+    # intra-cluster pair join (r16, guide §1.2 step 2): the norm is a
+    # per-vector quantity, and the previous per-PAIR evaluation ran
+    # two interpreted higher-order array folds (transform + aggregate)
+    # per candidate pair.  cos_r is bit-identical — same fold over the
+    # same array, multiplied in the same order.
     x = assigned.select(
         F.col("vec_id").alias("xid"),
         F.col("v").alias("xv"),
         "cid",
         F.col("d2").alias("xd2"),
+        _norm("v").alias("xn"),
     )
     y = assigned.select(
         F.col("vec_id").alias("yid"),
         F.col("v").alias("yv"),
         "cid",
         F.col("d2").alias("yd2"),
+        _norm("v").alias("yn"),
     )
     doms = (
         x.join(y, "cid")
@@ -1228,7 +1251,7 @@ def _semdedup_verdicts(assigned: DataFrame) -> DataFrame:
         .withColumn(
             "cos_r",
             F.round(
-                _dot("xv", "yv") / (_norm("xv") * _norm("yv")), 6
+                _dot("xv", "yv") / (F.col("xn") * F.col("yn")), 6
             ),
         )
         .filter(F.col("cos_r") >= SEMDEDUP_TAU)
@@ -1459,17 +1482,26 @@ def _sem_probe(
     from smile_spark.sources.bucketed import read_bucketed
 
     probe = _vectors(spark, sf_dir).filter(probe_pred)
+    # per-vector norms computed once per side before the cid join
+    # (r16): bit-identical cos_r, two fewer interpreted array folds
+    # per candidate pair
     pa = _assign(probe, _sem_base_centroids(spark, sf_dir)).select(
-        F.col("vec_id").alias("a"), F.col("v").alias("av"), "cid"
+        F.col("vec_id").alias("a"),
+        F.col("v").alias("av"),
+        "cid",
+        _norm("v").alias("an"),
     )
     ix = read_bucketed(spark, tbl).select(
-        "cid", F.col("vec_id").alias("b"), F.col("v").alias("bv")
+        "cid",
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("bv"),
+        _norm("v").alias("bn"),
     )
     return (
         ix.join(F.broadcast(pa), "cid")
         .withColumn(
             "cos_r",
-            F.round(_dot("av", "bv") / (_norm("av") * _norm("bv")), 6),
+            F.round(_dot("av", "bv") / (F.col("an") * F.col("bn")), 6),
         )
         .filter(F.col("cos_r") >= SEMDEDUP_TAU)
         .select("a", "b", F.col("cid").cast("bigint").alias("cid"), "cos_r")
@@ -2175,16 +2207,17 @@ def setsim_join_frame(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     if hash_tokens:
-        # hash BEFORE the distinct so even the first shuffle moves
-        # 8-byte keys, not token text
+        # hash BEFORE the first shuffle so it moves 8-byte keys, not
+        # token text
         raw = raw.select("doc_id", F.xxhash64("tok").alias("tok"))
-    toks = raw.distinct()
-    if checkpoint:
-        # toks feeds BOTH the prefix pipeline and the verify-side
-        # array collection — materialize the tokenize+distinct once
-        # instead of twice per run (measured ~3 s/pass at sf0.1)
-        toks = toks.localCheckpoint()
-        group.append(toks)
+    # ONE exchange builds the per-doc token sets: collect_set dedups
+    # inside the aggregate (map-side partial sets), so the previous
+    # distinct() exchange + separately checkpointed token table were
+    # pure overhead — the per-token views below re-derive from the
+    # checkpointed arrays with a narrow explode instead (guide §2.4;
+    # r16 micro-bench: groupBy-direct 0.27 s vs distinct-then-groupBy
+    # 0.35-0.46 s at sf0.1, and one exchange + one materialize job
+    # fewer per invocation).
     # GROUP step (the GroupJoin optimization, Bouros et al. EDBT'12):
     # documents with IDENTICAL distinct-token sets are interchangeable
     # for set similarity — J(a, b) = 1 within a group, and J(a, x)
@@ -2201,11 +2234,12 @@ def setsim_join_frame(
     # groupBy(set) shuffle, which the verify-array collection needed
     # to build anyway.  Lossless: every output value (na, nb, i,
     # jaccard) depends on the pair's token SETS only.
-    dsets = toks.groupBy("doc_id").agg(
+    dsets = raw.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tok")).alias("ts")
     )
     if checkpoint:
-        # dsets feeds the membership aggregate AND the verify arrays
+        # dsets feeds the membership aggregate, the rep-token explode,
+        # AND the verify arrays
         dsets = dsets.localCheckpoint()
         group.append(dsets)
     membership = (
@@ -2228,17 +2262,21 @@ def setsim_join_frame(
     reps = membership.filter(F.col("doc_id") == F.col("rep")).select(
         "doc_id"
     )
-    # the quadratic core sees representatives only from here on
-    toks = toks.join(reps, "doc_id", "semi")
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # the quadratic core sees representatives only from here on; the
+    # per-token view re-derives from the checkpointed arrays (narrow
+    # explode — n = |ts| rides along, so the former sizes aggregate
+    # and its join are gone too)
+    rtoks = dsets.join(reps, "doc_id", "semi").select(
+        "doc_id",
+        F.size("ts").cast("bigint").alias("n"),
+        F.explode("ts").alias("tok"),
+    )
+    dfreq = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql.window import Window
 
     wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
-    ranked = (
-        toks.join(dfreq, "tok")
-        .join(sizes, "doc_id")
-        .withColumn("pos", F.row_number().over(wdoc))
+    ranked = rtoks.join(dfreq, "tok").withColumn(
+        "pos", F.row_number().over(wdoc)
     )
     # ASYMMETRIC prefixes (PPJoin, Xiao et al. TODS'11): the probe
     # side keeps the AllPairs length plen = n - ceil(tau*n) + 1, the
@@ -2652,23 +2690,30 @@ def setsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash_tokens = _setsim_hash_conf(spark)
     group: list[DataFrame] = []
     raw = docs.select(
-        "doc_id",
-        (F.col("doc_id") % SETSIM_INC_MOD == 0).alias("is_inc"),
-        F.explode(F.split("text", " ")).alias("tok"),
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     if hash_tokens:
-        raw = raw.select(
-            "doc_id", "is_inc", F.xxhash64("tok").alias("tok")
+        raw = raw.select("doc_id", F.xxhash64("tok").alias("tok"))
+    # ONE exchange builds the per-doc token sets (collect_set dedups
+    # inside the aggregate — the former distinct() exchange and the
+    # checkpointed token table are gone; per-token views re-derive
+    # from the checkpointed arrays, guide §2.4).  is_inc is a pure
+    # function of doc_id, so it is re-derived after the aggregate
+    # instead of riding through it as a first() column.
+    dsets = (
+        raw.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("tok")).alias("ts"))
+        .select(
+            "doc_id",
+            (F.col("doc_id") % SETSIM_INC_MOD == 0).alias("is_inc"),
+            "ts",
         )
-    toks = raw.distinct().localCheckpoint()
-    group.append(toks)
+        .localCheckpoint()
+    )
+    group.append(dsets)
     # GROUP step, per side: (is_inc, token set) -> representative +
     # members.  n = |set| is shared by every member, so na/nb expand
     # losslessly with the membership joins.
-    dsets = toks.groupBy("doc_id").agg(
-        F.first("is_inc").alias("is_inc"),
-        F.array_sort(F.collect_set("tok")).alias("ts"),
-    )
     membership = (
         dsets.groupBy("is_inc", "ts")
         .agg(
@@ -2687,9 +2732,14 @@ def setsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = membership.filter(F.col("doc_id") == F.col("rep")).select(
         "is_inc", "doc_id", "n"
     )
-    # the quadratic core sees per-side representatives only
-    rtoks = toks.join(
-        reps.select("doc_id"), "doc_id", "semi"
+    # the quadratic core sees per-side representatives only — a
+    # narrow explode of the checkpointed rep arrays (n rides along,
+    # so the former reps re-join in ranked is gone too)
+    rtoks = dsets.join(reps.select("doc_id"), "doc_id", "semi").select(
+        "doc_id",
+        "is_inc",
+        F.size("ts").cast("bigint").alias("n"),
+        F.explode("ts").alias("tok"),
     )
     # index-side document frequencies (base-rep groups only); probe
     # tokens absent from the index read df 0 via the left join below
@@ -2704,7 +2754,6 @@ def setsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         rtoks.join(dfreq, "tok", "left")
         .withColumn("df", F.coalesce("df", F.lit(0)))
-        .join(reps.select("doc_id", "n"), "doc_id")
         .withColumn("pos", F.row_number().over(wdoc))
     )
     ceil_tau_n = F.expr(
@@ -2713,20 +2762,52 @@ def setsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plen_probe = F.col("n") - ceil_tau_n + 1
     # AllPairs prefix for the index side too — see the docstring for
-    # why the sharper PPJoin bound is NOT valid in this asymmetry
+    # why the sharper PPJoin index-prefix bound is NOT valid in this
+    # asymmetry.  The PPJoin POSITIONAL filter below IS valid: its
+    # derivation (setsim_join_frame) binds the overlap through the
+    # first shared token's positions and never uses role order.
     plen_idx = plen_probe
     probe = ranked.filter(
         F.col("is_inc") & (F.col("pos") <= plen_probe)
-    ).select(F.col("doc_id").alias("ra"), "tok", F.col("n").alias("na"))
+    ).select(
+        F.col("doc_id").alias("ra"),
+        "tok",
+        F.col("n").alias("na"),
+        F.col("pos").alias("ia"),
+    )
     index = ranked.filter(
         ~F.col("is_inc") & (F.col("pos") <= plen_idx)
-    ).select(F.col("doc_id").alias("rb"), "tok", F.col("n").alias("nb"))
+    ).select(
+        F.col("doc_id").alias("rb"),
+        "tok",
+        F.col("n").alias("nb"),
+        F.col("pos").alias("ib"),
+    )
+    # alpha = ceil(tau/(1+tau) * (na+nb)): the overlap a qualifying
+    # pair must reach; a shared prefix token at positions (ia, ib)
+    # bounds the overlap by 1 + min(na-ia, nb-ib) — lossless (the
+    # bound holds for the FIRST shared token of any qualifying pair,
+    # which the AllPairs prefixes on both sides always retain).  r16:
+    # 722k -> far fewer candidate rows reach the distinct AND the
+    # exact verify (guide §3.2's shrink-before-shuffle applied to the
+    # quadratic core).
+    alpha = F.expr(
+        f"({_SETSIM_ALPHA_NUM} * (na + nb) + {_SETSIM_ALPHA_DEN - 1})"
+        f" div {_SETSIM_ALPHA_DEN}"
+    )
     cand = (
         probe.join(index, "tok")
         # exact-integer length filter: tau*na <= nb AND tau*nb <= na
         .filter(
             (F.col("nb") * SETSIM_TAU_DEN >= F.col("na") * SETSIM_TAU_NUM)
             & (F.col("na") * SETSIM_TAU_DEN >= F.col("nb") * SETSIM_TAU_NUM)
+            & (
+                1
+                + F.least(
+                    F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")
+                )
+                >= alpha
+            )
         )
         .select("ra", "rb", "na", "nb")
         .distinct()
@@ -2923,8 +3004,12 @@ def _setsim_index_write(
     )
     if hash_tokens:
         raw = raw.select("doc_id", F.xxhash64("tok").alias("tok"))
-    toks = raw.distinct().localCheckpoint()
-    dsets = toks.groupBy("doc_id").agg(
+    # ONE exchange builds the per-doc token sets (collect_set dedups
+    # inside the aggregate); the membership checkpoint carries ts per
+    # member, so the rep-token view below is a narrow explode of the
+    # REP rows — the former distinct() exchange, separate token
+    # checkpoint, and rep semi-join are gone (guide §2.4).
+    dsets = raw.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tok")).alias("ts")
     )
     membership = (
@@ -2942,8 +3027,8 @@ def _setsim_index_write(
         .localCheckpoint()
     )
     reps = membership.filter(F.col("b") == F.col("rb"))
-    rtoks = toks.join(
-        reps.select(F.col("rb").alias("doc_id")), "doc_id", "semi"
+    rtoks = reps.select(
+        F.col("rb").alias("doc_id"), "nb", F.explode("ts").alias("tok")
     )
     dfreq = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
@@ -2951,16 +3036,16 @@ def _setsim_index_write(
         f"({SETSIM_TAU_NUM} * nb + {SETSIM_TAU_DEN - 1})"
         f" div {SETSIM_TAU_DEN}"
     )
-    ranked = (
-        rtoks.join(dfreq, "tok")
-        .join(
-            reps.select(F.col("rb").alias("doc_id"), "nb"), "doc_id"
-        )
-        .withColumn("pos", F.row_number().over(wdoc))
+    ranked = rtoks.join(dfreq, "tok").withColumn(
+        "pos", F.row_number().over(wdoc)
     )
+    # pos is persisted with each prefix row (r16) so probes can apply
+    # the lossless PPJoin positional filter before the candidate
+    # distinct + exact verify; the index sidecar payloads carry
+    # "prefix_cols" so indexes written without pos are unadoptable.
     prefix = ranked.filter(
         F.col("pos") <= F.col("nb") - ceil_tau_n + 1
-    ).select(F.col("doc_id").alias("rb"), "tok", "nb")
+    ).select(F.col("doc_id").alias("rb"), "tok", "nb", "pos")
     from smile_spark.session import unpersist_checkpoint
 
     try:
@@ -2985,7 +3070,6 @@ def _setsim_index_write(
             n_buckets=SETSIM_INDEX_BUCKETS,
         )
     finally:
-        unpersist_checkpoint(toks)
         unpersist_checkpoint(membership)
 
 
@@ -3041,6 +3125,7 @@ def setsim_index_build(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "n_buckets": SETSIM_INDEX_BUCKETS,
         "tau": [SETSIM_TAU_NUM, SETSIM_TAU_DEN],
         "inc_mod": SETSIM_INC_MOD,
+        "prefix_cols": ["rb", "tok", "nb", "pos"],
         "sf_dir": sf_dir,
         "tables": sorted(tables.values()),
     }
@@ -3117,9 +3202,12 @@ def _setsim_probe_indexed(
     )
     if hash_tokens:
         raw = raw.select("doc_id", F.xxhash64("tok").alias("tok"))
-    toks = raw.distinct().localCheckpoint()
-    group.append(toks)
-    dsets = toks.groupBy("doc_id").agg(
+    # ONE exchange builds the per-doc token sets (collect_set dedups
+    # inside the aggregate); the membership checkpoint carries ts per
+    # member, so the probe-side token view below is a narrow explode
+    # of the REP rows — the former distinct() exchange, separate
+    # token checkpoint, and rep semi-join are all gone (guide §2.4).
+    dsets = raw.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tok")).alias("ts")
     )
     membership = (
@@ -3140,7 +3228,7 @@ def _setsim_probe_indexed(
     reps = membership.filter(F.col("doc_id") == F.col("rep")).select(
         "doc_id", "ts", "n"
     )
-    rtoks = toks.join(reps.select("doc_id"), "doc_id", "semi")
+    rtoks = reps.select("doc_id", "n", F.explode("ts").alias("tok"))
     # probe tokens ranked by the PERSISTED base df; unseen tokens read
     # df 0 and sort first (prefix-valid under any shared total order)
     dfreq = read_bucketed(spark, tables["df"])
@@ -3148,7 +3236,6 @@ def _setsim_probe_indexed(
     ranked = (
         rtoks.join(dfreq, "tok", "left")
         .withColumn("df", F.coalesce("df", F.lit(0)))
-        .join(reps.select("doc_id", "n"), "doc_id")
         .withColumn("pos", F.row_number().over(wdoc))
     )
     ceil_tau_n = F.expr(
@@ -3157,29 +3244,42 @@ def _setsim_probe_indexed(
     )
     probe = ranked.filter(
         F.col("pos") <= F.col("n") - ceil_tau_n + 1
-    ).select(F.col("doc_id").alias("ra"), "tok", F.col("n").alias("na"))
+    ).select(
+        F.col("doc_id").alias("ra"),
+        "tok",
+        F.col("n").alias("na"),
+        F.col("pos").alias("ia"),
+    )
     index = read_bucketed(spark, tables["prefix"]).select(
-        F.col("rb"), "tok", F.col("nb")
+        F.col("rb"), "tok", F.col("nb"), F.col("pos").alias("ib")
+    )
+    # lossless PPJoin positional filter (the setsim_incremental r16
+    # device): a shared prefix token at (ia, ib) bounds the overlap by
+    # 1 + min(na-ia, nb-ib); pairs that cannot reach
+    # alpha = ceil(tau/(1+tau)*(na+nb)) are dropped inside the join,
+    # before the candidate distinct and the exact verify.
+    alpha = F.expr(
+        f"({_SETSIM_ALPHA_NUM} * (na + nb) + {_SETSIM_ALPHA_DEN - 1})"
+        f" div {_SETSIM_ALPHA_DEN}"
     )
     cand = (
         probe.join(index, "tok")
         .filter(
             (F.col("nb") * SETSIM_TAU_DEN >= F.col("na") * SETSIM_TAU_NUM)
             & (F.col("na") * SETSIM_TAU_DEN >= F.col("nb") * SETSIM_TAU_NUM)
+            & (
+                1
+                + F.least(
+                    F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")
+                )
+                >= alpha
+            )
         )
         .select("ra", "rb", "na", "nb")
         .distinct()
         .localCheckpoint()
     )
     group.append(cand)
-    # toks fed the result only through membership and cand — both now
-    # materialized — so its blocks are unreachable from the output
-    # plan; release them eagerly (the kcore/bfs discipline) instead of
-    # holding them until the caller drops the result frame
-    from smile_spark.session import unpersist_checkpoint
-
-    group.remove(toks)
-    unpersist_checkpoint(toks)
     # candidate-bounded verify: probe rep arrays come from the already
     # CHECKPOINTED membership table (never a second collect_set
     # aggregate over the increment), base arrays from the persisted
@@ -3314,6 +3414,7 @@ def _setsim_roll_payloads(
         "tau": [SETSIM_TAU_NUM, SETSIM_TAU_DEN],
         "inc_mod": SETSIM_INC_MOD,
         "roll_mod": SETSIM_ROLL_MOD,
+        "prefix_cols": ["rb", "tok", "nb", "pos"],
         "sf_dir": sf_dir,
         "tables": sorted(tables.values()),
     }
@@ -3402,11 +3503,11 @@ def _setsim_fold_append(
     )
     if hash_tokens:
         raw = raw.select("doc_id", F.xxhash64("tok").alias("tok"))
-    toks = raw.distinct().localCheckpoint()
+    # same one-exchange shape as _setsim_index_write (guide §2.4)
+    dsets = raw.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tok")).alias("ts")
+    )
     try:
-        dsets = toks.groupBy("doc_id").agg(
-            F.array_sort(F.collect_set("tok")).alias("ts")
-        )
         membership = (
             dsets.groupBy("ts")
             .agg(
@@ -3422,8 +3523,10 @@ def _setsim_fold_append(
             .localCheckpoint()
         )
         reps = membership.filter(F.col("b") == F.col("rb"))
-        rtoks = toks.join(
-            reps.select(F.col("rb").alias("doc_id")), "doc_id", "semi"
+        rtoks = reps.select(
+            F.col("rb").alias("doc_id"),
+            "nb",
+            F.explode("ts").alias("tok"),
         )
         # prefixes ranked under the FROZEN persisted df — absent
         # tokens read df 0 and sort first, the probe's exact rule
@@ -3438,14 +3541,11 @@ def _setsim_fold_append(
         ranked = (
             rtoks.join(dfreq, "tok", "left")
             .withColumn("df", F.coalesce("df", F.lit(0)))
-            .join(
-                reps.select(F.col("rb").alias("doc_id"), "nb"), "doc_id"
-            )
             .withColumn("pos", F.row_number().over(wdoc))
         )
         prefix = ranked.filter(
             F.col("pos") <= F.col("nb") - ceil_tau_n + 1
-        ).select(F.col("doc_id").alias("rb"), "tok", "nb")
+        ).select(F.col("doc_id").alias("rb"), "tok", "nb", "pos")
         try:
             append_bucketed(
                 prefix,
@@ -3475,8 +3575,7 @@ def _setsim_fold_append(
             _SETSIM_ROLL_SIDECARS.discard(scpath)
             raise
     finally:
-        unpersist_checkpoint(toks)
-        # membership may not exist if the first checkpoint threw
+        # membership may not exist if its checkpoint threw
         try:
             unpersist_checkpoint(membership)
         except NameError:
@@ -4635,11 +4734,14 @@ def _sem_fold_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = _sem_assign_block(
         spark, sf_dir, F.col("vec_id") % SEM_INC_MOD == 0
     )
+    # per-vector norms once per side before the cid join (r16):
+    # bit-identical cos_r, two fewer interpreted folds per pair
     x = pa.select(
         F.col("vec_id").alias("xid"),
         F.col("v").alias("xv"),
         "cid",
         F.col("d2").alias("xd2"),
+        _norm("v").alias("xn"),
     )
     ix = read_bucketed(spark, semantic_index_build(spark, sf_dir))
     y = ix.select(
@@ -4647,6 +4749,7 @@ def _sem_fold_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("yv"),
         "cid",
         F.col("d2").alias("yd2"),
+        _norm("v").alias("yn"),
     )
     doms = (
         y.join(F.broadcast(x), "cid")
@@ -4659,7 +4762,7 @@ def _sem_fold_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "cos_r",
-            F.round(_dot("xv", "yv") / (_norm("xv") * _norm("yv")), 6),
+            F.round(_dot("xv", "yv") / (F.col("xn") * F.col("yn")), 6),
         )
         .filter(F.col("cos_r") >= SEMDEDUP_TAU)
     )

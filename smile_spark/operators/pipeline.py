@@ -425,11 +425,20 @@ def _manifest_frames(
     """The six incremental rung pair frames the manifest composes —
     each an increment-linear probe over its persisted nightly index.
     Factored so the streaming (foreachBatch) manifest builds them
-    once and filters per micro-batch."""
+    once and filters per micro-batch.
+
+    text_exact probes the PERSISTED setsim index
+    (setsim_incremental_indexed) rather than re-deriving the base
+    side's df/prefix stats per run (setsim_incremental) — the pair
+    set is identical (the indexed-vs-unindexed agreement test and the
+    shared DuckDB oracle pin it), but the manifest stops paying a
+    corpus-linear base pass per invocation, matching how every other
+    rung here already reads its nightly index (guide §2.4: reuse the
+    persisted partitioning instead of re-shuffling; r16)."""
     from smile_spark.operators import multimodal as M
 
     return {
-        "text_exact": D.setsim_incremental(spark, sf_dir),
+        "text_exact": D.setsim_incremental_indexed(spark, sf_dir),
         "text_minhash": D.dedup_minhash_incremental(spark, sf_dir),
         "image_dhash": M.image_dhash_incremental(spark, sf_dir),
         "audio_fp": M.audio_fingerprint_incremental(spark, sf_dir),
