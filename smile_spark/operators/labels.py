@@ -291,29 +291,41 @@ def _fold_delta(
         )
         .localCheckpoint()
     )
+    # the collapsed edge set is CHECKPOINTED (r16): cc_labels scans
+    # its edge input once per round, and an unmaterialized e would
+    # re-run the two m-joins + distinct in EVERY round (measured ~2 s
+    # of the 4.5 s fold at sf0.1); e is increment-sized, so the
+    # checkpoint is one tiny job.  Released as soon as cc_labels
+    # returns — its final label table is its own checkpoint.
+    from smile_spark.session import unpersist_checkpoint
+
     e = (
         inc.join(m.select(F.col("id").alias("a"), F.col("s").alias("sa")), "a")
         .join(m.select(F.col("id").alias("b"), F.col("s").alias("sb")), "b")
         .select("sa", "sb")
         .filter(F.col("sa") != F.col("sb"))
         .distinct()
+        .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("sa").alias("id"))
-        .union(e.select(F.col("sb").alias("id")))
-        .distinct()
-    )
-    und = e.select(
-        F.col("sa").alias("src"), F.col("sb").alias("dst")
-    ).union(e.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+    try:
+        nodes = (
+            e.select(F.col("sa").alias("id"))
+            .union(e.select(F.col("sb").alias("id")))
+            .distinct()
+        )
+        und = e.select(
+            F.col("sa").alias("src"), F.col("sb").alias("dst")
+        ).union(e.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+        cc = cc_labels(nodes, und)
+    finally:
+        unpersist_checkpoint(e)
     # collapsed-node kinds: increment ids, unpaired base ids, and base
     # labels are pairwise disjoint (a base label is the min member of
     # a PAIRED component, so it is never an unpaired id; base and
     # increment ids are disjoint by predicate)
     kinds = m.groupBy("s").agg(F.max("unp").alias("unp"))
     delta = (
-        cc_labels(nodes, und)
-        .join(kinds.select(F.col("s").alias("id"), "unp"), "id", "left")
+        cc.join(kinds.select(F.col("s").alias("id"), "unp"), "id", "left")
         .select(
             "id",
             "component",

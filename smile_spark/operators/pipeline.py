@@ -453,24 +453,46 @@ def _manifest_verdicts(
     """Precedence-window composition of the rung pair frames into ONE
     (doc_id, verdict, reason, duplicate_of) row per universe doc —
     the shared core of the batch manifest and its foreachBatch
-    streaming form (each micro-batch passes batch-restricted frames
-    and its own id universe)."""
+    streaming form."""
+    return _manifest_verdicts_tagged(_manifest_tagged(frames), universe)
+
+
+def _manifest_tagged(frames: dict[str, DataFrame]) -> DataFrame:
+    """The six rung pair frames as ONE tagged (a, b, reason) union —
+    r16: the streaming certificate pins a single checkpoint and runs
+    a single per-batch semi-join + aggregate over it, instead of six
+    of each (guide §2.4: one plan, one exchange per micro-batch)."""
+    tagged = None
+    for _, reason in _INC_MANIFEST_RUNGS:
+        part = frames[reason].select(
+            "a",
+            F.col("b").cast("bigint").alias("b"),
+            F.lit(reason).alias("reason"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return tagged
+
+
+def _manifest_verdicts_tagged(
+    tagged: DataFrame, universe: DataFrame
+) -> DataFrame:
+    """The precedence composition over the TAGGED pair union: one
+    grouped min per (reason, a) — identical rows to the former
+    per-rung aggregates (min commutes with the integer cast, and
+    grouping the union by reason IS the per-rung grouping) — then the
+    unchanged precedence window and universe left join."""
     from pyspark.sql.window import Window
 
-    flagged = None
-    for prio, reason in _INC_MANIFEST_RUNGS:
-        part = (
-            frames[reason]
-            .groupBy("a")
-            .agg(F.min("b").cast("bigint").alias("dup"))
-            .select(
-                "a",
-                F.lit(prio).alias("prio"),
-                F.lit(reason).alias("reason"),
-                "dup",
-            )
-        )
-        flagged = part if flagged is None else flagged.unionByName(part)
+    prio_col = F.lit(None).cast("int")
+    for prio, reason in reversed(_INC_MANIFEST_RUNGS):
+        prio_col = F.when(
+            F.col("reason") == reason, F.lit(prio)
+        ).otherwise(prio_col)
+    flagged = (
+        tagged.groupBy("reason", "a")
+        .agg(F.min("b").alias("dup"))
+        .select("a", prio_col.alias("prio"), "reason", "dup")
+    )
     w = Window.partitionBy("a").orderBy(
         F.asc("prio"), F.asc("reason"), F.asc("dup")
     )

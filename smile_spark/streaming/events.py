@@ -982,10 +982,12 @@ def streaming_manifest_agreement(
     # the split-commutativity claim vacuous)
     stage = scratch_dir("smile_manifest_stream_")
     inc_docs.repartition(2).write.mode("overwrite").parquet(stage)
-    # build the rung pair frames once and pin them: per-batch filters
-    # then scan materialized pair tables instead of re-probing
+    # build the rung pair frames once and pin them as ONE tagged
+    # (a, b, reason) checkpoint (r16): per-batch work is then a single
+    # semi-join + aggregate over one materialized pair table instead
+    # of six of each, and the batch side reads the same checkpoint
     frames = P._manifest_frames(spark, sf_dir)
-    pinned = {k: v.localCheckpoint() for k, v in frames.items()}
+    pinned = P._manifest_tagged(frames).localCheckpoint()
     del frames  # rung-internal checkpoints may release on gc
     rows: list = []
     batches: list = []
@@ -993,15 +995,12 @@ def streaming_manifest_agreement(
 
     def handle(batch_df, batch_id) -> None:
         ids = batch_df.select("doc_id")
-        bframes = {
-            k: v.join(
-                F.broadcast(ids.withColumnRenamed("doc_id", "a")),
-                "a",
-                "semi",
-            )
-            for k, v in pinned.items()
-        }
-        out = P._manifest_verdicts(bframes, ids)
+        bt = pinned.join(
+            F.broadcast(ids.withColumnRenamed("doc_id", "a")),
+            "a",
+            "semi",
+        )
+        out = P._manifest_verdicts_tagged(bt, ids)
         with lock:
             rows.extend(out.collect())
             batches.append(batch_id)
@@ -1029,8 +1028,7 @@ def streaming_manifest_agreement(
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
     except Exception:
-        for df in pinned.values():
-            unpersist_checkpoint(df)
+        unpersist_checkpoint(pinned)
         raise
     stream = spark.createDataFrame(
         rows,
@@ -1042,7 +1040,7 @@ def streaming_manifest_agreement(
     # increment_ingest_manifest would double the rung work for an
     # identical (deterministic) pair input, and what this certificate
     # tests is the COMPOSITION's batch-split commutativity
-    batch = P._manifest_verdicts(pinned, inc_docs)
+    batch = P._manifest_verdicts_tagged(pinned, inc_docs)
     # NULL duplicate_of (every "keep" row) would never match itself
     # in the outer join — compare through a sentinel
     dup_key = F.coalesce("duplicate_of", F.lit(-1)).alias("dup_key")
@@ -1071,7 +1069,7 @@ def streaming_manifest_agreement(
     # release them only when the certificate itself is collected
     from smile_spark.session import release_checkpoints_on_gc
 
-    release_checkpoints_on_gc(out, list(pinned.values()))
+    release_checkpoints_on_gc(out, [pinned])
     return out
 
 

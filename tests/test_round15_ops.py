@@ -394,13 +394,16 @@ def test_streaming_manifest_agreement(spark, sf_dir, monkeypatch):
     from smile_spark.operators.dedup import SETSIM_INC_MOD
 
     calls = []
-    real = P._manifest_verdicts
+    real = P._manifest_verdicts_tagged
 
-    def counting(frames, universe):
+    def counting(tagged, universe):
         calls.append(1)
-        return real(frames, universe)
+        return real(tagged, universe)
 
-    monkeypatch.setattr(P, "_manifest_verdicts", counting)
+    # r16: the streaming certificate composes through the single
+    # tagged-union core (one per-batch semi-join + aggregate), so the
+    # per-batch call counter hooks _manifest_verdicts_tagged
+    monkeypatch.setattr(P, "_manifest_verdicts_tagged", counting)
     row = ST.streaming_manifest_agreement(spark, sf_dir).collect()[0]
     n_inc = (
         table(spark, sf_dir, "documents")
