@@ -2175,13 +2175,25 @@ def _setsim_release_group(group: list) -> None:
         unpersist_checkpoint(group.pop())
 
 
-def setsim_join_frame(
+def _setsim_join_core(
     docs: DataFrame,
     checkpoint: bool = True,
     hash_tokens: bool | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame, list]:
     """The prefix-filtered exact Jaccard join over any (doc_id, text)
-    frame — the core of :func:`setsim_join_prefix`, exposed for reuse
+    frame up to the REPRESENTATIVE level: returns (verified rep pairs
+    (a, b, na, nb, i, jaccard), membership (doc_id, rep, n),
+    checkpoint group).  The caller owns the checkpoint group's
+    release (setsim_join_frame ties it to its expanded result; the
+    r16 text label contraction releases it with the label frame).
+    Factored out so the text-rung base label build can run connected
+    components over the COLLAPSED (representative-level) graph —
+    identical-token-set groups are cliques, so contraction preserves
+    components, and min-label cc over reps yields the same minima
+    (each rep IS its group's min doc id).
+
+    The original full-join contract (setsim_join_prefix's docstring
+    below still applies): the core of :func:`setsim_join_prefix`, exposed for reuse
     and boundary testing (pairs with Jaccard EXACTLY tau are the cases
     the integer thresholds exist for).
 
@@ -2480,6 +2492,20 @@ def setsim_join_frame(
             ),
         )
         .filter(F.col("jaccard") >= SETSIM_TAU)
+    )
+    return verified, membership, group
+
+
+def setsim_join_frame(
+    docs: DataFrame,
+    checkpoint: bool = True,
+    hash_tokens: bool | None = None,
+) -> DataFrame:
+    """Expand :func:`_setsim_join_core`'s verified representative
+    pairs back to document pairs — the full join's public face; see
+    the core's docstring for the pipeline."""
+    verified, membership, group = _setsim_join_core(
+        docs, checkpoint, hash_tokens
     )
     # EXPAND group representatives back to documents — both joins are
     # output-proportional (each joined row IS one result row).
@@ -4456,6 +4482,102 @@ def _text_base_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_alive(out, sp)
 
 
+def _text_base_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASE-block text cc labels over the CONTRACTED graph (r16): run
+    min-label cc at the setsim GROUP-representative level instead of
+    the expanded doc level, then map members to their rep's
+    component.  Row-equal to cc over :func:`_text_base_pairs` —
+
+    - identical-token-set groups are cliques in the setsim pair set
+      (every intra-group pair has J = 1 ≥ tau), so every doc-level
+      component is a union of whole groups and contracting groups
+      preserves connectivity;
+    - each rep is its group's MIN doc id, so the min rep of a
+      contracted component IS the min doc id of the doc-level
+      component — the stored label is unchanged;
+    - membership: a doc was labeled iff it touched ≥1 pair; under
+      contraction that is «its group has ≥2 members» (intra clique)
+      or «its rep touches a contracted edge» — both preserved below.
+
+    The quadratic expansion (323k doc pairs at sf0.1) never feeds cc:
+    the contracted edge set is the verified REP pairs ∪ the
+    rep-mapped MinHash pairs (guide §2.3 — decide on lightweight
+    proxies, expand output-proportionally at the end)."""
+    from smile_spark.operators.graph import cc_labels
+    from smile_spark.session import release_checkpoints_on_gc
+
+    base = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SETSIM_INC_MOD != 0
+    )
+    verified, membership, group = _setsim_join_core(base)
+    ckpts: list = list(group)
+    bands = _lsh_bands_from_sig(_minhash_sig_from_docs(base)).localCheckpoint()
+    ckpts.append(bands)
+    ba = bands.select(F.col("doc_id").alias("a"), "band", "bkey")
+    bb = bands.select(F.col("doc_id").alias("b"), "band", "bkey")
+    cand = (
+        ba.join(bb, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    ckpts.append(cand)
+    mh = _lsh_verify_pairs(spark, sf_dir, cand, ckpts)
+    m = membership.select("doc_id", "rep")
+    mh_rep = (
+        mh.select("a", "b")
+        .join(
+            m.select(F.col("doc_id").alias("a"), F.col("rep").alias("ra")),
+            "a",
+        )
+        .join(
+            m.select(F.col("doc_id").alias("b"), F.col("rep").alias("rb")),
+            "b",
+        )
+        .filter(F.col("ra") != F.col("rb"))
+        .select(
+            F.least("ra", "rb").alias("a"),
+            F.greatest("ra", "rb").alias("b"),
+        )
+    )
+    edges = (
+        verified.select("a", "b")
+        .union(mh_rep)
+        .distinct()
+        .localCheckpoint()
+    )
+    ckpts.append(edges)
+    nodes = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    und = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    rep_labels = cc_labels(nodes, und)
+    gsz = m.groupBy("rep").agg(F.count(F.lit(1)).alias("g"))
+    labels = (
+        m.join(gsz, "rep")
+        .join(
+            rep_labels.select(F.col("id").alias("rep"), "component"),
+            "rep",
+            "left",
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            F.coalesce(
+                "component",
+                F.when(F.col("g") >= 2, F.col("rep")),
+            ).alias("component"),
+        )
+        .filter(F.col("component").isNotNull())
+    )
+    release_checkpoints_on_gc(labels, ckpts)
+    return labels
+
+
 def _text_inc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Increment↔base text pairs: the two warm persisted-index probes
     (setsim bucketed prefix index, MinHash bucketed band index) —
@@ -4514,6 +4636,10 @@ def _text_rung() -> "object":
         params=params,
         base_count=base_count,
         fold_count=fold_count,
+        # r16 contraction fast path — row-equal to cc over base_pairs
+        # (pinned by tests/test_round15_ops.py's contraction-equality
+        # test); the nightly build runs cc at group-rep level
+        base_labels=_text_base_labels,
     )
 
 

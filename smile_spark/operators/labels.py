@@ -91,6 +91,14 @@ class LabelRung:
     params: Callable[[SparkSession, str], dict]
     base_count: Callable[[SparkSession, str], int]
     fold_count: Callable[[SparkSession, str], int]
+    # optional fast path (r16): produce the base (id, component)
+    # labels DIRECTLY, row-equal to cc over base_pairs.  The text rung
+    # contracts identical-token-set groups to representatives before
+    # cc: groups are cliques, so contraction preserves components,
+    # and min-label cc over reps (each rep IS its group's min doc id)
+    # yields the same minima.  When set, the nightly build and the
+    # roll-base restore use it instead of the generic pair-cc path.
+    base_labels: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 def _registries(rung: LabelRung) -> None:
@@ -196,6 +204,13 @@ def _with_base_labels(
     from smile_spark.operators.graph import cc_labels
     from smile_spark.session import unpersist_checkpoint
 
+    if rung.base_labels is not None:
+        # contraction fast path (r16): the rung produces the labels
+        # directly (row-equal to cc over base_pairs by construction);
+        # the frame owns its checkpoints' release, and sink consumes
+        # it eagerly while it is alive
+        sink(rung.base_labels(spark, sf_dir))
+        return
     src = rung.base_pairs(spark, sf_dir)
     pairs = src.select("a", "b").distinct().localCheckpoint()
     del src  # upstream checkpoints may now release on gc
